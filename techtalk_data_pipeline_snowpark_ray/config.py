@@ -1,0 +1,84 @@
+"""Engine configuration.
+
+Reference parity: the reference indirects every object name through a
+YAML config (``ConfigUtils.scala:24-84``, ``conf.yml:8-42``). We keep a
+single dataclass (optionally loadable from YAML-ish dict) holding
+directories, partitioning parameters and tuning knobs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class EngineConfig:
+    # --- layout -----------------------------------------------------------
+    #: root directory of the lake table (runs/ + _manifest/ live under it)
+    table_dir: str = "/tmp/ttdps/table"
+    #: directory of WAL/binlog segments (append-only parquet files)
+    wal_dir: str = "/tmp/ttdps/wal"
+
+    # --- partitioning -----------------------------------------------------
+    #: number of hash buckets over conv_id. The unit of key-exclusive apply
+    #: and of compaction. On a real cluster size this to ~2-4x total cores so
+    #: stragglers rebalance; a bucket's live rows must fit one worker's heap.
+    num_buckets: int = 32
+    #: sub-splits for hot conversations (salting). A hot conv's events are
+    #: spread over `salt_factor` shards by hash(turn_idx); key-exclusive
+    #: because the full PK (conv_id, turn_idx) determines the shard.
+    salt_factor: int = 4
+    #: events-per-conversation threshold (within one tick) above which a
+    #: conversation is salted. 0 disables auto-detection.
+    hot_key_threshold: int = 0
+
+    # --- execution --------------------------------------------------------
+    #: rows per batch for map_batches stages (tune by bytes: transcript text
+    #: dominates; ~64k rows * ~200B text ~ 13MB/batch).
+    batch_size: int = 65536
+    #: actor-pool size for the merge-apply stage; None -> let Ray size tasks.
+    apply_concurrency: int | None = None
+    #: pre-collapse each batch before the shuffle (combiner). Cuts shuffle
+    #: bytes when a tick contains many updates to the same keys.
+    pre_collapse: bool = True
+    #: target schema version to normalize to (see schemas.REGISTRY).
+    schema_version: int = 3
+
+    # --- generator / determinism -----------------------------------------
+    seed: int = 42
+
+    # --- misc -------------------------------------------------------------
+    extras: dict = field(default_factory=dict)
+
+    @property
+    def runs_dir(self) -> str:
+        return os.path.join(self.table_dir, "runs")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.table_dir, "_manifest")
+
+    @property
+    def tmp_dir(self) -> str:
+        # staging area for uncommitted writes (the `_tmp/<txn>` of the
+        # commit protocol; analogue of autocommit-off DML before COMMIT).
+        return os.path.join(self.table_dir, "_tmp")
+
+    @property
+    def num_shards(self) -> int:
+        return self.num_buckets * self.salt_factor
+
+    def ensure_dirs(self) -> None:
+        for d in (self.table_dir, self.wal_dir, self.runs_dir,
+                  self.manifest_dir, self.tmp_dir):
+            os.makedirs(d, exist_ok=True)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), default=str)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EngineConfig":
+        known = {f for f in cls.__dataclass_fields__}
+        return cls(**{k: v for k, v in d.items() if k in known})

@@ -1,0 +1,390 @@
+"""The ingest pipeline: WAL tail -> normalize -> partition -> merge-apply
+-> atomic commit; plus snapshot read and compaction.
+
+This is the Ray-Data re-expression of the reference's core loop
+(``IngestOrdersFromRawToFlat.scala:63-98``: read stream delta ->
+explode/normalize -> merge -> commit advancing the stream offset), with
+Snowflake's server-side machinery replaced by:
+
+  tick:     ray.data.read_parquet(new WAL segments)       # stream read S8
+            .map_batches(SchemaNormalizer)                # jsonToFields T2
+            .map_batches(filter lsn > committed)          # offset semantics
+            .map_batches(Partitioner)                     # hash(conv_id)+salt
+            .map_batches(BatchCollapser)                  # combiner pre-agg
+            .groupby(shard).map_groups(BucketApplier)     # merge U1-U7
+            -> run files + metrics -> manifest publish    # txn commit U7
+
+All heavy work streams through the object store with backpressure; the
+driver touches only segment lists and a one-row-per-shard metrics frame.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .. import schemas
+from ..config import EngineConfig
+from ..sources import wal
+from ..stages.apply import BatchCollapser, collapse_events, resolve_final
+from ..stages.normalize import SchemaNormalizer
+from ..stages.partition import BUCKET_COL, SHARD_COL, Partitioner
+from ..state.manifest import Manifest, TableState
+
+_BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
+
+
+# --------------------------------------------------------------------------
+# WAL tail -> normalized change Dataset
+# --------------------------------------------------------------------------
+
+def tail_changes(cfg: EngineConfig, committed_seq: int,
+                 ) -> tuple[ray.data.Dataset | None, list[wal.Segment]]:
+    """Dataset of unconsumed, schema-normalized change records (every
+    row of every segment with seq > committed_seq), or (None, []) when
+    the log has no news.
+
+    Offset semantics are per *segment* (seq), never per row: segments
+    are disjoint lsn intervals (see sources/wal.py INTERVAL CONTRACT),
+    so no row filtering, no watermark holes, and replaying a consumed
+    file is a no-op by construction.
+    """
+    segments = wal.list_segments(cfg.wal_dir, after_seq=committed_seq)
+    if not segments:
+        return None, []
+    target = schemas.table_schema(cfg.schema_version)
+    by_version: dict[int, list[wal.Segment]] = {}
+    for s in segments:
+        by_version.setdefault(s.schema_version, []).append(s)
+
+    parts: list[ray.data.Dataset] = []
+    for _, segs in sorted(by_version.items()):
+        ds = ray.data.read_parquet([s.path for s in segs])
+        ds = ds.map_batches(
+            SchemaNormalizer(target, keep_extra=_BOOKKEEPING),
+            batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+        )
+        parts.append(ds)
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return ds, segments
+
+
+def detect_hot_convs(ds: ray.data.Dataset, threshold: int,
+                     batch_size: int) -> list[str]:
+    """Optional skew pre-pass: conversations with more events than
+    `threshold` in this tick. Pre-aggregates per batch (one row per conv
+    per batch) before the small groupby, so the shuffle moves counts,
+    not events."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts = pd.Series(batch.column("conv_id").to_numpy(zero_copy_only=False)) \
+                   .value_counts()
+        return pa.table({"conv_id": counts.index.astype(object),
+                         "n": counts.to_numpy(dtype=np.int64)})
+
+    import pyarrow.compute as pc
+
+    agg = (ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=batch_size)
+             .groupby("conv_id").sum("n"))
+    hot = agg.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(n)"], pa.scalar(int(threshold)))).select(["conv_id"]),
+        batch_format="pyarrow")
+    return [r["conv_id"] for r in hot.take_all()]  # small by construction
+
+
+# --------------------------------------------------------------------------
+# merge-apply (the stateful stage)
+# --------------------------------------------------------------------------
+
+RUN_COLS_FIXED = [BUCKET_COL, *schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL]
+
+
+class BucketApplier:
+    """Per-shard merge applier used inside groupby(shard).map_groups.
+
+    Folds the shard's change records (LWW by lsn), writes one run file
+    with a txn-deterministic name (idempotent under task retry: a retry
+    atomically overwrites the same path with the same content), and
+    returns a one-row metrics frame. The heavy data never flows back to
+    the driver.
+
+    Reference parity: the merge statement + MergeResult metrics
+    (``SnowflakeUtilsOld.scala:84-109``,
+    ``IngestOrdersFromRawToFlat.scala:89-92``).
+    """
+
+    def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
+                 salt_factor: int = 1):
+        self.runs_dir = runs_dir
+        self.txn_id = txn_id
+        self.payload_cols = list(payload_cols)
+        self.salt_factor = salt_factor
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return _empty_metrics()
+        shard = int(group[SHARD_COL].iloc[0])
+        bucket = shard // self.salt_factor if self.salt_factor > 1 else int(group[BUCKET_COL].iloc[0])
+        n_src = int(group["_n"].sum()) if "_n" in group.columns else len(group)
+
+        out = collapse_events(group, self.payload_cols)
+        out = out.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
+        ops = out[schemas.OP_COL].value_counts()
+
+        fname = f"run-b{bucket:05d}-x{self.txn_id}-s{shard % max(self.salt_factor, 1):03d}.parquet"
+        path = os.path.join(self.runs_dir, fname)
+        cols = RUN_COLS_FIXED + self.payload_cols
+        table = pa.Table.from_pandas(out[cols], preserve_index=False)
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+        return pd.DataFrame([{
+            "bucket": bucket, "shard": shard, "file": fname,
+            "events_in": n_src, "records_out": len(out),
+            "n_full": int(ops.get(schemas.OP_FULL, 0)),
+            "n_partial": int(ops.get(schemas.OP_PARTIAL, 0)),
+            "n_delete": int(ops.get(schemas.OP_DELETE, 0)),
+            "max_lsn": int(out[schemas.LSN_COL].max()),
+        }])
+
+
+def _empty_metrics() -> pd.DataFrame:
+    return pd.DataFrame({
+        "bucket": pd.Series(dtype="int64"), "shard": pd.Series(dtype="int64"),
+        "file": pd.Series(dtype="object"), "events_in": pd.Series(dtype="int64"),
+        "records_out": pd.Series(dtype="int64"), "n_full": pd.Series(dtype="int64"),
+        "n_partial": pd.Series(dtype="int64"), "n_delete": pd.Series(dtype="int64"),
+        "max_lsn": pd.Series(dtype="int64"),
+    })
+
+
+# --------------------------------------------------------------------------
+# the tick (one consumed delta, one atomic commit)
+# --------------------------------------------------------------------------
+
+@dataclass
+class TickResult:
+    manifest: Manifest
+    events_applied: int
+    records_written: int
+    segments_consumed: int
+
+    @property
+    def committed_lsn(self) -> int:
+        return self.manifest.committed_lsn
+
+
+def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickResult | None:
+    """Consume everything new in the WAL and commit one snapshot version.
+
+    Returns None when there is nothing to consume. Crash-safe: nothing
+    is visible until the manifest LATEST pointer is swapped.
+    """
+    cfg.ensure_dirs()
+    state = TableState(cfg.table_dir)
+    prev = state.load_latest()
+    ds, segments = tail_changes(cfg, prev.committed_seq)
+    if ds is None:
+        return None
+    payload = schemas.payload_cols(cfg.schema_version)
+
+    if hot_convs is None and cfg.hot_key_threshold > 0:
+        hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold, cfg.batch_size)
+    hot_ref = ray.put(list(hot_convs)) if hot_convs else None
+
+    ds = ds.map_batches(
+        Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
+        batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+    )
+    if cfg.pre_collapse:
+        # batch_size=None -> one batch per block: blocks are consecutive
+        # slices of range-ordered segment files, i.e. lsn intervals, the
+        # precondition for folding before the shuffle (see wal.py).
+        ds = ds.map_batches(_CountingCollapser(payload), batch_format="pandas",
+                            batch_size=None)
+
+    txn = state.new_txn()
+    applier_kwargs = dict(runs_dir=state.runs_dir, txn_id=txn,
+                          payload_cols=payload, salt_factor=cfg.salt_factor)
+    grouped = ds.groupby(SHARD_COL)
+    if cfg.apply_concurrency:
+        metrics_ds = grouped.map_groups(BucketApplier, batch_format="pandas",
+                                        fn_constructor_kwargs=applier_kwargs,
+                                        concurrency=cfg.apply_concurrency)
+    else:
+        applier = BucketApplier(**applier_kwargs)
+
+        def apply_shard(group: pd.DataFrame) -> pd.DataFrame:
+            return applier(group)
+
+        metrics_ds = grouped.map_groups(apply_shard, batch_format="pandas")
+    metrics = metrics_ds.to_pandas()  # one row per shard -- tiny
+    if metrics.empty:
+        return None
+
+    buckets = {k: list(v) for k, v in prev.buckets.items()}
+    for rec in metrics.sort_values("shard").itertuples():
+        buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
+
+    committed = max(int(metrics["max_lsn"].max()), max(s.hi for s in segments),
+                    prev.committed_lsn)
+    manifest = state.publish(Manifest(
+        txn_id=txn,
+        committed_seq=max(s.seq for s in segments),
+        committed_lsn=committed,
+        schema_version=cfg.schema_version,
+        buckets=buckets,
+        wal_consumed=[s.name for s in segments],
+        metrics={
+            "events_applied": int(metrics["events_in"].sum()),
+            "records_written": int(metrics["records_out"].sum()),
+            "deletes": int(metrics["n_delete"].sum()),
+            "lag": int(wal.high_watermark(cfg.wal_dir) - committed),
+            "hot_convs": len(hot_convs or []),
+            "per_bucket": metrics.groupby("bucket")["events_in"].sum().to_dict(),
+        },
+    ))
+    return TickResult(manifest, int(metrics["events_in"].sum()),
+                      int(metrics["records_out"].sum()), len(segments))
+
+
+class _CountingCollapser(BatchCollapser):
+    """Combiner that also tracks how many source events fold into each
+    collapsed record (`_n`), so the applier can report true event
+    throughput after pre-aggregation."""
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        if "_n" not in batch.columns:
+            batch = batch.assign(_n=np.int64(1))
+        keys = list(schemas.KEY_COLS)
+        sums = batch.groupby(keys, sort=False, as_index=False)["_n"].sum()
+        out = collapse_events(batch.drop(columns=["_n"]), self.payload_cols)
+        out = out.merge(sums, on=keys, how="left")
+        # hand Arrow blocks (no pandas metadata) to the shuffle
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+
+# --------------------------------------------------------------------------
+# snapshot read + compaction
+# --------------------------------------------------------------------------
+
+def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
+                  final_only: bool = True) -> ray.data.Dataset:
+    """Dataset of the committed table state (LWW-resolved across runs).
+
+    Grouping is by `bucket` (the stored layout key), which is stable
+    across ticks even when the hot-key salt set changes.
+    """
+    state = TableState(cfg.table_dir)
+    paths = state.run_paths(manifest)
+    payload = schemas.payload_cols(cfg.schema_version)
+    if not paths:
+        empty = schemas.table_schema(cfg.schema_version).empty_table()
+        return ray.data.from_arrow(empty)
+    ds = ray.data.read_parquet(paths)
+
+    final_cols = [*schemas.KEY_COLS, *payload]
+    target = schemas.table_schema(cfg.schema_version)
+
+    def resolve(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return target.empty_table().to_pandas()
+        out = resolve_final(group, payload)
+        if final_only:
+            out = out[final_cols]
+        return out
+
+    return ds.groupby(BUCKET_COL).map_groups(resolve, batch_format="pandas")
+
+
+def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
+    """Small-scale convenience (tests): full snapshot, stable ordering."""
+    df = read_snapshot(cfg).to_pandas()
+    return df.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
+
+
+def compact(cfg: EngineConfig) -> Manifest | None:
+    """Fold every bucket's runs into a single base run (one file per
+    bucket, sorted by (conv_id, turn_idx) -- the reference's 'stable
+    turn ordering' invariant), drop tombstones, publish a new manifest.
+
+    Safe because compaction folds a bucket's COMPLETE run list and no
+    event at lsn <= committed can ever be re-applied (checkpoint rule).
+    """
+    state = TableState(cfg.table_dir)
+    prev = state.load_latest()
+    if not prev.buckets:
+        return None
+    payload = schemas.payload_cols(cfg.schema_version)
+    txn = state.new_txn()
+    runs_dir = state.runs_dir
+
+    def compact_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        if group.empty:
+            return pd.DataFrame(columns=["bucket", "file", "rows"])
+        bucket = int(group[BUCKET_COL].iloc[0])
+        out = collapse_events(group, payload)
+        out = out[out[schemas.OP_COL] != schemas.OP_DELETE]
+        out = out.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
+        fname = f"base-b{bucket:05d}-x{txn}.parquet"
+        cols = RUN_COLS_FIXED + payload
+        tmp = os.path.join(runs_dir, fname + f".tmp-{uuid.uuid4().hex[:8]}")
+        pq.write_table(pa.Table.from_pandas(out[cols], preserve_index=False), tmp)
+        os.replace(tmp, os.path.join(runs_dir, fname))
+        return pd.DataFrame([{"bucket": bucket, "file": fname, "rows": len(out)}])
+
+    ds = ray.data.read_parquet(state.run_paths(prev))
+    metrics = ds.groupby(BUCKET_COL).map_groups(
+        compact_bucket, batch_format="pandas").to_pandas()
+
+    buckets = {str(int(r.bucket)): [r.file] for r in metrics.itertuples()}
+    manifest = state.publish(Manifest(
+        txn_id=txn,
+        committed_seq=prev.committed_seq,
+        committed_lsn=prev.committed_lsn,
+        schema_version=prev.schema_version,
+        buckets=buckets,
+        wal_consumed=[],
+        metrics={"compaction": True, "live_rows": int(metrics["rows"].sum())},
+    ))
+    return manifest
+
+
+# --------------------------------------------------------------------------
+# the continuous runner (Pipeline.asContinuous parity, W1-W3)
+# --------------------------------------------------------------------------
+
+def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
+             poll_interval_s: float = 0.2,
+             compact_every: int = 0,
+             stop_when_idle: bool = False) -> list[TickResult]:
+    """Driver micro-batch loop: poll WAL -> apply tick -> commit ->
+    (periodic compaction). The analogue of `Pipeline.asContinuous`
+    (`Pipeline.scala:6-20`) + `waitStreamAsData`
+    (`SnowflakeUtils.scala:120-128`); in tests a bounded replay."""
+    import time
+
+    results: list[TickResult] = []
+    ticks = 0
+    while max_ticks is None or ticks < max_ticks:
+        res = apply_tick(cfg)
+        if res is None:
+            if stop_when_idle:
+                break
+            time.sleep(poll_interval_s)
+            continue
+        results.append(res)
+        ticks += 1
+        if compact_every and ticks % compact_every == 0:
+            compact(cfg)
+    return results

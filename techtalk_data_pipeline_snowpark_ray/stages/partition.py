@@ -1,0 +1,71 @@
+"""Hash partitioning of change events by conv_id, with hot-key salting.
+
+The reference never partitions client-side (Snowflake micro-partitions
+do it server-side); on Ray this is the correctness-critical design
+point: every key (conv_id, turn_idx) must land in exactly one apply
+group so last-writer-wins state is never split across workers.
+
+Layout key:   bucket = H(conv_id) % num_buckets          (stable, stored)
+Shuffle key:  shard  = bucket * salt_factor + salt
+              salt   = H2(turn_idx) % salt_factor   for HOT conversations
+                     = 0                            otherwise
+
+The salt depends only on key fields, so routing stays key-exclusive;
+because the *layout* (manifest bookkeeping, compaction, snapshot-read
+grouping) uses `bucket` only, the hot set may change from tick to tick
+without breaking cross-run LWW folds.
+
+Hash: pandas' stable 64-bit sip-like hash (`pandas.util.hash_array`,
+fixed default hash key -> deterministic across processes and nodes),
+vectorized in C -- no Python loop per row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+BUCKET_COL = "bucket"
+SHARD_COL = "shard"
+
+
+def hash_conv(conv_id: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash of a string array."""
+    return pd.util.hash_array(np.asarray(conv_id, dtype=object), categorize=True)
+
+
+def add_partition_cols(batch: pa.Table, num_buckets: int, salt_factor: int = 1,
+                       hot_convs: frozenset[str] | None = None) -> pa.Table:
+    """Append bucket + shard columns (vectorized)."""
+    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
+    bucket = (hash_conv(conv) % np.uint64(num_buckets)).astype(np.int32)
+    if salt_factor > 1 and hot_convs:
+        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+        hot = pd.Series(conv).isin(hot_convs).to_numpy()
+        salt = np.where(hot,
+                        ((turn * 2654435761) % salt_factor).astype(np.int32),
+                        np.int32(0))
+    else:
+        salt = np.zeros(len(conv), dtype=np.int32)
+    shard = bucket * np.int32(salt_factor) + salt
+    out = batch.append_column(BUCKET_COL, pa.array(bucket, type=pa.int32()))
+    return out.append_column(SHARD_COL, pa.array(shard, type=pa.int32()))
+
+
+class Partitioner:
+    """map_batches callable adding bucket/shard columns. `hot_convs` is
+    broadcast once via ray.put and fetched in __init__ (never re-shipped
+    per batch)."""
+
+    def __init__(self, num_buckets: int, salt_factor: int = 1, hot_convs_ref=None):
+        self.num_buckets = num_buckets
+        self.salt_factor = salt_factor
+        if hot_convs_ref is not None:
+            import ray
+            self.hot_convs = frozenset(ray.get(hot_convs_ref))
+        else:
+            self.hot_convs = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return add_partition_cols(batch, self.num_buckets, self.salt_factor, self.hot_convs)

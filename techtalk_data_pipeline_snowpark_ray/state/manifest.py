@@ -1,0 +1,150 @@
+"""Atomic snapshot commit: manifests, checkpoints, lineage, GC.
+
+Reference parity: ``executeInTransaction`` (``SnowflakeUtils.scala:
+36-45,68-81``) makes "consume stream delta + apply merge + write"
+atomic -- commit advances the stream offset, rollback leaves it
+unconsumed so the next run re-reads the same delta. Our analogue
+(Delta-Lake-style, per PAPERS.md):
+
+  * apply tasks write run files under ``runs/`` with txn-deterministic
+    names; the files are INVISIBLE until referenced by a manifest
+    (readers only follow manifests), so a retried/failed task can
+    overwrite its own file idempotently;
+  * the driver writes manifest ``v{n}.json`` (tmp + ``os.replace``)
+    listing, per bucket, the exact run files plus the consumed WAL
+    offset, schema version, per-partition metrics and the parent
+    version (lineage);
+  * publishing = atomically replacing the ``LATEST`` pointer file.
+
+Crash anywhere before the LATEST swap -> the old manifest still rules,
+the WAL offset is unchanged, replay is duplicate-free (exactly-once).
+Orphan run files are swept by :func:`gc_orphan_runs`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field, asdict
+
+
+@dataclass
+class Manifest:
+    version: int = 0
+    txn_id: str = ""
+    #: highest WAL segment seq consumed (the stream offset; tailing
+    #: resumes at seq > committed_seq)
+    committed_seq: int = -1
+    #: highest WAL lsn whose effects are included in this snapshot
+    #: (metrics/lag; lsn ordering is handled by the LWW fold, not here)
+    committed_lsn: int = -1
+    #: lake-table schema version of this snapshot
+    schema_version: int = 1
+    #: bucket -> ordered list of run files (relative to runs/)
+    buckets: dict[str, list[str]] = field(default_factory=dict)
+    #: WAL segment file names consumed by the txn that produced this
+    wal_consumed: list[str] = field(default_factory=list)
+    #: per-bucket + global metrics of the producing txn (U3 parity:
+    #: MergeResult.rowsInserted/rowsUpdated printing)
+    metrics: dict = field(default_factory=dict)
+    parent: int | None = None
+
+    def run_files(self) -> list[str]:
+        return [f for runs in self.buckets.values() for f in runs]
+
+
+class TableState:
+    """Manifest bookkeeping for one lake table directory."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.manifest_dir = os.path.join(table_dir, "_manifest")
+        self.runs_dir = os.path.join(table_dir, "runs")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        os.makedirs(self.runs_dir, exist_ok=True)
+
+    # -- read side ---------------------------------------------------------
+    def _latest_path(self) -> str:
+        return os.path.join(self.manifest_dir, "LATEST")
+
+    def latest_version(self) -> int | None:
+        try:
+            with open(self._latest_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def load(self, version: int) -> Manifest:
+        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
+            return Manifest(**json.load(f))
+
+    def load_latest(self) -> Manifest:
+        """The committed snapshot (empty manifest when none published)."""
+        v = self.latest_version()
+        if v is None:
+            return Manifest()
+        return self.load(v)
+
+    @property
+    def committed_lsn(self) -> int:
+        return self.load_latest().committed_lsn
+
+    def run_paths(self, manifest: Manifest | None = None) -> list[str]:
+        m = manifest or self.load_latest()
+        return [os.path.join(self.runs_dir, f) for f in m.run_files()]
+
+    def lineage(self) -> list[Manifest]:
+        """Walk parent pointers from LATEST back to the first commit."""
+        out: list[Manifest] = []
+        v = self.latest_version()
+        while v is not None:
+            m = self.load(v)
+            out.append(m)
+            v = m.parent
+        return out
+
+    # -- write side --------------------------------------------------------
+    def new_txn(self) -> str:
+        return uuid.uuid4().hex[:12]
+
+    def _atomic_write(self, path: str, data: str) -> None:
+        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def publish(self, manifest: Manifest) -> Manifest:
+        """Atomically commit a new manifest version. This is the single
+        commit point of the whole engine (COMMIT in the reference)."""
+        parent = self.latest_version()
+        manifest.parent = parent
+        manifest.version = 0 if parent is None else parent + 1
+        self._atomic_write(
+            os.path.join(self.manifest_dir, f"v{manifest.version}.json"),
+            json.dumps(asdict(manifest), indent=1),
+        )
+        self._atomic_write(self._latest_path(), str(manifest.version))
+        return manifest
+
+    def gc_orphan_runs(self, keep_versions: int = 2) -> list[str]:
+        """Delete run files not referenced by the last `keep_versions`
+        manifests (aborted txns, superseded compactions)."""
+        latest = self.latest_version()
+        referenced: set[str] = set()
+        if latest is not None:
+            v: int | None = latest
+            for _ in range(keep_versions):
+                if v is None:
+                    break
+                m = self.load(v)
+                referenced.update(m.run_files())
+                v = m.parent
+        removed = []
+        for name in os.listdir(self.runs_dir):
+            if name.endswith(".parquet") and name not in referenced:
+                os.remove(os.path.join(self.runs_dir, name))
+                removed.append(name)
+        return removed

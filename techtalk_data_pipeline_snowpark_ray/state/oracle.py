@@ -1,0 +1,60 @@
+"""Single-threaded reference implementation (test oracle).
+
+FIXTURES.md F3: a plain Python dict ``{(conv_id, turn_idx): (lsn, row)}``
+applying change events in lsn order. The Ray engine's committed
+snapshot after full replay must equal the oracle row-by-row (per-turn
+text equality under stable (conv_id, turn_idx) ordering).
+
+Deliberately naive and independent of the engine's fold code.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from .. import schemas
+
+
+def apply_events_oracle(events: pa.Table | pd.DataFrame,
+                        payload_cols: list[str]) -> pd.DataFrame:
+    """Apply change records (columns: lsn, op, key cols, payload) and
+    return the final visible table sorted by (conv_id, turn_idx)."""
+    if isinstance(events, pa.Table):
+        df = events.to_pandas()
+    else:
+        df = events.copy()
+    df = df.sort_values(schemas.LSN_COL, kind="stable")
+
+    state: dict[tuple, dict] = {}
+    seen: dict[tuple, int] = {}
+    for rec in df.to_dict("records"):
+        key = tuple(rec[k] for k in schemas.KEY_COLS)
+        lsn = rec[schemas.LSN_COL]
+        op = rec[schemas.OP_COL]
+        if seen.get(key) == lsn:
+            continue  # duplicate delivery of the same event
+        seen[key] = lsn
+        payload = {c: rec.get(c) for c in payload_cols}
+        if op in (schemas.OP_DELETE,):
+            state.pop(key, None)
+        elif op in (schemas.OP_INSERT, schemas.OP_FULL):
+            state[key] = payload
+        else:  # update / partial: merge non-null cols; upsert when absent
+            cur = state.get(key)
+            if cur is None:
+                cur = {c: None for c in payload_cols}
+            merged = dict(cur)
+            for c, v in payload.items():
+                if not pd.isna(v):
+                    merged[c] = v
+            state[key] = merged
+
+    rows = []
+    for key in sorted(state.keys()):
+        row = dict(zip(schemas.KEY_COLS, key))
+        row.update(state[key])
+        rows.append(row)
+    cols = [*schemas.KEY_COLS, *payload_cols]
+    out = pd.DataFrame(rows, columns=cols)
+    return out.reset_index(drop=True)

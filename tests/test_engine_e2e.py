@@ -1,0 +1,205 @@
+"""End-to-end engine tests (FIXTURES.md F2/F3/F5 'tiny'): deterministic
+WAL replay through the full Ray pipeline vs the dict oracle, in one and
+many ticks, with kill/resume, duplicate re-delivery, schema evolution,
+hot-key salting and compaction."""
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from techtalk_data_pipeline_snowpark_ray import schemas
+from techtalk_data_pipeline_snowpark_ray.pipelines import ingest
+from techtalk_data_pipeline_snowpark_ray.sources.generate import (
+    GenSpec, generate_chunks, write_wal)
+from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+from techtalk_data_pipeline_snowpark_ray.stages.normalize import normalize_batch
+from techtalk_data_pipeline_snowpark_ray.state.manifest import TableState
+from techtalk_data_pipeline_snowpark_ray.state.oracle import apply_events_oracle
+
+PAYLOAD = schemas.payload_cols(3)
+
+TINY = GenSpec(n_events=2000, n_conversations=50, max_turns=10, zipf_s=1.2,
+               ooo_window=16, dup_fraction=0.04, partial_update_fraction=0.25,
+               schema_add_at=600, schema_widen_at=1400, seed=42)
+
+
+def wal_oracle(wal_dir: str) -> pd.DataFrame:
+    tables = [normalize_batch(pq.read_table(p), schemas.table_schema(3),
+                              keep_extra=("lsn", "op"))
+              for p in sorted(glob.glob(os.path.join(wal_dir, "*.parquet")))]
+    return apply_events_oracle(pa.concat_tables(tables), PAYLOAD)
+
+
+def assert_matches_oracle(cfg):
+    snap = ingest.snapshot_to_pandas(cfg)
+    oracle = wal_oracle(cfg.wal_dir)
+    assert len(snap) == len(oracle)
+    pd.testing.assert_frame_equal(
+        snap.reset_index(drop=True),
+        oracle.astype({c: snap[c].dtype for c in snap.columns}),
+        check_dtype=False,
+    )
+
+
+def test_single_tick_replay_matches_oracle(tmp_engine):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    res = ingest.apply_tick(tmp_engine)
+    assert res.events_applied >= TINY.n_events  # includes duplicates
+    assert_matches_oracle(tmp_engine)
+    # per-turn text equality under stable (conv_id, turn_idx) ordering
+    snap = ingest.snapshot_to_pandas(tmp_engine)
+    keys = list(map(tuple, snap[["conv_id", "turn_idx"]].to_numpy()))
+    assert keys == sorted(keys)
+
+
+def test_multi_tick_incremental_replay(tmp_engine):
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    r1 = ingest.apply_tick(tmp_engine)
+    assert r1 is not None
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    r2 = ingest.apply_tick(tmp_engine)
+    assert r2 is not None and r2.manifest.committed_seq > r1.manifest.committed_seq
+    assert_matches_oracle(tmp_engine)
+
+
+def test_idle_tick_is_noop_and_resume_offsets(tmp_engine):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    r1 = ingest.apply_tick(tmp_engine)
+    assert ingest.apply_tick(tmp_engine) is None  # nothing new -> no-op
+    state = TableState(tmp_engine.table_dir)
+    assert state.load_latest().committed_seq == r1.manifest.committed_seq
+
+
+def test_exactly_once_duplicate_segment_replay(tmp_engine):
+    """Re-submitting already-consumed WAL content must not change the
+    table (the 'rollback leaves stream unconsumed / commit consumes
+    exactly once' rule, SnowflakeUtils.scala:68-81)."""
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    before = ingest.snapshot_to_pandas(tmp_engine)
+    # same files, same seqs -> tail (seq > committed) sees nothing
+    assert ingest.apply_tick(tmp_engine) is None
+    after = ingest.snapshot_to_pandas(tmp_engine)
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_crash_before_commit_is_invisible_and_replay_safe(tmp_engine, monkeypatch):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    # crash INSIDE the commit step: runs written, manifest not published
+    def boom(self, manifest):
+        raise RuntimeError("crash before manifest publish")
+    monkeypatch.setattr(TableState, "publish", boom)
+    with pytest.raises(RuntimeError, match="crash before"):
+        ingest.apply_tick(tmp_engine)
+    monkeypatch.undo()
+    state = TableState(tmp_engine.table_dir)
+    assert state.latest_version() is None            # nothing visible
+    orphans = [f for f in os.listdir(state.runs_dir) if f.endswith(".parquet")]
+    assert orphans                                    # uncommitted junk exists
+    # resume: full replay applies cleanly and matches oracle
+    res = ingest.apply_tick(tmp_engine)
+    assert res is not None
+    assert_matches_oracle(tmp_engine)
+    # orphan runs from the aborted txn are GC-able and unreferenced
+    removed = state.gc_orphan_runs(keep_versions=2)
+    assert set(removed).issuperset(set(orphans) - set(state.load_latest().run_files()))
+    assert_matches_oracle(tmp_engine)
+
+
+def test_schema_evolution_add_and_widen(tmp_engine):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    snap = ingest.snapshot_to_pandas(tmp_engine)
+    assert "model" in snap.columns
+    # rows whose last write predates v2 have NULL model
+    assert snap["model"].isna().any() and snap["model"].notna().any()
+    arrow = ingest.read_snapshot(tmp_engine).schema()
+    assert dict(zip(arrow.names, arrow.types))["turn_idx"] == pa.int64()
+
+
+def test_compaction_single_run_per_bucket_and_equal_state(tmp_engine):
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=300, reorder_slack=64)
+    for i, (t, v) in enumerate(chunks):
+        w.append(t, v)
+    w.close()
+    ingest.apply_tick(tmp_engine)
+    before = ingest.snapshot_to_pandas(tmp_engine)
+    m = ingest.compact(tmp_engine)
+    assert all(len(runs) == 1 for runs in m.buckets.values())
+    after = ingest.snapshot_to_pandas(tmp_engine)
+    pd.testing.assert_frame_equal(before, after)
+    # compacted runs carry no tombstones
+    state = TableState(tmp_engine.table_dir)
+    for p in state.run_paths(m):
+        t = pq.read_table(p, columns=["op"])
+        assert schemas.OP_DELETE not in set(t["op"].to_pylist())
+    # post-compaction ticks still work
+    spec2 = GenSpec(n_events=500, n_conversations=50, seed=43)
+    w2 = WalWriter(tmp_engine.wal_dir, segment_rows=300)
+    base = 10_000_000
+    for t, v in generate_chunks(spec2):
+        t = t.set_column(t.schema.get_field_index("lsn"), "lsn",
+                         pa.compute.add(t["lsn"], base))
+        w2.append(t, v)
+    w2.close()
+    assert ingest.apply_tick(tmp_engine) is not None
+
+
+def test_hot_key_salting_matches_unsalted(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    spec = GenSpec(n_events=4000, n_conversations=20, zipf_s=1.6, seed=3,
+                   partial_update_fraction=0.3)
+    results = []
+    for i, (salt, thresh) in enumerate([(1, 0), (4, 50)]):
+        cfg = EngineConfig(table_dir=str(tmp_path / f"t{i}"),
+                           wal_dir=str(tmp_path / f"w{i}"),
+                           num_buckets=4, salt_factor=salt,
+                           hot_key_threshold=thresh)
+        cfg.ensure_dirs()
+        write_wal(spec, cfg.wal_dir, segment_rows=1000)
+        res = ingest.apply_tick(cfg)
+        if thresh:
+            assert res.manifest.metrics["hot_convs"] > 0  # skew detected
+        results.append(ingest.snapshot_to_pandas(cfg))
+    pd.testing.assert_frame_equal(results[0], results[1])
+
+
+def test_lineage_and_metrics(tmp_engine):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    ingest.compact(tmp_engine)
+    state = TableState(tmp_engine.table_dir)
+    lineage = state.lineage()
+    assert [m.version for m in lineage] == [1, 0]
+    tick = lineage[1]
+    assert tick.metrics["events_applied"] >= TINY.n_events
+    assert "per_bucket" in tick.metrics and tick.metrics["lag"] == 0
+    assert tick.wal_consumed  # consumed segments recorded for audit
+
+
+def test_run_loop_bounded_replay(tmp_engine):
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=300, reorder_slack=64)
+    for t, v in chunks[: len(chunks) // 2]:
+        w.append(t, v)
+    w.flush()
+    r = ingest.run_loop(tmp_engine, stop_when_idle=True)
+    assert len(r) == 1
+    for t, v in chunks[len(chunks) // 2:]:
+        w.append(t, v)
+    w.close()
+    r2 = ingest.run_loop(tmp_engine, stop_when_idle=True, compact_every=1)
+    assert len(r2) == 1
+    assert_matches_oracle(tmp_engine)
