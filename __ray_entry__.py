@@ -1,44 +1,283 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay on sf0.001; ``queries()`` maps
+every implemented operator/pipeline from SURVEY.md §2 to a callable
+over an sf_dir; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+the value-hash correctness gate (rows-only for non-SQL-expressible
+ops: near-dup sketches, heuristic language id, fingerprints).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library.
+
+Float-parity rule: queries never emit floats produced by float SUMs;
+money/value aggregates go through cents = floor(x*100+0.5)::int64
+(functions/numeric.py) so distributed Ray sums equal DuckDB's exactly,
+and the few emitted doubles are single divisions of exact integers.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_CENTS = "CAST(FLOOR(({x}) * 100 + 0.5) AS BIGINT)"
+
+
+def _c(x: str) -> str:
+    return _CENTS.format(x=x)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: full CDC engine replay (WAL tail -> merge-apply
+    -> atomic commit -> LWW snapshot) of a change stream derived from
+    sf0.001 events."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines import cdc_queries
+    return cdc_queries.cdc_apply_full("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics, cdc_queries
+    from techtalk_data_pipeline_snowpark_ray.functions import (
+        dedup, multimodal, similarity, textstats)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDC engine (SURVEY §2.5 U1-U7, §2.1 S7/S8, §2.3 ST2/ST3) ---
+        "cdc_apply_full": cdc_queries.cdc_apply_full,
+        "cdc_exactly_once": cdc_queries.cdc_exactly_once,
+        "cdc_out_of_order": cdc_queries.cdc_out_of_order,
+        "cdc_schema_evolution": cdc_queries.cdc_schema_evolution,
+        # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "dq_overpaid_orders": analytics.dq_overpaid_orders,
+        "urgent_orders_by_nation": analytics.urgent_orders_by_nation,
+        "top_segments_last7d": analytics.top_segments_last7d,
+        "derived_key_join": analytics.derived_key_join,
+        "crud_filter_dedup": analytics.crud_filter_dedup,
+        "union_tag": analytics.union_tag,
+        "events_tumbling_window": analytics.events_tumbling_window,
+        "events_sessionize": analytics.events_sessionize,
+        "props_json_extract": analytics.props_json_extract,
+        # --- training-data ops (dedup / text / similarity) ---
+        "token_counts": textstats.token_counts,
+        "doc_quality": textstats.doc_quality,
+        "lang_id": textstats.lang_id,                      # rows-only
+        "doc_fingerprint": textstats.doc_fingerprint,      # rows-only
+        "exact_dedup_documents": dedup.exact_dedup_documents,
+        "minhash_near_dup": dedup.minhash_near_dup,        # rows-only
+        "simhash_documents": dedup.simhash_documents,      # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
+        "ann_topk_cosine": similarity.ann_topk_cosine,
+        "embedding_near_dup": similarity.embedding_near_dup,
+        "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
+        # --- multimodal plumbing (decode stubbed; Ray side real) ---
+        "multimodal_features": multimodal.multimodal_features,   # rows-only
+        "video_frame_samples": multimodal.video_frame_samples,   # rows-only
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_CDC_CH = """
+    SELECT event_id AS lsn,
+           CASE WHEN event_id % 10 < 6 THEN 'insert'
+                WHEN event_id % 10 < 9 THEN 'update'
+                ELSE 'delete' END AS op,
+           'conv-' || CAST(user_id % 200 AS VARCHAR) AS conv_id,
+           CAST((event_id * 7 + user_id) % 40 AS BIGINT) AS turn_idx,
+           CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+           'txt-' || CAST(event_id AS VARCHAR) AS text,
+           'tool-' || CAST(event_id % 7 AS VARCHAR) AS tool,
+           ts
+    FROM events
+"""
+
+_CDC_FINAL = f"""
+WITH ch AS ({_CDC_CH}),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, CAST(NULL AS VARCHAR) AS model
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+ORDER BY conv_id, turn_idx
+"""
+
+_CDC_EVOLUTION = f"""
+WITH thr AS (SELECT MAX(event_id) // 2 AS t FROM events),
+ch AS (
+  SELECT event_id AS lsn,
+         CASE WHEN event_id % 10 < 6 THEN 'insert'
+              WHEN event_id % 10 < 9 THEN 'update'
+              ELSE 'delete' END AS op,
+         'conv-' || CAST(user_id % 200 AS VARCHAR) AS conv_id,
+         CAST((event_id * 7 + user_id) % 40 AS INTEGER) AS turn_idx,
+         CASE CAST(event_id % 4 AS INTEGER) WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+              WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         'txt-' || CAST(event_id AS VARCHAR) AS text,
+         'tool-' || CAST(event_id % 7 AS VARCHAR) AS tool,
+         ts,
+         CASE WHEN event_id >= (SELECT t FROM thr)
+              THEN 'm-' || CAST(event_id % 3 AS VARCHAR) END AS model
+  FROM events
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, model
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+ORDER BY conv_id, turn_idx
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qty_c = _c("l_quantity")
+    base_c = _c("l_extendedprice")
+    disc_c = _c("l_extendedprice * (1 - l_discount)")
+    tot_c = _c("o_totalprice")
+    val_c = _c("value")
+
+    return {
+        "cdc_apply_full": _CDC_FINAL,
+        "cdc_exactly_once": _CDC_FINAL,   # duplicates must not change it
+        "cdc_out_of_order": _CDC_FINAL,   # order must not change it
+        "cdc_schema_evolution": _CDC_EVOLUTION,
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM({qty_c}) AS BIGINT) AS sum_qty_c,
+                   CAST(SUM({base_c}) AS BIGINT) AS sum_base_c,
+                   CAST(SUM({disc_c}) AS BIGINT) AS sum_disc_c,
+                   COUNT(*) AS count_order,
+                   (CAST(CAST(SUM({qty_c}) AS BIGINT) AS DOUBLE) / 100.0)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "dq_overpaid_orders": f"""
+            WITH rev AS (
+              SELECT l_orderkey AS o_orderkey,
+                     CAST(SUM({disc_c}) AS BIGINT) AS rev_c
+              FROM lineitem GROUP BY l_orderkey
+            )
+            SELECT r.o_orderkey, r.rev_c, {tot_c} AS tot_c
+            FROM rev r JOIN orders o ON o.o_orderkey = r.o_orderkey
+            WHERE r.rev_c > {tot_c}
+            ORDER BY r.o_orderkey
+        """,
+        "urgent_orders_by_nation": f"""
+            SELECT n_name, COUNT(*) AS n_orders,
+                   CAST(SUM({tot_c}) AS BIGINT) AS sum_tot_c
+            FROM orders
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY n_name ORDER BY n_orders DESC, n_name
+        """,
+        "top_segments_last7d": f"""
+            WITH mx AS (SELECT MAX(ts) AS hi FROM events),
+            w AS (
+              SELECT user_id, {val_c} AS value_c
+              FROM events, mx WHERE ts > hi - INTERVAL 7 DAY AND ts <= hi
+            )
+            SELECT c_mktsegment, COUNT(*) AS n_events,
+                   CAST(SUM(value_c) AS BIGINT) AS sum_value_c,
+                   (CAST(CAST(SUM(value_c) AS BIGINT) AS DOUBLE) / 100.0)
+                     / CAST(COUNT(*) AS DOUBLE) AS avg_value
+            FROM w JOIN customer ON c_custkey = user_id
+            GROUP BY c_mktsegment ORDER BY n_events DESC, c_mktsegment
+        """,
+        "derived_key_join": """
+            WITH c AS (SELECT UPPER(regexp_extract(c_name, '(.)$', 1)) AS k FROM customer),
+                 n AS (SELECT UPPER(regexp_extract(n_name, '(.)$', 1)) AS k FROM nation)
+            SELECT c.k AS k, COUNT(*) AS n_pairs
+            FROM c JOIN n ON c.k = n.k
+            GROUP BY c.k ORDER BY k
+        """,
+        "crud_filter_dedup": """
+            SELECT p_brand, CAST(MIN(p_partkey) AS BIGINT) AS p_partkey
+            FROM part
+            WHERE (p_type LIKE '%ECONOMY%' OR p_type LIKE '%SMALL%')
+              AND lower(p_name) LIKE 'b%'
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "union_tag": """
+            SELECT 'region' AS src, r_name AS name FROM region
+            UNION ALL
+            SELECT 'nation' AS src, n_name AS name FROM nation
+        """,
+        "events_tumbling_window": f"""
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n, CAST(SUM({val_c}) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, hour
+        """,
+        "events_sessionize": """
+            WITH d AS (
+              SELECT user_id,
+                     ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN gap IS NULL OR gap > INTERVAL 30 MINUTE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "props_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "token_counts": r"""
+            SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+                   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+            FROM documents ORDER BY doc_id
+        """,
+        "exact_dedup_documents": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 5),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id >= 5),
+            sims AS (
+              SELECT q.query_id, c.vec_id,
+                     ROUND(list_cosine_similarity(q.qe, c.e), 6) AS sim,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                        ORDER BY ROUND(list_cosine_similarity(q.qe, c.e), 6) DESC,
+                                                 c.vec_id) AS rk
+              FROM q CROSS JOIN c
+            )
+            SELECT query_id, vec_id FROM sims WHERE rk <= 10
+            ORDER BY query_id, vec_id
+        """,
+        "embedding_near_dup": """
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                       FROM embeddings WHERE vec_id % 10 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) > 0.35
+            ORDER BY id_a, id_b
+        """,
+        # rows-only (non-SQL-expressible): lang_id, doc_fingerprint,
+        # minhash_near_dup, simhash_documents, ngram_jaccard_pairs,
+        # ann_topk_lsh
+    }

@@ -1,0 +1,182 @@
+"""Similarity search over the embeddings table (list<float> column).
+
+  * `ann_topk_cosine`  -- brute-force cosine top-k: the query matrix is
+    broadcast once (ray.put, fetched in actor __init__), each batch
+    does one float64 matmul, emits its local top-k, and the driver
+    merges the tiny per-batch winners. O(corpus) compute, O(batches*k)
+    driver traffic.
+  * `ann_topk_lsh`     -- scale path: random-hyperplane LSH; only
+    candidates sharing a query's bucket are scored.
+  * `embedding_near_dup` -- cosine near-duplicate pairs on a
+    deterministic subset (embedding-space dedup).
+
+Float parity with the DuckDB oracle: similarities are computed in
+float64 (duckdb: CAST(embedding AS DOUBLE[])) and rounded to 6 decimals
+BEFORE ranking/thresholding on both sides, with vec_id tiebreak, so
+last-bit FP differences cannot flip results.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+TOP_K = 10
+N_QUERIES = 5
+NEAR_DUP_THRESHOLD = 0.35
+NEAR_DUP_MODULUS = 10
+
+
+def _emb(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=["vec_id", "embedding"])
+
+
+def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = batch["embedding"].combine_chunks()
+    X = np.asarray(flat.values, dtype=np.float64).reshape(len(ids), -1) \
+        if isinstance(flat, pa.ListArray) else \
+        np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    return ids, X
+
+
+def _cosine(X: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """cos(x, q) = dot / (|x| |q|), float64, rounded to 6 decimals."""
+    num = X @ Q.T
+    den = np.linalg.norm(X, axis=1, keepdims=True) * np.linalg.norm(Q, axis=1)
+    return np.round(num / den, 6)
+
+
+class BatchTopK:
+    """Actor: holds the broadcast query matrix; per batch emits its
+    local top-k (query_id, vec_id, sim) rows."""
+
+    def __init__(self, q_ref, k: int):
+        self.q_ids, self.Q = ray.get(q_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids, X = _stack(batch)
+        keep = ids >= N_QUERIES
+        ids, X = ids[keep], X[keep]
+        if len(ids) == 0:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        S = _cosine(X, self.Q)                      # [n, n_queries]
+        rows = []
+        for j, qid in enumerate(self.q_ids):
+            order = np.lexsort((ids, -S[:, j]))[: self.k]
+            rows.append(pd.DataFrame({"query_id": qid, "vec_id": ids[order],
+                                      "sim": S[order, j]}))
+        return pd.concat(rows, ignore_index=True)
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    t = _emb(sf_dir).map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], N_QUERIES)),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    df = pd.DataFrame(t).sort_values("vec_id")
+    return (df["vec_id"].to_numpy(dtype=np.int64),
+            np.stack(df["embedding"].to_numpy()).astype(np.float64))
+
+
+def ann_topk_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    q_ref = ray.put(_query_matrix(sf_dir))
+    parts = _emb(sf_dir).map_batches(
+        BatchTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
+        fn_constructor_kwargs=dict(q_ref=q_ref, k=k),
+        zero_copy_batch=True).to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
+        out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                 "vec_id": g["vec_id"].to_numpy()[order]}))
+    return (pd.concat(out, ignore_index=True)
+              .sort_values(["query_id", "vec_id"], ignore_index=True))
+
+
+class LshTopK(BatchTopK):
+    """Approximate variant: random-hyperplane signatures; a candidate is
+    scored only when it shares its bucket with the query (multi-probe =
+    exact bucket here; widen by flipping bits for higher recall)."""
+
+    def __init__(self, q_ref, k: int, planes_ref):
+        super().__init__(q_ref, k)
+        self.H = ray.get(planes_ref)                       # [dim, n_planes]
+        self.q_sig = (self.Q @ self.H > 0)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids, X = _stack(batch)
+        keep = ids >= N_QUERIES
+        ids, X = ids[keep], X[keep]
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "vec_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(ids) == 0:
+            return empty
+        sig = X @ self.H > 0                               # [n, n_planes]
+        rows = [empty]
+        for j, qid in enumerate(self.q_ids):
+            cand = (sig == self.q_sig[j]).all(axis=1)
+            if not cand.any():
+                continue
+            S = _cosine(X[cand], self.Q[j:j + 1])[:, 0]
+            cids = ids[cand]
+            order = np.lexsort((cids, -S))[: self.k]
+            rows.append(pd.DataFrame({"query_id": qid, "vec_id": cids[order],
+                                      "sim": S[order]}))
+        return pd.concat(rows, ignore_index=True)
+
+
+def ann_topk_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 4) -> pd.DataFrame:
+    q_ids, Q = _query_matrix(sf_dir)
+    rng = np.random.default_rng(97)
+    H = rng.standard_normal((Q.shape[1], n_planes))
+    q_ref = ray.put((q_ids, Q))
+    planes_ref = ray.put(H)
+    parts = _emb(sf_dir).map_batches(
+        LshTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
+        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, planes_ref=planes_ref),
+        zero_copy_batch=True).to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
+        out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                 "vec_id": g["vec_id"].to_numpy()[order]}))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64")})
+    return (pd.concat(out, ignore_index=True)
+              .sort_values(["query_id", "vec_id"], ignore_index=True))
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD,
+                       modulus: int = NEAR_DUP_MODULUS) -> pd.DataFrame:
+    """Cosine near-duplicate pairs on the vec_id % modulus == 0 subset.
+    The subset is collected (it is modulus-times smaller than the
+    corpus); at true scale this becomes LSH-bucketed pair generation
+    (same shape as minhash_near_dup)."""
+    def subset(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % modulus == 0))
+
+    sub = _emb(sf_dir).map_batches(subset, batch_format="pyarrow",
+                                   zero_copy_batch=True).to_pandas()
+    sub = sub.sort_values("vec_id", ignore_index=True)
+    ids = sub["vec_id"].to_numpy(dtype=np.int64)
+    X = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
+    S = _cosine(X, X)
+    iu = np.triu_indices(len(ids), 1)
+    mask = S[iu] > threshold
+    return pd.DataFrame({"id_a": ids[iu[0][mask]],
+                         "id_b": ids[iu[1][mask]]}).sort_values(
+        ["id_a", "id_b"], ignore_index=True)

@@ -1,0 +1,121 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+token counting, quality scoring, language ID, document fingerprints.
+
+All hot paths are vectorized: Arrow re2 kernels
+(`pc.count_substring_regex` -- the same regex engine DuckDB uses, so
+oracle parity is exact), pandas string kernels, and polars' vectorized
+xxhash for fingerprints. Stateful pieces (compiled patterns, stopword
+tables) live in callable classes used as `map_batches` actor pools
+(compiled once per actor in __init__, ST1-style lifecycle;
+`SessionManager.scala:8-33` parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+TOKEN_RE = r"\S+"
+PUNCT_RE = r"[.,!?;:]"
+
+
+def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace-token counts per document (BPE-ish segmentation is the
+    same shape: swap the regex)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def doc_quality(sf_dir: str) -> ray.data.Dataset:
+    """Cheap quality signals: length, token count, punctuation count.
+    (Integer-only outputs -> exact oracle parity.)"""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            "n_tokens": pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()),
+            "n_punct": pc.cast(pc.count_substring_regex(t["text"], PUNCT_RE), pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+#: per-language stopword markers for the n-gram/stopword heuristic
+_STOPWORDS = {
+    "en": r"\b(the|and|of|to|in|is|that|for|with|was)\b",
+    "fr": r"\b(le|la|les|et|des|une|est|dans|pour|que)\b",
+    "es": r"\b(el|los|las|una|es|que|por|con|para|como)\b",
+    "de": r"\b(der|die|das|und|ist|ein|nicht|mit|auf|von)\b",
+}
+_CJK = r"[一-鿿぀-ヿ]"
+
+
+class LangId:
+    """Heuristic language ID: CJK character ratio, else the language
+    whose stopword set hits most per token (ties -> 'en'). Stateful
+    actor: patterns compiled once per actor (__init__), batches scored
+    vectorized (pandas str.count, cython loop not Python-per-row)."""
+
+    def __init__(self):
+        import re
+        self.pats = {lang: re.compile(p) for lang, p in _STOPWORDS.items()}
+        self.cjk = re.compile(_CJK)
+        self.tok = re.compile(TOKEN_RE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        text = batch["text"].fillna("")
+        n_tok = text.str.count(self.tok).clip(lower=1)
+        cjk_ratio = text.str.count(self.cjk) / text.str.len().clip(lower=1)
+        scores = {lang: text.str.lower().str.count(pat) / n_tok
+                  for lang, pat in self.pats.items()}
+        sdf = pd.DataFrame(scores)
+        best = sdf.idxmax(axis=1).where(sdf.max(axis=1) > 0, "unknown")
+        pred = np.where(cjk_ratio.to_numpy() > 0.2, "zh", best.to_numpy())
+        return pd.DataFrame({"doc_id": batch["doc_id"], "lang_pred": pred})
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(LangId, batch_format="pandas", batch_size=4096,
+                          concurrency=2).sort("doc_id")
+
+
+def fingerprint_series(text: pd.Series, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit content fingerprint of each string,
+    vectorized (polars xxhash; no Python loop). Returned as non-negative
+    int64 (top bit cleared) for Arrow/DuckDB friendliness."""
+    import polars as pl
+    s = pl.Series("t", text.fillna("").to_numpy(), dtype=pl.Utf8)
+    out = s.hash(seed=seed).to_numpy().astype(np.uint64)
+    return (out >> np.uint64(1)).astype(np.int64)
+
+
+def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Content fingerprint per document (the rolling-hash dedup key).
+    Rows-only check (hash choice is engine-internal); determinism and
+    collision behaviour are pytest-verified."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "fp": fingerprint_series(batch["text"])})
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192).sort("doc_id")

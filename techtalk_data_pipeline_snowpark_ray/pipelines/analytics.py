@@ -1,0 +1,265 @@
+"""Derived-analytics pipelines: Ray-Data re-expressions of the
+reference's query layer over the driver-provided testdata tables.
+
+Reference parity map (SURVEY.md §2):
+  q1_pricing_summary      A1/A2/T11  group-agg + computed measures
+  dq_overpaid_orders      DQOrderPaidMoreThanPrice.scala:20-53 (A1+J1+T6)
+  urgent_orders_by_nation PaidWithAmexRatingGt50.scala:22-83 (T5+J2/J3/J4)
+  top_segments_last7d     TopRestaurantsLast30Days.scala:16-39 (T9+A2+J5+O1)
+  derived_key_join        SampleStream.scala:64-89 (T10+J6)
+  crud_filter_dedup       SampleCrud.scala:9-26 (T7+T8+O3)
+  union_tag               IngestPaymentsStreamFromStage.scala:61-63 (O2+T4)
+  events_tumbling_window  §2.8 streaming semantics as bounded groupby
+  events_sessionize       §2.8 stateful windowing via groupby.map_groups
+  props_json_extract      T1/T3 parse_json + field projection
+
+Scale notes (applied uniformly):
+  * every read prunes columns at the source (`columns=[...]`);
+  * money/value aggregates go through functions.numeric.cents so sums
+    are exact integers (order-independent => distributed == oracle);
+  * Ray's groupby().aggregate() already combines per block before the
+    shuffle (partial aggregation); map_groups is used only where
+    per-group sequential logic is required (sessionize);
+  * joins use Dataset.join (hash-partitioned); genuinely small dims
+    could instead be broadcast via ray.put -- see cdc_queries/dedup for
+    that pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.numeric import cents_arrow
+from ..stages.joins import broadcast_join
+
+JOIN_PARTITIONS = 16
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                                 columns=columns)
+
+
+# -- Q1-style pricing summary (A1/A2/T11) ----------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def measures(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))))
+        disc = pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                           pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "qty_c": cents_arrow(t["l_quantity"]),
+            "base_c": cents_arrow(t["l_extendedprice"]),
+            "disc_c": cents_arrow(disc),
+        })
+
+    agg = (ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["l_returnflag", "l_linestatus"])
+             .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                        Sum("base_c", alias_name="sum_base_c"),
+                        Sum("disc_c", alias_name="sum_disc_c"),
+                        Count(alias_name="count_order")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg_qty = pc.divide(pc.divide(pc.cast(t["sum_qty_c"], pa.float64()), 100.0),
+                            pc.cast(t["count_order"], pa.float64()))
+        return t.append_column("avg_qty", avg_qty)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# -- data-quality: orders whose line revenue exceeds the header total ------
+# (group-sum per key -> join back -> col-vs-col comparison filter)
+
+def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
+                        pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())))
+        return pa.table({"o_orderkey": t["l_orderkey"], "rev_c": cents_arrow(r)})
+
+    per_order = (li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+                   .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "tot_c": cents_arrow(t["o_totalprice"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    joined = per_order.join(orders, join_type="inner",
+                            num_partitions=JOIN_PARTITIONS, on=("o_orderkey",))
+    return joined.map_batches(
+        lambda t: t.filter(pc.greater(t["rev_c"], t["tot_c"])),
+        batch_format="pyarrow")
+
+
+# -- 3-way join + equality filter + agg + sort (Amex-analogue) -------------
+
+def urgent_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                                      "o_totalprice", "o_orderpriority"])
+    def urgent(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "tot_c": cents_arrow(t["o_totalprice"])})
+
+    orders = orders.map_batches(urgent, batch_format="pyarrow", zero_copy_batch=True)
+    # customer/nation are dimension tables -> broadcast (J2/J3 pattern),
+    # pre-joined driver-side into one tiny lookup (one broadcast, no shuffle)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    j = broadcast_join(orders, dim[["c_custkey", "n_name"]],
+                       on="o_custkey", right_on="c_custkey")
+    agg = j.groupby("n_name").aggregate(Count(alias_name="n_orders"),
+                                        Sum("tot_c", alias_name="sum_tot_c"))
+    return agg.sort(["n_orders", "n_name"], descending=[True, False])
+
+
+# -- date-window filter + group-avg + join dim + sort desc (Top30 analogue)
+
+def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
+    hi = ev.max("ts")  # tiny aggregate; deterministic bound from the data
+    lo = hi - pd.Timedelta(days=7)
+
+    def in_window(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(t["ts"], pa.scalar(lo)),
+                    pc.less_equal(t["ts"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"user_id": t["user_id"], "value_c": cents_arrow(t["value"])})
+
+    ev = ev.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = broadcast_join(ev, cust, on="user_id", right_on="c_custkey")
+    agg = j.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        avg_value = pc.divide(pc.divide(pc.cast(t["sum_value_c"], pa.float64()), 100.0),
+                              pc.cast(t["n_events"], pa.float64()))
+        return t.append_column("avg_value", avg_value)
+
+    return agg.map_batches(finalize, batch_format="pyarrow") \
+              .sort(["n_events", "c_mktsegment"], descending=[True, False])
+
+
+# -- expression join on derived string key (SampleStream J6) ---------------
+
+def derived_key_join(sf_dir: str) -> ray.data.Dataset:
+    def last_char_key(col: "pa.ChunkedArray") -> pa.Array:
+        # SampleStream J6 parity: equi-join on a substring-of-upper
+        # derived key (here: the trailing character of the name)
+        return pc.utf8_upper(
+            pc.struct_field(pc.extract_regex(col, r"(?P<c>.)$"), "c"))
+
+    cust = _read(sf_dir, "customer", ["c_name"]).map_batches(
+        lambda t: pa.table({"k": last_char_key(t["c_name"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    nation = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"k": last_char_key(t["n_name"]),
+                            "n_name": t["n_name"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = broadcast_join(cust, nation, on="k")
+    return (j.groupby("k").aggregate(Count(alias_name="n_pairs"))
+             .select_columns(["k", "n_pairs"]).sort("k"))
+
+
+# -- contains/startswith filters + dedup-by-key (SampleCrud) ---------------
+
+def crud_filter_dedup(sf_dir: str) -> ray.data.Dataset:
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        m = pc.or_(pc.match_substring(t["p_type"], "ECONOMY"),
+                   pc.match_substring(t["p_type"], "SMALL"))
+        m = pc.and_(m, pc.starts_with(pc.utf8_lower(t["p_name"]), "b"))
+        t = t.filter(m)
+        return t.select(["p_brand", "p_partkey"])
+
+    return (part.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby("p_brand").aggregate(Min("p_partkey", alias_name="p_partkey")))
+
+
+# -- union with source tag (O2/T4) -----------------------------------------
+
+def union_tag(sf_dir: str) -> ray.data.Dataset:
+    region = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"src": pa.array(["region"] * t.num_rows),
+                            "name": t["r_name"]}), batch_format="pyarrow")
+    nation = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"src": pa.array(["nation"] * t.num_rows),
+                            "name": t["n_name"]}), batch_format="pyarrow")
+    return region.union(nation)
+
+
+# -- tumbling window aggregate over the event stream -----------------------
+
+def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "hour": hour,
+                         "value_c": cents_arrow(t["value"])})
+
+    agg = (ev.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+             .groupby(["event_type", "hour"])
+             .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")))
+    # the shuffle may widen the timestamp key; pin the output to us
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("hour"), "hour",
+                               pc.cast(t["hour"], pa.timestamp("us"))),
+        batch_format="pyarrow")
+
+
+# -- sessionization: per-key ordered, gap-based windows --------------------
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                                 "n_sessions": pd.Series(dtype="int64"),
+                                 "n_events": pd.Series(dtype="int64")})
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        return pd.DataFrame([{"user_id": int(g["user_id"].iloc[0]),
+                              "n_sessions": int(new_s.sum()),
+                              "n_events": len(g)}])
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# -- semi-structured JSON projection (parse_json / T1+T3) ------------------
+
+def props_json_extract(sf_dir: str) -> ray.data.Dataset:
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        # props = '{"k": <int>}': vectorized parse of the numeric field
+        k = pc.cast(pc.struct_field(pc.extract_regex(t["props"], r"(?P<k>[0-9]+)"), "k"),
+                    pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("event_type")
+              .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"),
+                         Max("k", alias_name="max_k")))

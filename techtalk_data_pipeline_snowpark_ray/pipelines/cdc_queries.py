@@ -1,0 +1,200 @@
+"""Driver-checkable CDC pipelines: a change stream derived from the
+`events` testdata table with SQL-mirrorable arithmetic, replayed by the
+real engine, and verifiable by a DuckDB window-function oracle.
+
+Derivation (MUST stay in sync with the SQL in __ray_entry__.py):
+
+    lsn      = event_id
+    op       = event_id % 10 -> [0,6) insert | [6,9) update | 9 delete
+    conv_id  = 'conv-' || (user_id % 200)
+    turn_idx = (event_id * 7 + user_id) % 40
+    role     = CASE event_id % 4 -> user|assistant|system|tool
+    text     = 'txt-' || event_id
+    tool     = 'tool-' || (event_id % 7)
+    ts       = events.ts
+    model    = (evolution query only) 'm-' || lsn % 3  for lsn >= thr
+
+Updates carry FULL rows (never-null payload) so the oracle's
+"row with max lsn per key, excluding deletes" expresses the exact LWW
+final state; partial-update semantics are covered by the pytest oracle
+(tests/test_engine_e2e.py) instead, since SQL can't see them.
+
+Two execution paths:
+  * `cdc_apply_full` -- the real engine end-to-end: derive -> WAL
+    segments on disk -> tail/normalize/partition/apply -> atomic
+    manifest commit -> snapshot read (U1-U7+S7/S8+ST2/ST3 parity).
+  * `apply_changes_dataset` -- pure Dataset expression (no disk): the
+    same fold as a groupby(bucket).map_groups resolve; used by the
+    dedup / out-of-order variants.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from .. import schemas
+from ..config import EngineConfig
+from ..sources.wal import WalWriter
+from ..stages.apply import resolve_final
+from ..stages.partition import BUCKET_COL, Partitioner
+from . import ingest
+
+N_CONVS = 200
+N_TURNS = 40
+
+
+# -- derivation ------------------------------------------------------------
+
+def derive_change_batch(t: pa.Table, with_model_from: int | None = None) -> pa.Table:
+    """Vectorized events -> change-records transform (numpy kernels)."""
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = eid % 10
+    op = np.full(len(eid), schemas.OP_INSERT, dtype=object)
+    op[(sel >= 6) & (sel < 9)] = schemas.OP_UPDATE
+    op[sel == 9] = schemas.OP_DELETE
+    conv_id = np.char.add("conv-", (uid % N_CONVS).astype("U4")).astype(object)
+    turn = (eid * 7 + uid) % N_TURNS
+    roles = np.array(["user", "assistant", "system", "tool"], dtype=object)
+    role = roles[eid % 4]
+    text = np.char.add("txt-", eid.astype("U20")).astype(object)
+    tool = np.char.add("tool-", (eid % 7).astype("U2")).astype(object)
+    is_del = op == schemas.OP_DELETE
+    role[is_del] = None
+    text[is_del] = None
+    tool[is_del] = None
+
+    cols = {
+        "lsn": pa.array(eid, type=pa.int64()),
+        "op": pa.array(op, type=pa.string()),
+        "conv_id": pa.array(conv_id, type=pa.string()),
+        "turn_idx": pa.array(turn, type=pa.int64()),
+        "role": pa.array(role, type=pa.string()),
+        "text": pa.array(text, type=pa.string()),
+        "tool": pa.array(tool, type=pa.string()),
+        "ts": t["ts"],
+    }
+    if with_model_from is not None:
+        model = np.char.add("m-", (eid % 3).astype("U2")).astype(object)
+        model[is_del | (eid < with_model_from)] = None
+        cols["model"] = pa.array(model, type=pa.string())
+    return pa.table(cols)
+
+
+def changes_dataset(sf_dir: str) -> ray.data.Dataset:
+    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    return ev.map_batches(derive_change_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# -- pure-Dataset LWW apply (no disk) --------------------------------------
+
+def apply_changes_dataset(ds: ray.data.Dataset, num_buckets: int = 16,
+                          schema_version: int = 3) -> ray.data.Dataset:
+    """Fold a change Dataset to its final visible state, hash-partitioned
+    by conv_id. Sound for arbitrary input order because each bucket group
+    holds ALL events of its keys when the fold runs."""
+    payload = schemas.payload_cols(schema_version)
+    target = schemas.table_schema(schema_version)
+    norm = ingest.SchemaNormalizer(target, keep_extra=(schemas.LSN_COL, schemas.OP_COL))
+    ds = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(Partitioner(num_buckets), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    final_cols = [*schemas.KEY_COLS, *payload]
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return target.empty_table().to_pandas()
+        return resolve_final(g, payload)[final_cols]
+
+    return ds.groupby(BUCKET_COL).map_groups(resolve, batch_format="pandas")
+
+
+# -- engine-backed flagship ------------------------------------------------
+
+def _fresh_cfg(tag: str, schema_version: int = 3) -> EngineConfig:
+    root = os.path.join("/tmp", "ttdps-cdcq", f"{tag}-{uuid.uuid4().hex[:8]}")
+    cfg = EngineConfig(table_dir=os.path.join(root, "table"),
+                       wal_dir=os.path.join(root, "wal"),
+                       num_buckets=16, salt_factor=2, hot_key_threshold=0,
+                       schema_version=schema_version)
+    cfg.ensure_dirs()
+    return cfg
+
+
+def _write_events_wal(sf_dir: str, cfg: EngineConfig,
+                      evolution_threshold: int | None = None) -> None:
+    """Materialize the derived change stream as WAL segments (the
+    ingestion boundary; single log writer, as any binlog). Events are
+    read in event_id order; segments are cut as disjoint lsn intervals."""
+    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
+    for rb in src.iter_batches(batch_size=65536,
+                               columns=["event_id", "user_id", "ts"]):
+        t = pa.Table.from_batches([rb])
+        if evolution_threshold is None:
+            w.append(derive_change_batch(t), 1)
+        else:
+            ch = derive_change_batch(t, with_model_from=evolution_threshold)
+            eid = ch["lsn"].to_numpy()
+            lo_mask = eid < evolution_threshold
+            if lo_mask.any():
+                w.append(ch.filter(pa.array(lo_mask)).drop_columns(["model"]), 1)
+            if (~lo_mask).any():
+                w.append(ch.filter(pa.array(~lo_mask)), 2)
+    w.close()
+
+
+def _snapshot_sorted(cfg: EngineConfig) -> ray.data.Dataset:
+    snap = ingest.read_snapshot(cfg)
+    return snap.sort(list(schemas.KEY_COLS))
+
+
+def cdc_apply_full(sf_dir: str, cleanup: bool = False) -> ray.data.Dataset:
+    """Flagship: full engine replay of the events-derived change stream
+    (WAL -> tick(s) -> committed manifest -> LWW snapshot)."""
+    cfg = _fresh_cfg("full")
+    try:
+        _write_events_wal(sf_dir, cfg)
+        ingest.run_loop(cfg, stop_when_idle=True)
+        return _snapshot_sorted(cfg)
+    finally:
+        if cleanup:
+            shutil.rmtree(os.path.dirname(cfg.table_dir), ignore_errors=True)
+
+
+def cdc_schema_evolution(sf_dir: str) -> ray.data.Dataset:
+    """Column-add evolution through the engine: v1 segments (no `model`)
+    below the threshold lsn, v2 segments above; normalize null-fills old
+    rows; the final snapshot carries the evolved schema."""
+    con_max = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id"])
+    thr = int(pc.max(con_max["event_id"]).as_py()) // 2
+    cfg = _fresh_cfg("evo", schema_version=2)
+    _write_events_wal(sf_dir, cfg, evolution_threshold=thr)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    return _snapshot_sorted(cfg)
+
+
+def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
+    """Duplicate delivery: every change event delivered twice; the
+    (key, lsn) dedup inside the fold must yield the identical table."""
+    ds = changes_dataset(sf_dir)
+    return apply_changes_dataset(ds.union(changes_dataset(sf_dir)))
+
+
+def cdc_out_of_order(sf_dir: str) -> ray.data.Dataset:
+    """Arrival order fully randomized; LWW by lsn must win regardless."""
+    ds = changes_dataset(sf_dir).random_shuffle(seed=7)
+    return apply_changes_dataset(ds)

@@ -1,0 +1,207 @@
+"""Tests for the training-data function layer: dedup sketches, text
+stats, similarity search, multimodal plumbing. Controlled fixtures are
+written as tmp parquet 'sf dirs' so every op runs through its real
+Ray path."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from techtalk_data_pipeline_snowpark_ray.functions import (
+    dedup, multimodal, similarity, textstats)
+
+SF_TINY = "/root/testdata/sf0.001"
+
+
+# -- fixtures --------------------------------------------------------------
+
+def make_doc_dir(tmp_path, texts):
+    d = tmp_path / "sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["xx"] * len(texts)),
+        "source": pa.array(["t"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), d / "documents.parquet")
+    return str(d)
+
+
+def make_emb_dir(tmp_path, X, seed_labels=None):
+    d = tmp_path / "sfe"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(X)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in X],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(X), pa.int32()),
+    }), d / "embeddings.parquet")
+    return str(d)
+
+
+# -- language id -----------------------------------------------------------
+
+def test_lang_id_heuristic(tmp_path):
+    texts = [
+        "the cat sat on the mat and it was happy for a while",
+        "le chat est dans la maison et les enfants sont dans le jardin",
+        "el perro y los gatos son una familia que vive en la casa",
+        "der hund und die katze sind ein team und das ist gut",
+        "这是一个中文文档的例子 包含很多汉字内容 用于测试语言识别",
+    ]
+    out = textstats.lang_id(make_doc_dir(tmp_path, texts)).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "fr", "es", "de", "zh"]
+
+
+# -- fingerprints ----------------------------------------------------------
+
+def test_fingerprint_deterministic_and_distinct():
+    s = pd.Series(["alpha beta", "alpha beta", "gamma delta", None])
+    a = textstats.fingerprint_series(s)
+    b = textstats.fingerprint_series(s)
+    assert (a == b).all()
+    assert a[0] == a[1] and a[0] != a[2]
+    assert (a >= 0).all()          # int64-safe
+
+
+def test_doc_fingerprint_dataset():
+    out = textstats.doc_fingerprint(SF_TINY).to_pandas()
+    assert len(out) == 500 and out["fp"].nunique() > 490
+
+
+# -- minhash / jaccard -----------------------------------------------------
+
+def _brute_pairs(texts, threshold):
+    def sh(t):
+        w = t.split()
+        return set(" ".join(w[i:i + dedup.NGRAM]) for i in range(max(len(w) - dedup.NGRAM + 1, 1)))
+    sets = [sh(t) for t in texts]
+    out = set()
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if jac >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_minhash_finds_planted_near_dups(tmp_path):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(60)]
+    # plant near-dups: copy with one word changed
+    for i in range(5):
+        words = texts[i].split()
+        words[3] = "CHANGED"
+        texts.append(" ".join(words))
+    sf = make_doc_dir(tmp_path, texts)
+    found = dedup.minhash_near_dup(sf)
+    got = set(map(tuple, found[["id_a", "id_b"]].to_numpy()))
+    want = _brute_pairs(texts, dedup.JACCARD_THRESHOLD)
+    assert want, "fixture must contain near-dups"
+    # verified candidates are exact-Jaccard filtered -> precision 1.0
+    assert got.issubset(want | got) and all(p in want for p in got)
+    # banded LSH at these params catches >=0.5-Jaccard pairs w.h.p.
+    assert len(got & want) / len(want) >= 0.9
+
+
+def test_minhash_on_real_documents_matches_brute():
+    found = dedup.minhash_near_dup(SF_TINY)
+    assert len(found) > 0            # the corpus has genuine near-dups
+    # every reported pair is a true >=0.5-Jaccard pair by construction
+    # (exact verification stage); spot-check one pair end-to-end
+    docs = pq.read_table(f"{SF_TINY}/documents.parquet").to_pandas() \
+        .set_index("doc_id")["text"]
+    a, b = found.iloc[0][["id_a", "id_b"]]
+    pairs = _brute_pairs([docs[a], docs[b]], dedup.JACCARD_THRESHOLD)
+    assert (0, 1) in pairs
+
+
+def test_exact_dedup_planted(tmp_path):
+    texts = ["aaa bbb", "ccc ddd", "aaa bbb", "eee fff", "aaa bbb"]
+    sf = make_doc_dir(tmp_path, texts)
+    out = dedup.exact_dedup_documents(sf).to_pandas().sort_values("doc_id")
+    assert len(out) == 3
+    rep = out[out["doc_id"] == 0].iloc[0]
+    assert rep["n_copies"] == 3
+
+
+def test_simhash_near_dups_have_small_hamming(tmp_path):
+    rng = np.random.default_rng(6)
+    vocab = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, 60))
+    near = base.replace("w1 ", "w2 ") if "w1 " in base else base + " extra"
+    far = " ".join(rng.choice(vocab, 60))
+    sf = make_doc_dir(tmp_path, [base, near, far])
+    out = dedup.simhash_documents(sf).to_pandas().sort_values("doc_id")
+    h = out["simhash"].to_numpy().astype(np.uint64)
+    d_near = bin(int(h[0] ^ h[1])).count("1")
+    d_far = bin(int(h[0] ^ h[2])).count("1")
+    assert d_near < d_far
+
+
+# -- similarity ------------------------------------------------------------
+
+def test_ann_brute_matches_numpy_oracle():
+    got = similarity.ann_topk_cosine(SF_TINY)
+    emb = pq.read_table(f"{SF_TINY}/embeddings.parquet").to_pandas()
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    Q, C = X[ids < 5], X[ids >= 5]
+    qids, cids = ids[ids < 5], ids[ids >= 5]
+    S = np.round((C / np.linalg.norm(C, axis=1, keepdims=True))
+                 @ (Q / np.linalg.norm(Q, axis=1, keepdims=True)).T, 6)
+    want = []
+    for j, qid in enumerate(qids):
+        order = np.lexsort((cids, -S[:, j]))[:similarity.TOP_K]
+        want += [(qid, cids[o]) for o in order]
+    assert set(map(tuple, got.to_numpy())) == set(want)
+
+
+def test_ann_lsh_subset_and_deterministic():
+    a = similarity.ann_topk_lsh(SF_TINY)
+    b = similarity.ann_topk_lsh(SF_TINY)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("query_id").size() <= similarity.TOP_K).all()
+    brute = similarity.ann_topk_cosine(SF_TINY)
+    recall = len(set(map(tuple, a.to_numpy())) & set(map(tuple, brute.to_numpy()))) \
+        / len(brute)
+    assert recall > 0.1            # approximate, but not garbage
+
+
+def test_embedding_near_dup_planted(tmp_path):
+    rng = np.random.default_rng(7)
+    X = rng.standard_normal((40, 16)).astype(np.float32)
+    X[30] = X[0] + rng.standard_normal(16).astype(np.float32) * 0.01  # near-dup
+    sf = make_emb_dir(tmp_path, X)
+    out = similarity.embedding_near_dup(sf, threshold=0.95, modulus=10)
+    assert (0, 30) in set(map(tuple, out.to_numpy()))
+
+
+# -- multimodal ------------------------------------------------------------
+
+def test_multimodal_features_deterministic_and_complete():
+    a = multimodal.multimodal_features(SF_TINY).to_pandas()
+    b = multimodal.multimodal_features(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500
+    assert set(a["kind"]) == set(multimodal.KINDS)
+    assert (a["n_bytes"] > 0).all()
+
+
+def test_multimodal_real_codec_stub_raises():
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.MediaDecoder(use_real_codec=True)
+
+
+def test_video_frame_sampling_counts():
+    out = multimodal.video_frame_samples(SF_TINY).to_pandas()
+    media = multimodal.media_dataset(SF_TINY).to_pandas()
+    vids = media[media["kind"] == "video"]
+    want = int(((vids["n_frames"] + 4) // 5).sum())
+    assert len(out) == want
+    assert (out["frame_idx"] % 5 == 0).all()

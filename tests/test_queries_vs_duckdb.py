@@ -1,0 +1,65 @@
+"""Driver-gate rehearsal: run a representative subset of queries() and
+compare against oracle_sql() via DuckDB at sf0.001 (the full sweep is
+scripts/check_oracles.py; the per-round driver runs it at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
+          "dq_overpaid_orders", "top_segments_last7d", "events_sessionize",
+          "token_counts", "exact_dedup_documents", "ann_topk_cosine",
+          "union_tag"]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def to_pandas(res):
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(con, name):
+    got = canon(to_pandas(entrymod.queries()[name](SF)))
+    want = canon(con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
+
+
+def test_all_oracle_keys_have_queries():
+    qs = entrymod.queries()
+    missing = [k for k in entrymod.oracle_sql() if k not in qs]
+    assert not missing
+
+
+def test_entry_smoke():
+    res = entrymod.entry()
+    import ray.data
+    assert isinstance(res, ray.data.Dataset)
+    assert res.count() > 0
+    names = res.schema().names
+    assert names[:2] == ["conv_id", "turn_idx"]
