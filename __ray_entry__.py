@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": analytics.events_tumbling_window,
         "events_sessionize": analytics.events_sessionize,
         "props_json_extract": analytics.props_json_extract,
+        "events_semi_join": analytics.events_semi_join,
+        "top10_expensive_orders": analytics.top10_expensive_orders,
         # --- training-data ops (dedup / text / similarity) ---
         "token_counts": textstats.token_counts,
         "doc_quality": textstats.doc_quality,
@@ -231,6 +233,19 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    COUNT(*) AS n_events
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "events_semi_join": """
+            SELECT event_type, COUNT(*) AS n
+            FROM events
+            WHERE user_id IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT')
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "top10_expensive_orders": f"""
+            SELECT o_orderkey, {_c('o_totalprice')} AS tot_c
+            FROM orders
+            ORDER BY tot_c DESC, o_orderkey
+            LIMIT 10
         """,
         "props_json_extract": """
             SELECT event_type, COUNT(*) AS n,

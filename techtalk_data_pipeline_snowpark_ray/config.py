@@ -45,6 +45,16 @@ class EngineConfig:
     pre_collapse: bool = True
     #: target schema version to normalize to (see schemas.REGISTRY).
     schema_version: int = 3
+    #: apply strategy:
+    #:  "shuffle" -- groupby(shard).map_groups merge-apply: one run per
+    #:    bucket per tick (key-partitioned layout immediately; pays an
+    #:    all-to-all per tick).
+    #:  "direct"  -- LSM-style shuffle-free apply: each task collapses
+    #:    its lsn-interval batch and writes a sorted delta run directly;
+    #:    the (collapsed, much smaller) shuffle is deferred to
+    #:    compaction/snapshot-read. Scales linearly with cores; the
+    #:    right mode for sustained high-throughput ingest.
+    apply_mode: str = "shuffle"
 
     # --- generator / determinism -----------------------------------------
     seed: int = 42

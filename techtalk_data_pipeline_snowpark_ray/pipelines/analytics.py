@@ -248,6 +248,37 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+# -- semi join: events of customers who placed an urgent order -------------
+
+def events_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast semi join (key set shipped once; Bloom filter at scale)."""
+    from ..stages.joins import broadcast_semi_join
+
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return t.select(["o_custkey"])
+
+    key_set = {r["o_custkey"] for r in
+               urgent.map_batches(keys, batch_format="pyarrow").take_all()}
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    j = broadcast_semi_join(ev, key_set, on="user_id")
+    return (j.groupby("event_type").aggregate(Count(alias_name="n"))
+             .sort("event_type"))
+
+
+# -- top-k with limit (O4) -------------------------------------------------
+
+def top10_expensive_orders(sf_dir: str) -> ray.data.Dataset:
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                            "tot_c": cents_arrow(t["o_totalprice"])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return orders.sort(["tot_c", "o_orderkey"], descending=[True, False]).limit(10)
+
+
 # -- semi-structured JSON projection (parse_json / T1+T3) ------------------
 
 def props_json_extract(sf_dir: str) -> ray.data.Dataset:

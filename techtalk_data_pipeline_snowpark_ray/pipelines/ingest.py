@@ -27,6 +27,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -37,7 +38,7 @@ from ..config import EngineConfig
 from ..sources import wal
 from ..stages.apply import BatchCollapser, collapse_events, resolve_final
 from ..stages.normalize import SchemaNormalizer
-from ..stages.partition import BUCKET_COL, SHARD_COL, Partitioner
+from ..stages.partition import BUCKET_COL, KEY_HASH_COL, SHARD_COL, Partitioner
 from ..state.manifest import Manifest, TableState
 
 _BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
@@ -62,19 +63,17 @@ def tail_changes(cfg: EngineConfig, committed_seq: int,
     if not segments:
         return None, []
     target = schemas.table_schema(cfg.schema_version)
-    by_version: dict[int, list[wal.Segment]] = {}
-    for s in segments:
-        by_version.setdefault(s.schema_version, []).append(s)
-
-    parts: list[ray.data.Dataset] = []
-    for _, segs in sorted(by_version.items()):
-        ds = ray.data.read_parquet([s.path for s in segs])
-        ds = ds.map_batches(
-            SchemaNormalizer(target, keep_extra=_BOOKKEEPING),
-            batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
-        )
-        parts.append(ds)
-    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    # ONE scan over all segments regardless of their schema version: the
+    # scanner projects every fragment onto the current change schema
+    # (missing columns null-filled, widened types cast) -- so the whole
+    # tick stays a single fused read->normalize->partition->apply chain
+    # with no union barrier and no extra object-store round-trips.
+    scan_schema = schemas.change_schema(cfg.schema_version)
+    ds = ray.data.read_parquet([s.path for s in segments], schema=scan_schema)
+    ds = ds.map_batches(
+        SchemaNormalizer(target, keep_extra=_BOOKKEEPING),
+        batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+    )
     return ds, segments
 
 
@@ -145,7 +144,7 @@ class BucketApplier:
         cols = RUN_COLS_FIXED + self.payload_cols
         table = pa.Table.from_pandas(out[cols], preserve_index=False)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        pq.write_table(table, tmp)
+        pq.write_table(table, tmp, compression="zstd")
         os.replace(tmp, path)
 
         return pd.DataFrame([{
@@ -155,6 +154,91 @@ class BucketApplier:
             "n_partial": int(ops.get(schemas.OP_PARTIAL, 0)),
             "n_delete": int(ops.get(schemas.OP_DELETE, 0)),
             "max_lsn": int(out[schemas.LSN_COL].max()),
+        }])
+
+
+_ALL_OPS = [schemas.OP_INSERT, schemas.OP_UPDATE, schemas.OP_DELETE,
+            schemas.OP_FULL, schemas.OP_PARTIAL]
+#: insert->full, update->partial, delete->delete, full->full, partial->partial
+_COLLAPSED_CODE = np.array([0, 1, 2, 0, 1], dtype=np.int32)
+_COLLAPSED_OPS = pa.array([schemas.OP_FULL, schemas.OP_PARTIAL, schemas.OP_DELETE])
+
+
+class DirectApplier:
+    """Shuffle-free (LSM-style) apply used when cfg.apply_mode ==
+    "direct": each task folds its lsn-interval batch, sorts by
+    (bucket, conv_id, turn_idx) and writes one delta run straight to
+    storage -- no all-to-all in the ingest hot path, so throughput
+    scales linearly with cores. Cross-run LWW resolution is deferred to
+    compaction / snapshot read, which operate on the already-collapsed
+    (much smaller) records.
+
+    Hot-path note: rows whose 64-bit key hash (`_kh`, from the
+    Partitioner) is UNIQUE within the batch -- the overwhelming
+    majority when keys >> batch -- are handled entirely in Arrow/numpy
+    (no pandas object conversion): their fold is just the op rename.
+    Only rows sharing a key hash (true repeats + the vanishing hash
+    collisions) take the exact pandas collapse; collisions are thereby
+    harmless, since the pandas path groups by the REAL key columns.
+    """
+
+    def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str]):
+        self.runs_dir = runs_dir
+        self.txn_id = txn_id
+        self.payload_cols = list(payload_cols)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        n = batch.num_rows
+        if n == 0:
+            return _empty_metrics()
+        cols = RUN_COLS_FIXED + self.payload_cols
+        kh = batch[KEY_HASH_COL].to_numpy(zero_copy_only=False)
+        lsn = batch[schemas.LSN_COL].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lsn, kh))
+        kh_s = kh[order]
+        same_prev = kh_s[1:] == kh_s[:-1]
+        rep_s = np.zeros(n, dtype=bool)
+        rep_s[1:] = same_prev
+        rep_s[:-1] |= same_prev
+        single_idx = order[~rep_s]
+        multi_idx = order[rep_s]
+
+        parts: list[pa.Table] = []
+        if len(single_idx):
+            fast = batch.select(cols).take(pa.array(single_idx))
+            codes = pc.index_in(fast[schemas.OP_COL],
+                                value_set=pa.array(_ALL_OPS)).to_numpy(zero_copy_only=False)
+            out_op = _COLLAPSED_OPS.take(pa.array(_COLLAPSED_CODE[codes]))
+            fast = fast.set_column(fast.schema.get_field_index(schemas.OP_COL),
+                                   schemas.OP_COL, out_op)
+            parts.append(fast)
+        if len(multi_idx):
+            sub = batch.select(cols).take(pa.array(multi_idx)).to_pandas()
+            folded = collapse_events(sub, self.payload_cols)
+            parts.append(pa.Table.from_pandas(folded[cols], schema=parts[0].schema
+                                              if parts else None,
+                                              preserve_index=False))
+        out = pa.concat_tables(parts, promote_options="default")
+        out = out.take(pc.sort_indices(
+            out, sort_keys=[(BUCKET_COL, "ascending"),
+                            ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+
+        fname = f"delta-x{self.txn_id}-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(self.runs_dir, fname)
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+
+        op_counts = dict(zip(*np.unique(
+            pc.index_in(out[schemas.OP_COL], value_set=_COLLAPSED_OPS)
+            .to_numpy(zero_copy_only=False), return_counts=True)))
+        return pd.DataFrame([{
+            "bucket": -1, "shard": -1, "file": fname,
+            "events_in": n, "records_out": out.num_rows,
+            "n_full": int(op_counts.get(0, 0)),
+            "n_partial": int(op_counts.get(1, 0)),
+            "n_delete": int(op_counts.get(2, 0)),
+            "max_lsn": int(pc.max(out[schemas.LSN_COL]).as_py()),
         }])
 
 
@@ -197,44 +281,56 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
     if ds is None:
         return None
     payload = schemas.payload_cols(cfg.schema_version)
+    direct = cfg.apply_mode == "direct"
 
-    if hot_convs is None and cfg.hot_key_threshold > 0:
+    if not direct and hot_convs is None and cfg.hot_key_threshold > 0:
         hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold, cfg.batch_size)
     hot_ref = ray.put(list(hot_convs)) if hot_convs else None
 
     ds = ds.map_batches(
-        Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
+        Partitioner(cfg.num_buckets, 1 if direct else cfg.salt_factor, hot_ref,
+                    include_key_hash=direct),
         batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
     )
-    if cfg.pre_collapse:
-        # batch_size=None -> one batch per block: blocks are consecutive
-        # slices of range-ordered segment files, i.e. lsn intervals, the
-        # precondition for folding before the shuffle (see wal.py).
-        ds = ds.map_batches(_CountingCollapser(payload), batch_format="pandas",
-                            batch_size=None)
-
     txn = state.new_txn()
-    applier_kwargs = dict(runs_dir=state.runs_dir, txn_id=txn,
-                          payload_cols=payload, salt_factor=cfg.salt_factor)
-    grouped = ds.groupby(SHARD_COL)
-    if cfg.apply_concurrency:
-        metrics_ds = grouped.map_groups(BucketApplier, batch_format="pandas",
-                                        fn_constructor_kwargs=applier_kwargs,
-                                        concurrency=cfg.apply_concurrency)
+
+    if direct:
+        # batch_size=None -> one batch per block: consecutive slices of
+        # range-ordered segments, i.e. lsn intervals (fold precondition)
+        applier = DirectApplier(runs_dir=state.runs_dir, txn_id=txn,
+                                payload_cols=payload)
+        metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
+                                    batch_size=None, zero_copy_batch=True)
     else:
-        applier = BucketApplier(**applier_kwargs)
+        if cfg.pre_collapse:
+            # combiner before the shuffle (same interval precondition)
+            ds = ds.map_batches(_CountingCollapser(payload),
+                                batch_format="pandas", batch_size=None)
+        applier_kwargs = dict(runs_dir=state.runs_dir, txn_id=txn,
+                              payload_cols=payload, salt_factor=cfg.salt_factor)
+        grouped = ds.groupby(SHARD_COL)
+        if cfg.apply_concurrency:
+            metrics_ds = grouped.map_groups(BucketApplier, batch_format="pandas",
+                                            fn_constructor_kwargs=applier_kwargs,
+                                            concurrency=cfg.apply_concurrency)
+        else:
+            applier = BucketApplier(**applier_kwargs)
 
-        def apply_shard(group: pd.DataFrame) -> pd.DataFrame:
-            return applier(group)
+            def apply_shard(group: pd.DataFrame) -> pd.DataFrame:
+                return applier(group)
 
-        metrics_ds = grouped.map_groups(apply_shard, batch_format="pandas")
-    metrics = metrics_ds.to_pandas()  # one row per shard -- tiny
+            metrics_ds = grouped.map_groups(apply_shard, batch_format="pandas")
+    metrics = metrics_ds.to_pandas()  # one row per shard/task -- tiny
     if metrics.empty:
         return None
 
     buckets = {k: list(v) for k, v in prev.buckets.items()}
-    for rec in metrics.sort_values("shard").itertuples():
-        buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
+    global_runs = list(prev.global_runs)
+    if direct:
+        global_runs.extend(metrics["file"].tolist())
+    else:
+        for rec in metrics.sort_values("shard").itertuples():
+            buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
 
     committed = max(int(metrics["max_lsn"].max()), max(s.hi for s in segments),
                     prev.committed_lsn)
@@ -244,6 +340,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
         committed_lsn=committed,
         schema_version=cfg.schema_version,
         buckets=buckets,
+        global_runs=global_runs,
         wal_consumed=[s.name for s in segments],
         metrics={
             "events_applied": int(metrics["events_in"].sum()),
@@ -323,7 +420,7 @@ def compact(cfg: EngineConfig) -> Manifest | None:
     """
     state = TableState(cfg.table_dir)
     prev = state.load_latest()
-    if not prev.buckets:
+    if not prev.buckets and not prev.global_runs:
         return None
     payload = schemas.payload_cols(cfg.schema_version)
     txn = state.new_txn()
@@ -339,7 +436,8 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         fname = f"base-b{bucket:05d}-x{txn}.parquet"
         cols = RUN_COLS_FIXED + payload
         tmp = os.path.join(runs_dir, fname + f".tmp-{uuid.uuid4().hex[:8]}")
-        pq.write_table(pa.Table.from_pandas(out[cols], preserve_index=False), tmp)
+        pq.write_table(pa.Table.from_pandas(out[cols], preserve_index=False), tmp,
+                       compression="zstd")
         os.replace(tmp, os.path.join(runs_dir, fname))
         return pd.DataFrame([{"bucket": bucket, "file": fname, "rows": len(out)}])
 

@@ -81,7 +81,7 @@ def write_segment(table: pa.Table, wal_dir: str, seq: int, schema_version: int,
     os.makedirs(wal_dir, exist_ok=True)
     final = os.path.join(wal_dir, segment_name(seq, lo, hi, schema_version))
     tmp = os.path.join(wal_dir, f".tmp-{uuid.uuid4().hex}.parquet")
-    pq.write_table(table, tmp, row_group_size=row_group_size)
+    pq.write_table(table, tmp, row_group_size=row_group_size, compression="zstd")
     os.replace(tmp, final)
     return Segment(final, seq, lo, hi, schema_version)
 

@@ -28,29 +28,43 @@ import pyarrow as pa
 
 BUCKET_COL = "bucket"
 SHARD_COL = "shard"
+KEY_HASH_COL = "_kh"
 
 
 def hash_conv(conv_id: np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hash of a string array."""
+    """Deterministic uint64 hash of a string array. STABILITY NOTE:
+    bucket assignments are persisted in run files, so this hash must
+    never change across engine versions (pandas' hash_array algorithm
+    is a stable, documented sip-like hash with a fixed default key)."""
     return pd.util.hash_array(np.asarray(conv_id, dtype=object), categorize=True)
 
 
 def add_partition_cols(batch: pa.Table, num_buckets: int, salt_factor: int = 1,
-                       hot_convs: frozenset[str] | None = None) -> pa.Table:
-    """Append bucket + shard columns (vectorized)."""
+                       hot_convs: frozenset[str] | None = None,
+                       include_key_hash: bool = False) -> pa.Table:
+    """Append bucket + shard columns (vectorized). With
+    `include_key_hash`, also appends a 64-bit hash of the full primary
+    key (conv hash mixed with turn_idx), used by the direct applier's
+    arrow fast path to detect within-batch key repeats without a
+    pandas conversion."""
     conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-    bucket = (hash_conv(conv) % np.uint64(num_buckets)).astype(np.int32)
+    ch = hash_conv(conv)
+    bucket = (ch % np.uint64(num_buckets)).astype(np.int32)
+    turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.uint64)
     if salt_factor > 1 and hot_convs:
-        turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
         hot = pd.Series(conv).isin(hot_convs).to_numpy()
         salt = np.where(hot,
-                        ((turn * 2654435761) % salt_factor).astype(np.int32),
+                        ((turn * np.uint64(2654435761)) % np.uint64(salt_factor)).astype(np.int32),
                         np.int32(0))
     else:
         salt = np.zeros(len(conv), dtype=np.int32)
     shard = bucket * np.int32(salt_factor) + salt
     out = batch.append_column(BUCKET_COL, pa.array(bucket, type=pa.int32()))
-    return out.append_column(SHARD_COL, pa.array(shard, type=pa.int32()))
+    out = out.append_column(SHARD_COL, pa.array(shard, type=pa.int32()))
+    if include_key_hash:
+        kh = ch * np.uint64(0x100000001B3) + turn
+        out = out.append_column(KEY_HASH_COL, pa.array(kh, type=pa.uint64()))
+    return out
 
 
 class Partitioner:
@@ -58,9 +72,11 @@ class Partitioner:
     broadcast once via ray.put and fetched in __init__ (never re-shipped
     per batch)."""
 
-    def __init__(self, num_buckets: int, salt_factor: int = 1, hot_convs_ref=None):
+    def __init__(self, num_buckets: int, salt_factor: int = 1, hot_convs_ref=None,
+                 include_key_hash: bool = False):
         self.num_buckets = num_buckets
         self.salt_factor = salt_factor
+        self.include_key_hash = include_key_hash
         if hot_convs_ref is not None:
             import ray
             self.hot_convs = frozenset(ray.get(hot_convs_ref))
@@ -68,4 +84,5 @@ class Partitioner:
             self.hot_convs = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return add_partition_cols(batch, self.num_buckets, self.salt_factor, self.hot_convs)
+        return add_partition_cols(batch, self.num_buckets, self.salt_factor,
+                                  self.hot_convs, self.include_key_hash)

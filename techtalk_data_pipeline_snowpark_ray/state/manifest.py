@@ -43,6 +43,10 @@ class Manifest:
     schema_version: int = 1
     #: bucket -> ordered list of run files (relative to runs/)
     buckets: dict[str, list[str]] = field(default_factory=dict)
+    #: delta runs NOT yet bucket-partitioned (direct apply mode); each
+    #: is internally collapsed per key and carries the bucket column;
+    #: compaction folds them into per-bucket bases
+    global_runs: list[str] = field(default_factory=list)
     #: WAL segment file names consumed by the txn that produced this
     wal_consumed: list[str] = field(default_factory=list)
     #: per-bucket + global metrics of the producing txn (U3 parity:
@@ -51,7 +55,7 @@ class Manifest:
     parent: int | None = None
 
     def run_files(self) -> list[str]:
-        return [f for runs in self.buckets.values() for f in runs]
+        return [f for runs in self.buckets.values() for f in runs] + list(self.global_runs)
 
 
 class TableState:

@@ -203,3 +203,46 @@ def test_run_loop_bounded_replay(tmp_engine):
     r2 = ingest.run_loop(tmp_engine, stop_when_idle=True, compact_every=1)
     assert len(r2) == 1
     assert_matches_oracle(tmp_engine)
+
+
+def test_direct_mode_full_replay_and_compaction(tmp_path):
+    """LSM-style apply_mode="direct": multi-tick replay, exactly-once
+    idle tick, compaction folding global runs into per-bucket bases --
+    all matching the oracle (same invariants as shuffle mode)."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"), wal_dir=str(tmp_path / "w"),
+                       num_buckets=4, apply_mode="direct")
+    cfg.ensure_dirs()
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(cfg.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    r1 = ingest.apply_tick(cfg)
+    assert r1 is not None and r1.manifest.global_runs
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    r2 = ingest.apply_tick(cfg)
+    assert r2 is not None
+    assert ingest.apply_tick(cfg) is None          # exactly-once no-op
+    assert_matches_oracle(cfg)
+    m = ingest.compact(cfg)
+    assert m.global_runs == []                     # deltas folded away
+    assert all(len(v) == 1 for v in m.buckets.values())
+    assert_matches_oracle(cfg)
+
+
+def test_direct_and_shuffle_modes_agree(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    snaps = []
+    for i, mode in enumerate(["shuffle", "direct"]):
+        cfg = EngineConfig(table_dir=str(tmp_path / f"t{i}"),
+                           wal_dir=str(tmp_path / f"w{i}"),
+                           num_buckets=4, apply_mode=mode)
+        cfg.ensure_dirs()
+        write_wal(TINY, cfg.wal_dir, segment_rows=500)
+        ingest.apply_tick(cfg)
+        snaps.append(ingest.snapshot_to_pandas(cfg))
+    pd.testing.assert_frame_equal(snaps[0], snaps[1])
