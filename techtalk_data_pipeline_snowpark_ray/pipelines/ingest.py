@@ -38,7 +38,8 @@ from ..config import EngineConfig
 from ..sources import wal
 from ..stages.apply import BatchCollapser, collapse_events, resolve_final
 from ..stages.normalize import SchemaNormalizer
-from ..stages.partition import BUCKET_COL, KEY_HASH_COL, SHARD_COL, Partitioner
+from ..stages.partition import (BUCKET_COL, KEY_HASH_COL, SHARD_COL,
+                                Partitioner, hash_strings_arrow)
 from ..state.manifest import Manifest, TableState
 
 _BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
@@ -48,7 +49,7 @@ _BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
 # WAL tail -> normalized change Dataset
 # --------------------------------------------------------------------------
 
-def tail_changes(cfg: EngineConfig, committed_seq: int,
+def tail_changes(cfg: EngineConfig, committed_seq: int, normalize: bool = True,
                  ) -> tuple[ray.data.Dataset | None, list[wal.Segment]]:
     """Dataset of unconsumed, schema-normalized change records (every
     row of every segment with seq > committed_seq), or (None, []) when
@@ -70,10 +71,11 @@ def tail_changes(cfg: EngineConfig, committed_seq: int,
     # with no union barrier and no extra object-store round-trips.
     scan_schema = schemas.change_schema(cfg.schema_version)
     ds = ray.data.read_parquet([s.path for s in segments], schema=scan_schema)
-    ds = ds.map_batches(
-        SchemaNormalizer(target, keep_extra=_BOOKKEEPING),
-        batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
-    )
+    if normalize:
+        ds = ds.map_batches(
+            SchemaNormalizer(target, keep_extra=_BOOKKEEPING),
+            batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+        )
     return ds, segments
 
 
@@ -182,12 +184,31 @@ class DirectApplier:
     harmless, since the pandas path groups by the REAL key columns.
     """
 
-    def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str]):
+    def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
+                 pre_stages: tuple = (), scan_schema: pa.Schema | None = None):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
+        self.pre_stages = tuple(pre_stages)
+        self.scan_schema = scan_schema
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        if "paths" in batch.column_names:
+            # fused-read mode: rows are segment-path groups; scan each
+            # group in-task (no object-store hop for the data)
+            frames = [self._apply_one(self._scan(group.as_py()))
+                      for group in batch["paths"]]
+            return pd.concat(frames, ignore_index=True) if frames else _empty_metrics()
+        return self._apply_one(batch)
+
+    def _scan(self, paths: list[str]) -> pa.Table:
+        import pyarrow.dataset as pads
+        return pads.dataset(paths, format="parquet",
+                            schema=self.scan_schema).to_table()
+
+    def _apply_one(self, batch: pa.Table) -> pd.DataFrame:
+        for stage in self.pre_stages:   # manually fused normalize/partition
+            batch = stage(batch)
         n = batch.num_rows
         if n == 0:
             return _empty_metrics()
@@ -213,15 +234,22 @@ class DirectApplier:
                                    schemas.OP_COL, out_op)
             parts.append(fast)
         if len(multi_idx):
-            sub = batch.select(cols).take(pa.array(multi_idx)).to_pandas()
-            folded = collapse_events(sub, self.payload_cols)
-            parts.append(pa.Table.from_pandas(folded[cols], schema=parts[0].schema
-                                              if parts else None,
+            sub_t = batch.select(cols).take(pa.array(multi_idx))
+            folded = collapse_events(sub_t.to_pandas(), self.payload_cols)
+            # pin the schema so all-null columns (e.g. model pre-v2, or a
+            # fully-folded-away batch) never degrade to null type
+            parts.append(pa.Table.from_pandas(folded[cols], schema=sub_t.schema,
                                               preserve_index=False))
         out = pa.concat_tables(parts, promote_options="default")
-        out = out.take(pc.sort_indices(
-            out, sort_keys=[(BUCKET_COL, "ascending"),
-                            ("conv_id", "ascending"), ("turn_idx", "ascending")]))
+        # order the run by (bucket, key-hash, lsn): pure-integer sort
+        # that still co-locates each bucket's keys for read locality
+        # (the user-visible (conv_id, turn_idx) ordering is produced by
+        # compaction / snapshot resolution, not by run files)
+        okh = hash_strings_arrow(out["conv_id"]) * np.uint64(0x100000001B3) \
+            + out["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out = out.take(pa.array(np.lexsort((
+            out[schemas.LSN_COL].to_numpy(zero_copy_only=False), okh,
+            out[BUCKET_COL].to_numpy(zero_copy_only=False)))))
 
         fname = f"delta-x{self.txn_id}-{uuid.uuid4().hex[:12]}.parquet"
         path = os.path.join(self.runs_dir, fname)
@@ -256,6 +284,26 @@ def _empty_metrics() -> pd.DataFrame:
 # the tick (one consumed delta, one atomic commit)
 # --------------------------------------------------------------------------
 
+def _segment_groups(segments: list[wal.Segment], cfg: EngineConfig,
+                    target_group_bytes: int = 32 * 1024 * 1024) -> list[list[str]]:
+    """Partition the (seq-ordered) segment list into consecutive groups
+    of ~target_group_bytes compressed input each: the unit of fused
+    read+apply work. Consecutive seqs => each group is an lsn interval."""
+    groups: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for s in segments:
+        size = os.path.getsize(s.path)
+        if cur and cur_bytes + size > target_group_bytes:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(s.path)
+        cur_bytes += size
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 @dataclass
 class TickResult:
     manifest: Manifest
@@ -277,31 +325,57 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
     cfg.ensure_dirs()
     state = TableState(cfg.table_dir)
     prev = state.load_latest()
-    ds, segments = tail_changes(cfg, prev.committed_seq)
-    if ds is None:
+    direct_mode = cfg.apply_mode == "direct"
+    if direct_mode:
+        # fused-read path builds its own per-group scans; only list here
+        segments = wal.list_segments(cfg.wal_dir, after_seq=prev.committed_seq)
+        ds = None
+    else:
+        ds, segments = tail_changes(cfg, prev.committed_seq)
+    if not segments:
         return None
     payload = schemas.payload_cols(cfg.schema_version)
-    direct = cfg.apply_mode == "direct"
+    direct = direct_mode
 
     if not direct and hot_convs is None and cfg.hot_key_threshold > 0:
         hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold, cfg.batch_size)
     hot_ref = ray.put(list(hot_convs)) if hot_convs else None
 
-    ds = ds.map_batches(
-        Partitioner(cfg.num_buckets, 1 if direct else cfg.salt_factor, hot_ref,
-                    include_key_hash=direct),
-        batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
-    )
     txn = state.new_txn()
 
     if direct:
-        # batch_size=None -> one batch per block: consecutive slices of
-        # range-ordered segments, i.e. lsn intervals (fold precondition)
+        # Fully fused stage: each task scans its OWN group of WAL
+        # segments straight from storage (what every worker on a real
+        # cluster does), then normalize + partition + fold + write --
+        # zero data bytes transit the object store; only segment paths
+        # in and one metrics row per group out. Groups are consecutive
+        # seq runs, so each group is an lsn interval (fold precondition).
+        normalizer = SchemaNormalizer(schemas.table_schema(cfg.schema_version),
+                                      keep_extra=_BOOKKEEPING)
+        partitioner = Partitioner(cfg.num_buckets, 1, None, include_key_hash=True)
         applier = DirectApplier(runs_dir=state.runs_dir, txn_id=txn,
-                                payload_cols=payload)
-        metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
-                                    batch_size=None, zero_copy_batch=True)
+                                payload_cols=payload,
+                                pre_stages=(normalizer, partitioner),
+                                scan_schema=schemas.change_schema(cfg.schema_version))
+        # Default: Ray's read operator feeds the fused apply stage (one
+        # object-store hop). The in-task-scan variant (fused_read=True)
+        # avoids even that hop but oversubscribes arrow IO threads
+        # (workers x io_thread_count) and measurably degrades the whole
+        # host at high parallelism -- pinned by the A/B in BENCH notes.
+        if cfg.extras.get("fused_read", False):
+            groups = _segment_groups(segments, cfg)
+            paths_ds = ray.data.from_items([{"paths": g} for g in groups])
+            metrics_ds = paths_ds.map_batches(applier, batch_format="pyarrow",
+                                              batch_size=1)
+        else:
+            ds, _ = tail_changes(cfg, prev.committed_seq, normalize=False)
+            metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
+                                        batch_size=None, zero_copy_batch=True)
     else:
+        ds = ds.map_batches(
+            Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
+            batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+        )
         if cfg.pre_collapse:
             # combiner before the shuffle (same interval precondition)
             ds = ds.map_batches(_CountingCollapser(payload),

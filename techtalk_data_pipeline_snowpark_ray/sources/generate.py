@@ -190,3 +190,52 @@ def write_wal(spec: GenSpec, wal_dir: str, segment_rows: int = 100_000) -> list[
     for table, version in generate_chunks(spec):
         w.append(table, version)
     return w.close()
+
+
+def _gen_chunk_tables(spec: GenSpec, chunk_idx: int) -> list[tuple[pa.Table, int]]:
+    """Tables (split by schema version, arrival order) for one chunk."""
+    lo = chunk_idx * GEN_CHUNK
+    hi = min(lo + GEN_CHUNK, spec.n_events)
+    arrays = _postprocess(spec, _chunk_arrays(spec, chunk_idx, lo, hi), chunk_idx)
+    if spec.version_of(lo) == spec.version_of(hi - 1):
+        v = spec.version_of(lo)
+        return [(_to_table(spec, arrays, v), v)]
+    row_ver = np.full(len(arrays["lsn"]), 1, dtype=np.int64)
+    if spec.schema_add_at is not None:
+        row_ver[arrays["lsn"] >= spec.schema_add_at] = 2
+    if spec.schema_widen_at is not None:
+        row_ver[arrays["lsn"] >= spec.schema_widen_at] = 3
+    out = []
+    for v in sorted(set(row_ver.tolist())):
+        mask = row_ver == v
+        sub = {k: a[mask] for k, a in arrays.items()}
+        if len(sub["lsn"]):
+            out.append((_to_table(spec, sub, int(v)), int(v)))
+    return out
+
+
+def write_wal_parallel(spec: GenSpec, wal_dir: str) -> None:
+    """Ray-parallel WAL materialization: chunks are counter-seeded and
+    lsn-disjoint, so each becomes its own segment(s) independently
+    (seq = chunk_idx * 4 + i keeps publication order; gaps are fine --
+    tailing orders by seq, it does not require density). Byte-identical
+    content to :func:`write_wal` with segment_rows=GEN_CHUNK, modulo
+    segment framing. Requires an initialized Ray session."""
+    import pyarrow.compute as _pc
+
+    import ray
+
+    from .wal import write_segment
+
+    @ray.remote
+    def gen_one(chunk_idx: int) -> int:
+        n = 0
+        for i, (table, version) in enumerate(_gen_chunk_tables(spec, chunk_idx)):
+            table = table.take(_pc.sort_indices(table, sort_keys=[("lsn", "ascending")]))
+            write_segment(table, wal_dir, seq=chunk_idx * 4 + i,
+                          schema_version=version)
+            n += table.num_rows
+        return n
+
+    n_chunks = (spec.n_events + GEN_CHUNK - 1) // GEN_CHUNK
+    ray.get([gen_one.remote(i) for i in range(n_chunks)])

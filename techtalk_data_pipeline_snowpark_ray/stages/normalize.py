@@ -27,13 +27,11 @@ def normalize_batch(batch: pa.Table, target: pa.Schema,
     """
     lower = {name.lower(): name for name in batch.schema.names}
     n = batch.num_rows
-    names: list[str] = []
-    arrays: list[pa.ChunkedArray | pa.Array] = []
+    cols: dict[str, pa.ChunkedArray | pa.Array] = {}
     for extra in keep_extra:
         src = lower.get(extra.lower())
         if src is not None:
-            names.append(extra)
-            arrays.append(batch.column(src))
+            cols[extra] = batch.column(src)
     for field in target:
         src = lower.get(field.name.lower())
         if src is None:
@@ -42,12 +40,10 @@ def normalize_batch(batch: pa.Table, target: pa.Schema,
             col = batch.column(src)
             if col.type != field.type:
                 col = pc.cast(col, field.type)
-        names.append(field.name)
-        arrays.append(col)
-    return pa.Table.from_arrays(
-        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays],
-        names=names,
-    )
+        cols[field.name] = col
+    # pa.table keeps chunked columns as-is: matching columns pass
+    # through zero-copy (no combine/concat of the batch)
+    return pa.table(cols)
 
 
 class SchemaNormalizer:

@@ -39,25 +39,73 @@ def hash_conv(conv_id: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(conv_id, dtype=object), categorize=True)
 
 
+_FNV = np.uint64(0x100000001B3)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix(h: np.ndarray) -> np.ndarray:
+    h = (h ^ (h >> np.uint64(30))) * _MIX1
+    h = (h ^ (h >> np.uint64(27))) * _MIX2
+    return h ^ (h >> np.uint64(31))
+
+
+def hash_strings_arrow(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized, object-free uint64 hash of an Arrow string column,
+    computed straight from the offsets/data buffers (no Python string
+    materialization -- the allocation-free hot path).
+
+    Algorithm "fnv-sample-v1" (FROZEN: bucket placement is persisted):
+    FNV-style mix of (length, first 8 bytes, last 8 bytes). Strings
+    differing only in interior bytes beyond both samples collide, which
+    is harmless here: bucket placement needs stability+spread, not
+    cryptographic quality, and the key-hash consumers treat equal
+    hashes as "maybe equal" and re-check real keys.
+    """
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = np.empty(sum(len(c) for c in chunks), dtype=np.uint64)
+    pos = 0
+    for chunk in chunks:
+        n = len(chunk)
+        if n == 0:
+            continue
+        off = np.frombuffer(chunk.buffers()[1], dtype=np.int32,
+                            count=n + 1, offset=chunk.offset * 4).astype(np.int64)
+        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        starts, ends = off[:-1], off[1:]
+        lens = (ends - starts)
+        h = _splitmix(lens.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+        safe_end = np.maximum(ends - 1, starts)
+        for k in range(8):
+            # k-th byte from the front (clipped) and from the back
+            bf = data[np.minimum(starts + k, safe_end)] * (lens > k)
+            bb = data[np.maximum(ends - 1 - k, starts)] * (lens > k)
+            h = (h ^ bf.astype(np.uint64)) * _FNV
+            h = (h ^ (bb.astype(np.uint64) << np.uint64(8))) * _FNV
+        out[pos:pos + n] = _splitmix(h)
+        pos += n
+    return out
+
+
 def add_partition_cols(batch: pa.Table, num_buckets: int, salt_factor: int = 1,
                        hot_convs: frozenset[str] | None = None,
                        include_key_hash: bool = False) -> pa.Table:
-    """Append bucket + shard columns (vectorized). With
-    `include_key_hash`, also appends a 64-bit hash of the full primary
-    key (conv hash mixed with turn_idx), used by the direct applier's
-    arrow fast path to detect within-batch key repeats without a
-    pandas conversion."""
-    conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
-    ch = hash_conv(conv)
+    """Append bucket + shard columns (vectorized, object-free: the hash
+    reads the Arrow string buffers directly). With `include_key_hash`,
+    also appends a 64-bit hash of the full primary key (conv hash mixed
+    with turn_idx), used by the direct applier's arrow fast path to
+    detect within-batch key repeats without a pandas conversion."""
+    ch = hash_strings_arrow(batch.column("conv_id"))
     bucket = (ch % np.uint64(num_buckets)).astype(np.int32)
     turn = batch.column("turn_idx").to_numpy(zero_copy_only=False).astype(np.uint64)
     if salt_factor > 1 and hot_convs:
+        conv = batch.column("conv_id").to_numpy(zero_copy_only=False)
         hot = pd.Series(conv).isin(hot_convs).to_numpy()
         salt = np.where(hot,
                         ((turn * np.uint64(2654435761)) % np.uint64(salt_factor)).astype(np.int32),
                         np.int32(0))
     else:
-        salt = np.zeros(len(conv), dtype=np.int32)
+        salt = np.zeros(len(ch), dtype=np.int32)
     shard = bucket * np.int32(salt_factor) + salt
     out = batch.append_column(BUCKET_COL, pa.array(bucket, type=pa.int32()))
     out = out.append_column(SHARD_COL, pa.array(shard, type=pa.int32()))
