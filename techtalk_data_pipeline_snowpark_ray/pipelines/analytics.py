@@ -41,6 +41,9 @@ from ..functions.numeric import cents_arrow
 from ..stages.joins import broadcast_join
 
 JOIN_PARTITIONS = 16
+#: partitions for hash aggregates (Ray's default of 200 spins up 200
+#: aggregator actors -- expensive fixed cost at these input sizes)
+AGG_PARTITIONS = 32
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -68,7 +71,7 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         })
 
     agg = (ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["l_returnflag", "l_linestatus"])
+             .groupby(["l_returnflag", "l_linestatus"], num_partitions=AGG_PARTITIONS)
              .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
                         Sum("base_c", alias_name="sum_base_c"),
                         Sum("disc_c", alias_name="sum_disc_c"),
@@ -94,7 +97,7 @@ def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"o_orderkey": t["l_orderkey"], "rev_c": cents_arrow(r)})
 
     per_order = (li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-                   .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+                   .groupby("o_orderkey", num_partitions=AGG_PARTITIONS).aggregate(Sum("rev_c", alias_name="rev_c")))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
@@ -126,16 +129,25 @@ def urgent_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
     j = broadcast_join(orders, dim[["c_custkey", "n_name"]],
                        on="o_custkey", right_on="c_custkey")
-    agg = j.groupby("n_name").aggregate(Count(alias_name="n_orders"),
+    agg = j.groupby("n_name", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n_orders"),
                                         Sum("tot_c", alias_name="sum_tot_c"))
     return agg.sort(["n_orders", "n_name"], descending=[True, False])
 
 
 # -- date-window filter + group-avg + join dim + sort desc (Top30 analogue)
 
+def _col_max(ds: ray.data.Dataset, col: str):
+    """Global max via per-batch partials (one row per batch to the
+    driver) -- avoids spinning a full shuffle-aggregate for a scalar."""
+    parts = ds.map_batches(
+        lambda t: pa.table({col: [pc.max(t[col]).as_py()]}),
+        batch_format="pyarrow").take_all()
+    return max(r[col] for r in parts if r[col] is not None)
+
+
 def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
     ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
-    hi = ev.max("ts")  # tiny aggregate; deterministic bound from the data
+    hi = _col_max(ev, "ts")  # deterministic bound from the data
     lo = hi - pd.Timedelta(days=7)
 
     def in_window(t: pa.Table) -> pa.Table:
@@ -147,7 +159,7 @@ def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
     ev = ev.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     j = broadcast_join(ev, cust, on="user_id", right_on="c_custkey")
-    agg = j.groupby("c_mktsegment").aggregate(
+    agg = j.groupby("c_mktsegment", num_partitions=AGG_PARTITIONS).aggregate(
         Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -176,7 +188,7 @@ def derived_key_join(sf_dir: str) -> ray.data.Dataset:
                             "n_name": t["n_name"]}),
         batch_format="pyarrow", zero_copy_batch=True)
     j = broadcast_join(cust, nation, on="k")
-    return (j.groupby("k").aggregate(Count(alias_name="n_pairs"))
+    return (j.groupby("k", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n_pairs"))
              .select_columns(["k", "n_pairs"]).sort("k"))
 
 
@@ -193,7 +205,7 @@ def crud_filter_dedup(sf_dir: str) -> ray.data.Dataset:
         return t.select(["p_brand", "p_partkey"])
 
     return (part.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
-                .groupby("p_brand").aggregate(Min("p_partkey", alias_name="p_partkey")))
+                .groupby("p_brand", num_partitions=AGG_PARTITIONS).aggregate(Min("p_partkey", alias_name="p_partkey")))
 
 
 # -- union with source tag (O2/T4) -----------------------------------------
@@ -219,7 +231,7 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
                          "value_c": cents_arrow(t["value"])})
 
     agg = (ev.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["event_type", "hour"])
+             .groupby(["event_type", "hour"], num_partitions=AGG_PARTITIONS)
              .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")))
     # the shuffle may widen the timestamp key; pin the output to us
     return agg.map_batches(
@@ -264,7 +276,7 @@ def events_semi_join(sf_dir: str) -> ray.data.Dataset:
                urgent.map_batches(keys, batch_format="pyarrow").take_all()}
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
     j = broadcast_semi_join(ev, key_set, on="user_id")
-    return (j.groupby("event_type").aggregate(Count(alias_name="n"))
+    return (j.groupby("event_type", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n"))
              .sort("event_type"))
 
 
@@ -291,6 +303,6 @@ def props_json_extract(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"event_type": t["event_type"], "k": k})
 
     return (ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("event_type")
+              .groupby("event_type", num_partitions=AGG_PARTITIONS)
               .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"),
                          Max("k", alias_name="max_k")))
