@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_exactly_once": cdc_queries.cdc_exactly_once,
         "cdc_out_of_order": cdc_queries.cdc_out_of_order,
         "cdc_schema_evolution": cdc_queries.cdc_schema_evolution,
+        "cdc_derived_conv_stats": cdc_queries.cdc_derived_conv_stats,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "dq_overpaid_orders": analytics.dq_overpaid_orders,
@@ -151,6 +152,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_exactly_once": _CDC_FINAL,   # duplicates must not change it
         "cdc_out_of_order": _CDC_FINAL,   # order must not change it
         "cdc_schema_evolution": _CDC_EVOLUTION,
+        "cdc_derived_conv_stats": f"""
+            WITH ch AS ({_CDC_CH})
+            SELECT conv_id, COUNT(*) AS n_events,
+                   CAST(MAX(lsn) AS BIGINT) AS max_lsn
+            FROM ch GROUP BY conv_id ORDER BY conv_id
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM({qty_c}) AS BIGINT) AS sum_qty_c,

@@ -55,6 +55,11 @@ class EngineConfig:
     #:    compaction/snapshot-read. Scales linearly with cores; the
     #:    right mode for sustained high-throughput ingest.
     apply_mode: str = "shuffle"
+    #: also maintain the derived `conv_stats` sink (per-conversation
+    #: consumed-record counters), fed by the same delta and committed in
+    #: the same atomic manifest publish as the main table (the
+    #: reference's one-stream-two-sinks transaction, stream/Main.scala).
+    derived_conv_stats: bool = False
 
     # --- generator / determinism -----------------------------------------
     seed: int = 42

@@ -187,6 +187,18 @@ def cdc_schema_evolution(sf_dir: str) -> ray.data.Dataset:
     return _snapshot_sorted(cfg)
 
 
+def cdc_derived_conv_stats(sf_dir: str) -> ray.data.Dataset:
+    """Dual-sink transaction (SampleStream/stream/Main.scala parity):
+    the same consumed delta feeds the lake table AND the derived
+    per-conversation counters, committed in one atomic manifest
+    publish; this returns the resolved derived sink."""
+    cfg = _fresh_cfg("dual")
+    cfg.derived_conv_stats = True
+    _write_events_wal(sf_dir, cfg)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    return ingest.read_derived(cfg).sort("conv_id")
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -124,11 +124,12 @@ class BucketApplier:
     """
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
-                 salt_factor: int = 1):
+                 salt_factor: int = 1, derived_conv_stats: bool = False):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
         self.salt_factor = salt_factor
+        self.derived_conv_stats = derived_conv_stats
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
@@ -149,6 +150,17 @@ class BucketApplier:
         pq.write_table(table, tmp, compression="zstd")
         os.replace(tmp, path)
 
+        derived_file = None
+        if self.derived_conv_stats:
+            # exact per-conv source-event counts survive the combiner
+            # through the `_n` column
+            counts = (group["_n"].to_numpy(dtype=np.int64)
+                      if "_n" in group.columns else None)
+            derived_file = write_conv_stats_partial(
+                pa.Table.from_pandas(group[["conv_id", schemas.LSN_COL]],
+                                     preserve_index=False),
+                self.runs_dir, self.txn_id, counts=counts)
+
         return pd.DataFrame([{
             "bucket": bucket, "shard": shard, "file": fname,
             "events_in": n_src, "records_out": len(out),
@@ -156,6 +168,7 @@ class BucketApplier:
             "n_partial": int(ops.get(schemas.OP_PARTIAL, 0)),
             "n_delete": int(ops.get(schemas.OP_DELETE, 0)),
             "max_lsn": int(out[schemas.LSN_COL].max()),
+            "derived_file": derived_file,
         }])
 
 
@@ -185,12 +198,14 @@ class DirectApplier:
     """
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
-                 pre_stages: tuple = (), scan_schema: pa.Schema | None = None):
+                 pre_stages: tuple = (), scan_schema: pa.Schema | None = None,
+                 derived_conv_stats: bool = False):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
         self.pre_stages = tuple(pre_stages)
         self.scan_schema = scan_schema
+        self.derived_conv_stats = derived_conv_stats
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         if "paths" in batch.column_names:
@@ -257,6 +272,9 @@ class DirectApplier:
         pq.write_table(out, tmp, compression="zstd")
         os.replace(tmp, path)
 
+        derived_file = (write_conv_stats_partial(batch, self.runs_dir, self.txn_id)
+                        if self.derived_conv_stats else None)
+
         op_counts = dict(zip(*np.unique(
             pc.index_in(out[schemas.OP_COL], value_set=_COLLAPSED_OPS)
             .to_numpy(zero_copy_only=False), return_counts=True)))
@@ -267,6 +285,7 @@ class DirectApplier:
             "n_partial": int(op_counts.get(1, 0)),
             "n_delete": int(op_counts.get(2, 0)),
             "max_lsn": int(pc.max(out[schemas.LSN_COL]).as_py()),
+            "derived_file": derived_file,
         }])
 
 
@@ -277,7 +296,33 @@ def _empty_metrics() -> pd.DataFrame:
         "records_out": pd.Series(dtype="int64"), "n_full": pd.Series(dtype="int64"),
         "n_partial": pd.Series(dtype="int64"), "n_delete": pd.Series(dtype="int64"),
         "max_lsn": pd.Series(dtype="int64"),
+        "derived_file": pd.Series(dtype="object"),
     })
+
+
+DERIVED_CONV_STATS = "conv_stats"
+
+
+def write_conv_stats_partial(batch: pa.Table, runs_dir: str, txn_id: str,
+                             counts: "np.ndarray | None" = None) -> str:
+    """Derived-sink partial for one batch: additive per-conversation
+    counters (consumed records incl. redelivery, max lsn). Written by
+    the same task that applies the delta; becomes visible only through
+    the same manifest publish as the main table (atomic dual sink)."""
+    weights = counts if counts is not None else np.ones(batch.num_rows, np.int64)
+    tbl = pa.table({"conv_id": batch["conv_id"],
+                    "n_events": pa.array(weights, pa.int64()),
+                    "max_lsn": batch[schemas.LSN_COL]})
+    agg = pa.TableGroupBy(tbl, "conv_id").aggregate(
+        [("n_events", "sum"), ("max_lsn", "max")])
+    agg = agg.select(["conv_id", "n_events_sum", "max_lsn_max"]) \
+             .rename_columns(["conv_id", "n_events", "max_lsn"])
+    fname = f"derived-{DERIVED_CONV_STATS}-x{txn_id}-{uuid.uuid4().hex[:12]}.parquet"
+    path = os.path.join(runs_dir, fname)
+    tmp = path + ".tmp"
+    pq.write_table(agg, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return fname
 
 
 # --------------------------------------------------------------------------
@@ -356,7 +401,8 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
         applier = DirectApplier(runs_dir=state.runs_dir, txn_id=txn,
                                 payload_cols=payload,
                                 pre_stages=(normalizer, partitioner),
-                                scan_schema=schemas.change_schema(cfg.schema_version))
+                                scan_schema=schemas.change_schema(cfg.schema_version),
+                                derived_conv_stats=cfg.derived_conv_stats)
         # Default: Ray's read operator feeds the fused apply stage (one
         # object-store hop). The in-task-scan variant (fused_read=True)
         # avoids even that hop but oversubscribes arrow IO threads
@@ -381,7 +427,8 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
             ds = ds.map_batches(_CountingCollapser(payload),
                                 batch_format="pandas", batch_size=None)
         applier_kwargs = dict(runs_dir=state.runs_dir, txn_id=txn,
-                              payload_cols=payload, salt_factor=cfg.salt_factor)
+                              payload_cols=payload, salt_factor=cfg.salt_factor,
+                              derived_conv_stats=cfg.derived_conv_stats)
         grouped = ds.groupby(SHARD_COL)
         if cfg.apply_concurrency:
             metrics_ds = grouped.map_groups(BucketApplier, batch_format="pandas",
@@ -405,6 +452,10 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
     else:
         for rec in metrics.sort_values("shard").itertuples():
             buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
+    derived = {k: list(v) for k, v in prev.derived.items()}
+    if cfg.derived_conv_stats and "derived_file" in metrics.columns:
+        new_derived = [f for f in metrics["derived_file"].tolist() if f]
+        derived.setdefault(DERIVED_CONV_STATS, []).extend(new_derived)
 
     committed = max(int(metrics["max_lsn"].max()), max(s.hi for s in segments),
                     prev.committed_lsn)
@@ -415,6 +466,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
         schema_version=cfg.schema_version,
         buckets=buckets,
         global_runs=global_runs,
+        derived=derived,
         wal_consumed=[s.name for s in segments],
         metrics={
             "events_applied": int(metrics["events_in"].sum()),
@@ -484,6 +536,45 @@ def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
     return df.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
 
 
+def read_derived(cfg: EngineConfig, view: str = DERIVED_CONV_STATS,
+                 num_partitions: int = 32) -> ray.data.Dataset:
+    """Resolved state of a derived sink: sum-merge of its additive
+    partials (one row per conv: total records consumed, max lsn)."""
+    from ray.data.aggregate import Max, Sum
+
+    state = TableState(cfg.table_dir)
+    paths = state.derived_paths(view)
+    if not paths:
+        return ray.data.from_arrow(pa.table(
+            {"conv_id": pa.array([], pa.string()),
+             "n_events": pa.array([], pa.int64()),
+             "max_lsn": pa.array([], pa.int64())}))
+    ds = ray.data.read_parquet(paths)
+    return ds.groupby("conv_id", num_partitions=num_partitions).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Max("max_lsn", alias_name="max_lsn"))
+
+
+def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, list[str]]:
+    """Fold each derived sink's partials into a single file."""
+    out: dict[str, list[str]] = {}
+    for view, files in prev.derived.items():
+        if not files:
+            continue
+        tbl = pa.concat_tables([pq.read_table(os.path.join(state.runs_dir, f))
+                                for f in files], promote_options="default")
+        agg = pa.TableGroupBy(tbl, "conv_id").aggregate(
+            [("n_events", "sum"), ("max_lsn", "max")])
+        agg = agg.select(["conv_id", "n_events_sum", "max_lsn_max"]) \
+                 .rename_columns(["conv_id", "n_events", "max_lsn"])
+        fname = f"derived-{view}-base-x{txn}.parquet"
+        tmp = os.path.join(state.runs_dir, fname + ".tmp")
+        pq.write_table(agg, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(state.runs_dir, fname))
+        out[view] = [fname]
+    return out
+
+
 def compact(cfg: EngineConfig) -> Manifest | None:
     """Fold every bucket's runs into a single base run (one file per
     bucket, sorted by (conv_id, turn_idx) -- the reference's 'stable
@@ -526,6 +617,7 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         committed_lsn=prev.committed_lsn,
         schema_version=prev.schema_version,
         buckets=buckets,
+        derived=_compact_derived(state, prev, txn),
         wal_consumed=[],
         metrics={"compaction": True, "live_rows": int(metrics["rows"].sum())},
     ))

@@ -47,6 +47,11 @@ class Manifest:
     #: is internally collapsed per key and carries the bucket column;
     #: compaction folds them into per-bucket bases
     global_runs: list[str] = field(default_factory=list)
+    #: derived sinks fed by the SAME consumed delta and committed in the
+    #: SAME manifest publish (the reference's one-stream-two-sinks
+    #: transaction, stream/Main.scala:16-19): view name -> run files of
+    #: additive partials (reader/compaction sum-merges them)
+    derived: dict[str, list[str]] = field(default_factory=dict)
     #: WAL segment file names consumed by the txn that produced this
     wal_consumed: list[str] = field(default_factory=list)
     #: per-bucket + global metrics of the producing txn (U3 parity:
@@ -54,8 +59,15 @@ class Manifest:
     metrics: dict = field(default_factory=dict)
     parent: int | None = None
 
+    def table_run_files(self) -> list[str]:
+        """Run files of the MAIN table only (snapshot read/compaction)."""
+        return [f for runs in self.buckets.values() for f in runs] \
+            + list(self.global_runs)
+
     def run_files(self) -> list[str]:
-        return [f for runs in self.buckets.values() for f in runs] + list(self.global_runs)
+        """Every referenced file, derived sinks included (GC roots)."""
+        return (self.table_run_files()
+                + [f for runs in self.derived.values() for f in runs])
 
 
 class TableState:
@@ -95,8 +107,13 @@ class TableState:
         return self.load_latest().committed_lsn
 
     def run_paths(self, manifest: Manifest | None = None) -> list[str]:
+        """Main-table run paths (derived-sink files excluded)."""
         m = manifest or self.load_latest()
-        return [os.path.join(self.runs_dir, f) for f in m.run_files()]
+        return [os.path.join(self.runs_dir, f) for f in m.table_run_files()]
+
+    def derived_paths(self, view: str, manifest: Manifest | None = None) -> list[str]:
+        m = manifest or self.load_latest()
+        return [os.path.join(self.runs_dir, f) for f in m.derived.get(view, [])]
 
     def lineage(self) -> list[Manifest]:
         """Walk parent pointers from LATEST back to the first commit."""

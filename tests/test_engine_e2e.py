@@ -246,3 +246,50 @@ def test_direct_and_shuffle_modes_agree(tmp_path):
         ingest.apply_tick(cfg)
         snaps.append(ingest.snapshot_to_pandas(cfg))
     pd.testing.assert_frame_equal(snaps[0], snaps[1])
+
+
+def test_dual_sink_atomic_commit(tmp_path, monkeypatch):
+    """One consumed delta feeds the lake table AND the derived
+    conv_stats sink in one atomic manifest publish (SampleStream
+    parity: one stream, two sinks, one transaction)."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    for i, mode in enumerate(["direct", "shuffle"]):
+        cfg = EngineConfig(table_dir=str(tmp_path / f"t{i}"),
+                           wal_dir=str(tmp_path / f"w{i}"),
+                           num_buckets=4, apply_mode=mode,
+                           derived_conv_stats=True)
+        cfg.ensure_dirs()
+        write_wal(TINY, cfg.wal_dir, segment_rows=500)
+        # crash before publish: NEITHER sink becomes visible
+        def boom(self, manifest):
+            raise RuntimeError("crash")
+        monkeypatch.setattr(TableState, "publish", boom)
+        with pytest.raises(RuntimeError):
+            ingest.apply_tick(cfg)
+        monkeypatch.undo()
+        state = TableState(cfg.table_dir)
+        assert state.latest_version() is None
+        assert ingest.read_derived(cfg).count() == 0
+        # successful tick: BOTH sinks visible from the same manifest
+        ingest.apply_tick(cfg)
+        m = state.load_latest()
+        assert m.derived["conv_stats"]
+        stats = ingest.read_derived(cfg).to_pandas().sort_values(
+            "conv_id", ignore_index=True)
+        # derived counters == per-conv event counts of the whole WAL
+        events = pa.concat_tables(
+            [normalize_batch(pq.read_table(p), schemas.table_schema(3),
+                             keep_extra=("lsn", "op"))
+             for p in sorted(glob.glob(os.path.join(cfg.wal_dir, "*.parquet")))])
+        expect = (events.to_pandas().groupby("conv_id", as_index=False)
+                  .agg(n_events=("lsn", "size"), max_lsn=("lsn", "max")))
+        pd.testing.assert_frame_equal(
+            stats, expect.sort_values("conv_id", ignore_index=True),
+            check_dtype=False)
+        # compaction folds the partials and preserves totals
+        ingest.compact(cfg)
+        m2 = TableState(cfg.table_dir).load_latest()
+        assert len(m2.derived["conv_stats"]) == 1
+        stats2 = ingest.read_derived(cfg).to_pandas().sort_values(
+            "conv_id", ignore_index=True)
+        pd.testing.assert_frame_equal(stats2, stats)
