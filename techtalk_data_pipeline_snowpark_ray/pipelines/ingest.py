@@ -527,7 +527,8 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
             out = out[final_cols]
         return out
 
-    return ds.groupby(BUCKET_COL).map_groups(resolve, batch_format="pandas")
+    return ds.groupby(BUCKET_COL, num_partitions=min(cfg.num_buckets, 64)) \
+             .map_groups(resolve, batch_format="pandas")
 
 
 def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
@@ -607,8 +608,8 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         return pd.DataFrame([{"bucket": bucket, "file": fname, "rows": len(out)}])
 
     ds = ray.data.read_parquet(state.run_paths(prev))
-    metrics = ds.groupby(BUCKET_COL).map_groups(
-        compact_bucket, batch_format="pandas").to_pandas()
+    metrics = ds.groupby(BUCKET_COL, num_partitions=min(cfg.num_buckets, 64)) \
+        .map_groups(compact_bucket, batch_format="pandas").to_pandas()
 
     buckets = {str(int(r.bucket)): [r.file] for r in metrics.itertuples()}
     manifest = state.publish(Manifest(

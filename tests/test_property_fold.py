@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis) for the LWW fold: engine vs naive
+oracle equality and interval associativity over randomized seeded op
+sequences (SURVEY.md §5 item 5, 'property-based-lite'). Pure pandas."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from techtalk_data_pipeline_snowpark_ray import schemas
+from techtalk_data_pipeline_snowpark_ray.stages.apply import (
+    collapse_events, resolve_final)
+from techtalk_data_pipeline_snowpark_ray.state.oracle import apply_events_oracle
+
+PAYLOAD = ["role", "text", "tool", "ts", "model"]
+
+
+def _stream(seed: int, n: int, n_keys: int, p_partial: float) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    ops = rng.choice(["insert", "update", "delete"], size=n, p=[0.45, 0.4, 0.15])
+    df = pd.DataFrame({
+        "lsn": np.arange(n, dtype=np.int64),
+        "op": ops,
+        "conv_id": [f"c{i}" for i in rng.integers(0, max(n_keys // 3, 1), n)],
+        "turn_idx": rng.integers(0, 3, n).astype(np.int64),
+        "role": np.where(ops == "delete", None, "user"),
+        "text": np.where(ops == "delete", None,
+                         np.array([f"t{i}" for i in range(n)], dtype=object)),
+        "tool": None, "ts": None, "model": None,
+    })
+    # some updates carry only a column subset (null = unchanged)
+    part = (ops == "update") & (rng.random(n) < p_partial)
+    df.loc[part, "role"] = None
+    return df
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(1, 300),
+       n_keys=st.integers(1, 40), p_partial=st.floats(0, 0.8))
+def test_fold_equals_oracle(seed, n, n_keys, p_partial):
+    df = _stream(seed, n, n_keys, p_partial)
+    engine = resolve_final(df, PAYLOAD)[["conv_id", "turn_idx", *PAYLOAD]] \
+        .reset_index(drop=True)
+    oracle = apply_events_oracle(df, PAYLOAD)
+    pd.testing.assert_frame_equal(engine, oracle, check_dtype=False)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000), n=st.integers(2, 300),
+       n_cuts=st.integers(1, 6))
+def test_fold_interval_associativity(seed, n, n_cuts):
+    """collapse(chunks) then collapse == collapse(everything), for any
+    partition into lsn intervals."""
+    df = _stream(seed, n, 12, 0.3)
+    rng = np.random.default_rng(seed + 1)
+    cuts = sorted(set(rng.integers(1, n, size=min(n_cuts, n - 1)).tolist()))
+    chunks = np.split(df, cuts)
+    refold = pd.concat([collapse_events(c, PAYLOAD) for c in chunks if len(c)])
+    whole = resolve_final(df, PAYLOAD).reset_index(drop=True)
+    again = resolve_final(refold, PAYLOAD).reset_index(drop=True)
+    pd.testing.assert_frame_equal(again[whole.columns], whole, check_dtype=False)
