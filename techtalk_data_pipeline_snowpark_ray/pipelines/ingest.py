@@ -36,7 +36,8 @@ import ray.data
 from .. import schemas
 from ..config import EngineConfig
 from ..sources import wal
-from ..stages.apply import BatchCollapser, collapse_events, resolve_final
+from ..stages.apply import (BatchCollapser, collapse_events, fold_table,
+                            resolve_final)
 from ..stages.normalize import SchemaNormalizer
 from ..stages.partition import (BUCKET_COL, KEY_HASH_COL, SHARD_COL,
                                 Partitioner, hash_strings_arrow)
@@ -172,10 +173,6 @@ class BucketApplier:
         }])
 
 
-_ALL_OPS = [schemas.OP_INSERT, schemas.OP_UPDATE, schemas.OP_DELETE,
-            schemas.OP_FULL, schemas.OP_PARTIAL]
-#: insert->full, update->partial, delete->delete, full->full, partial->partial
-_COLLAPSED_CODE = np.array([0, 1, 2, 0, 1], dtype=np.int32)
 _COLLAPSED_OPS = pa.array([schemas.OP_FULL, schemas.OP_PARTIAL, schemas.OP_DELETE])
 
 
@@ -229,33 +226,7 @@ class DirectApplier:
             return _empty_metrics()
         cols = RUN_COLS_FIXED + self.payload_cols
         kh = batch[KEY_HASH_COL].to_numpy(zero_copy_only=False)
-        lsn = batch[schemas.LSN_COL].to_numpy(zero_copy_only=False)
-        order = np.lexsort((lsn, kh))
-        kh_s = kh[order]
-        same_prev = kh_s[1:] == kh_s[:-1]
-        rep_s = np.zeros(n, dtype=bool)
-        rep_s[1:] = same_prev
-        rep_s[:-1] |= same_prev
-        single_idx = order[~rep_s]
-        multi_idx = order[rep_s]
-
-        parts: list[pa.Table] = []
-        if len(single_idx):
-            fast = batch.select(cols).take(pa.array(single_idx))
-            codes = pc.index_in(fast[schemas.OP_COL],
-                                value_set=pa.array(_ALL_OPS)).to_numpy(zero_copy_only=False)
-            out_op = _COLLAPSED_OPS.take(pa.array(_COLLAPSED_CODE[codes]))
-            fast = fast.set_column(fast.schema.get_field_index(schemas.OP_COL),
-                                   schemas.OP_COL, out_op)
-            parts.append(fast)
-        if len(multi_idx):
-            sub_t = batch.select(cols).take(pa.array(multi_idx))
-            folded = collapse_events(sub_t.to_pandas(), self.payload_cols)
-            # pin the schema so all-null columns (e.g. model pre-v2, or a
-            # fully-folded-away batch) never degrade to null type
-            parts.append(pa.Table.from_pandas(folded[cols], schema=sub_t.schema,
-                                              preserve_index=False))
-        out = pa.concat_tables(parts, promote_options="default")
+        out = fold_table(batch.select(cols), self.payload_cols, kh=kh)
         # order the run by (bucket, key-hash, lsn): pure-integer sort
         # that still co-locates each bucket's keys for read locality
         # (the user-visible (conv_id, turn_idx) ordering is produced by
@@ -592,24 +563,31 @@ def compact(cfg: EngineConfig) -> Manifest | None:
     txn = state.new_txn()
     runs_dir = state.runs_dir
 
-    def compact_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return pd.DataFrame(columns=["bucket", "file", "rows"])
-        bucket = int(group[BUCKET_COL].iloc[0])
-        out = collapse_events(group, payload)
-        out = out[out[schemas.OP_COL] != schemas.OP_DELETE]
-        out = out.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
+    cols = RUN_COLS_FIXED + payload
+
+    def compact_bucket(group: pa.Table) -> pd.DataFrame:
+        if group.num_rows == 0:
+            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
+                                 "file": pd.Series(dtype="object"),
+                                 "rows": pd.Series(dtype="int64")})
+        bucket = group[BUCKET_COL][0].as_py()
+        out = fold_table(group.select(cols), payload)
+        out = out.filter(pc.invert(pc.equal(out[schemas.OP_COL],
+                                            schemas.OP_DELETE)))
+        # the user-visible stable (conv_id, turn_idx) ordering lives in
+        # the compacted base runs
+        out = out.take(pc.sort_indices(out, sort_keys=[
+            ("conv_id", "ascending"), ("turn_idx", "ascending")]))
         fname = f"base-b{bucket:05d}-x{txn}.parquet"
-        cols = RUN_COLS_FIXED + payload
         tmp = os.path.join(runs_dir, fname + f".tmp-{uuid.uuid4().hex[:8]}")
-        pq.write_table(pa.Table.from_pandas(out[cols], preserve_index=False), tmp,
-                       compression="zstd")
+        pq.write_table(out, tmp, compression="zstd")
         os.replace(tmp, os.path.join(runs_dir, fname))
-        return pd.DataFrame([{"bucket": bucket, "file": fname, "rows": len(out)}])
+        return pd.DataFrame([{"bucket": int(bucket), "file": fname,
+                              "rows": out.num_rows}])
 
     ds = ray.data.read_parquet(state.run_paths(prev))
     metrics = ds.groupby(BUCKET_COL, num_partitions=min(cfg.num_buckets, 64)) \
-        .map_groups(compact_bucket, batch_format="pandas").to_pandas()
+        .map_groups(compact_bucket, batch_format="pyarrow").to_pandas()
 
     buckets = {str(int(r.bucket)): [r.file] for r in metrics.itertuples()}
     manifest = state.publish(Manifest(

@@ -111,6 +111,102 @@ def resolve_final(df: pd.DataFrame, payload_cols: list[str],
     return out
 
 
+_ALL_OPS = [schemas.OP_INSERT, schemas.OP_UPDATE, schemas.OP_DELETE,
+            schemas.OP_FULL, schemas.OP_PARTIAL]
+#: insert->full, update->partial, delete->delete, full->full, partial->partial
+_COLLAPSED_CODE = np.array([0, 1, 2, 0, 1], dtype=np.int32)
+_COLLAPSED_OPS_ARR = None  # built lazily (needs pyarrow)
+
+
+def fold_table(batch: "pa.Table", payload_cols: list[str],
+               kh: np.ndarray | None = None) -> "pa.Table":
+    """Arrow-native fold of a change-record table (columns: key cols,
+    lsn, op, payload, any passthrough) to one collapsed record per key.
+
+    Fast path: rows whose 64-bit key hash is unique within the batch
+    (the overwhelming majority when keys >> batch) are handled entirely
+    in Arrow/numpy -- their fold is just the op rename. Rows sharing a
+    key hash (true repeats + vanishing hash collisions) take the exact
+    pandas :func:`collapse_events`, which groups by the REAL key
+    columns, so collisions are harmless.
+
+    Same interval-partition precondition as collapse_events.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .partition import hash_strings_arrow
+
+    global _COLLAPSED_OPS_ARR
+    if _COLLAPSED_OPS_ARR is None:
+        _COLLAPSED_OPS_ARR = pa.array(
+            [schemas.OP_FULL, schemas.OP_PARTIAL, schemas.OP_DELETE])
+
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    if kh is None:
+        kh = hash_strings_arrow(batch["conv_id"]) * np.uint64(0x100000001B3) \
+            + batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    lsn = batch[schemas.LSN_COL].to_numpy(zero_copy_only=False)
+    codes = pc.index_in(batch[schemas.OP_COL],
+                        value_set=pa.array(_ALL_OPS)).to_numpy(zero_copy_only=False)
+    # relative records (update/partial) need prior state -> exact path
+    is_rel = (codes == 1) | (codes == 4)
+
+    order = np.lexsort((lsn, kh))          # stable: arrival order breaks lsn ties
+    kh_s = kh[order]
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = kh_s[1:] != kh_s[:-1]
+    grp = np.cumsum(new_grp) - 1
+    n_grp = int(grp[-1]) + 1
+    grp_has_rel = np.zeros(n_grp, dtype=bool)
+    np.logical_or.at(grp_has_rel, grp, is_rel[order])
+    grp_size = np.bincount(grp, minlength=n_grp)
+    grp_last_pos = np.cumsum(grp_size) - 1
+
+    # hash-collision guard: within repeated-hash positions, verify the
+    # REAL key matches the previous row; any mismatching group is
+    # demoted to the exact pandas path (which groups by real columns).
+    rep_pos = np.flatnonzero(~new_grp)
+    collided = np.zeros(n_grp, dtype=bool)
+    if len(rep_pos):
+        cur = pa.array(order[rep_pos])
+        prv = pa.array(order[rep_pos - 1])
+        conv = batch["conv_id"]
+        same_conv = pc.equal(conv.take(cur), conv.take(prv)).to_numpy(
+            zero_copy_only=False)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        same_key = same_conv & (turn[order[rep_pos]] == turn[order[rep_pos - 1]])
+        bad = rep_pos[~same_key]
+        if len(bad):
+            collided[np.unique(grp[bad])] = True
+
+    # absolute-only, collision-free groups (incl. all singletons
+    # without relative ops): LWW == last row by lsn; lsn ties are
+    # byte-identical re-delivered duplicates. Single relative-record
+    # groups: the record itself, op -> partial.
+    easy_grp = (~grp_has_rel | (grp_size == 1)) & ~collided
+    easy_rows = order[grp_last_pos[easy_grp]]
+    hard_rows = order[~easy_grp[grp]]
+
+    parts: list[pa.Table] = []
+    if len(easy_rows):
+        fast = batch.take(pa.array(np.sort(easy_rows)))
+        fcodes = codes[np.sort(easy_rows)]
+        out_op = _COLLAPSED_OPS_ARR.take(pa.array(_COLLAPSED_CODE[fcodes]))
+        fast = fast.set_column(fast.schema.get_field_index(schemas.OP_COL),
+                               schemas.OP_COL, out_op)
+        parts.append(fast)
+    if len(hard_rows):
+        sub_t = batch.take(pa.array(hard_rows))
+        folded = collapse_events(sub_t.to_pandas(), payload_cols)
+        parts.append(pa.Table.from_pandas(folded[batch.column_names],
+                                          schema=sub_t.schema,
+                                          preserve_index=False))
+    return pa.concat_tables(parts, promote_options="default")
+
+
 class BatchCollapser:
     """map_batches combiner: collapse each batch before the shuffle so
     repeated updates to one key ship once (pre-aggregation pattern)."""

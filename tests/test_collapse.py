@@ -142,3 +142,34 @@ def test_interval_associativity(seed):
     refold = pd.concat([collapse_events(c, PAYLOAD) for c in chunks if len(c)])
     again = resolve_final(refold, PAYLOAD).reset_index(drop=True)
     pd.testing.assert_frame_equal(again[whole.columns], whole, check_dtype=False)
+
+
+def test_fold_table_hash_collision_safe():
+    """Two distinct conv_ids engineered to collide in the sampled key
+    hash (same length, first-8 and last-8 bytes) must remain distinct
+    keys through the arrow fast-path fold."""
+    import pyarrow as pa
+    from techtalk_data_pipeline_snowpark_ray.stages.apply import fold_table
+    from techtalk_data_pipeline_snowpark_ray.stages.partition import hash_strings_arrow
+
+    a = "conv-AAAAAAAAXMIDDLEAAAAAAAA"
+    b = "conv-AAAAAAAAYMIDDLEAAAAAAAA"
+    assert hash_strings_arrow(pa.array([a]))[0] == hash_strings_arrow(pa.array([b]))[0]
+    batch = pa.table({
+        "bucket": pa.array([0, 0, 0, 0], pa.int32()),
+        "conv_id": [a, b, a, b],
+        "turn_idx": pa.array([1, 1, 1, 1], pa.int64()),
+        "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+        "op": ["insert", "insert", "insert", "delete"],
+        "role": ["user"] * 3 + [None], "text": ["x1", "x2", "x3", None],
+        "tool": [None] * 4,
+        "ts": pa.array([None] * 4, pa.timestamp("us")),
+        "model": [None] * 4,
+    })
+    out = fold_table(batch, PAYLOAD).to_pandas()
+    out = out.sort_values("conv_id", ignore_index=True)
+    assert len(out) == 2
+    ra = out[out["conv_id"] == a].iloc[0]
+    rb = out[out["conv_id"] == b].iloc[0]
+    assert ra["op"] == "full" and ra["text"] == "x3"     # lsn 3 wins for a
+    assert rb["op"] == "delete"                          # lsn 4 delete wins for b
