@@ -146,7 +146,8 @@ class BucketApplier:
         fname = f"run-b{bucket:05d}-x{self.txn_id}-s{shard % max(self.salt_factor, 1):03d}.parquet"
         path = os.path.join(self.runs_dir, fname)
         cols = RUN_COLS_FIXED + self.payload_cols
-        table = pa.Table.from_pandas(out[cols], preserve_index=False)
+        table = pa.Table.from_pandas(out[cols], preserve_index=False) \
+            .replace_schema_metadata(None)
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         pq.write_table(table, tmp, compression="zstd")
         os.replace(tmp, path)
@@ -159,7 +160,8 @@ class BucketApplier:
                       if "_n" in group.columns else None)
             derived_file = write_conv_stats_partial(
                 pa.Table.from_pandas(group[["conv_id", schemas.LSN_COL]],
-                                     preserve_index=False),
+                                     preserve_index=False)
+                  .replace_schema_metadata(None),
                 self.runs_dir, self.txn_id, counts=counts)
 
         return pd.DataFrame([{

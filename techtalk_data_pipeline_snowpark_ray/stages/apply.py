@@ -203,7 +203,8 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
         folded = collapse_events(sub_t.to_pandas(), payload_cols)
         parts.append(pa.Table.from_pandas(folded[batch.column_names],
                                           schema=sub_t.schema,
-                                          preserve_index=False))
+                                          preserve_index=False)
+                     .replace_schema_metadata(None))
     return pa.concat_tables(parts, promote_options="default")
 
 
