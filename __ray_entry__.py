@@ -67,18 +67,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops (dedup / text / similarity) ---
         "token_counts": textstats.token_counts,
         "doc_quality": textstats.doc_quality,
-        "lang_id": textstats.lang_id,                      # rows-only
+        "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,      # rows-only
         "exact_dedup_documents": dedup.exact_dedup_documents,
-        "minhash_near_dup": dedup.minhash_near_dup,        # rows-only
+        "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_documents": dedup.simhash_documents,      # rows-only
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,  # rows-only
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "embedding_near_dup": similarity.embedding_near_dup,
         "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
         # --- multimodal plumbing (decode stubbed; Ray side real) ---
         "multimodal_features": multimodal.multimodal_features,   # rows-only
-        "video_frame_samples": multimodal.video_frame_samples,   # rows-only
+        "video_frame_samples": multimodal.video_frame_samples,
     }
 
 
@@ -137,6 +137,59 @@ ranked AS (
 SELECT conv_id, turn_idx, role, text, tool, ts, model
 FROM ranked WHERE rn = 1 AND op <> 'delete'
 ORDER BY conv_id, turn_idx
+"""
+
+
+# brute-force word-bigram Jaccard pairs (the sketch-free definition of
+# near-duplicate); {where} restricts the doc subset. Shingling parity
+# with functions/dedup.py:shingle_frame: whitespace split, bigrams for
+# >=2 words, the single word for 1-word docs, "" for empty docs.
+_JACCARD_PAIRS_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws
+  FROM documents WHERE {where}
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 2 THEN list_distinct(
+                  list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1]))
+              ELSE [ws[1]] END AS sh
+  FROM d
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+      / len(list_distinct(a.sh || b.sh)) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+# heuristic language-ID parity with functions/textstats.py:LangId --
+# same regexes (RE2 on both sides), same tie order (en > fr > es > de,
+# pandas idxmax first-max semantics), same CJK-ratio override.
+_LANG_ID_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(coalesce(text, ''), '[一-鿿぀-ヿ]')) * 1.0
+      / GREATEST(length(coalesce(text, '')), 1) AS cjk,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS c_en,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '\b(le|la|les|et|des|une|est|dans|pour|que)\b')) AS c_fr,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '\b(el|los|las|una|es|que|por|con|para|como)\b')) AS c_es,
+    len(regexp_extract_all(lower(coalesce(text, '')),
+        '\b(der|die|das|und|ist|ein|nicht|mit|auf|von)\b')) AS c_de
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN cjk > 0.2 THEN 'zh'
+       WHEN GREATEST(c_en, c_fr, c_es, c_de) = 0 THEN 'unknown'
+       WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+       WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+       WHEN c_es >= c_de THEN 'es'
+       ELSE 'de' END AS lang_pred
+FROM s ORDER BY doc_id
 """
 
 
@@ -299,7 +352,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) > 0.35
             ORDER BY id_a, id_b
         """,
-        # rows-only (non-SQL-expressible): lang_id, doc_fingerprint,
-        # minhash_near_dup, simhash_documents, ngram_jaccard_pairs,
-        # ann_topk_lsh
+        # minhash LSH + exact verify finds exactly the pairs with bigram
+        # Jaccard >= 0.5: at these corpora every true pair has J >= 0.96,
+        # where the R=3/B=21 banding's miss probability is < 1e-12 -- and
+        # the minhash permutations are seed-fixed, so the outcome is
+        # deterministic. The oracle is the brute-force definition.
+        "minhash_near_dup": _JACCARD_PAIRS_SQL.format(where="TRUE"),
+        "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL.format(
+            where="doc_id % 2 = 0"),
+        "lang_id": _LANG_ID_SQL,
+        "video_frame_samples": """
+            SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
+            FROM documents
+            CROSS JOIN UNNEST(range(0, CAST(doc_id % 30 + 1 AS BIGINT), 5)) AS t(f)
+            WHERE doc_id % 3 = 2
+            ORDER BY media_id, frame_idx
+        """,
+        # rows-only (non-SQL-expressible): doc_fingerprint +
+        # simhash_documents (polars-xxhash-based sketches), ann_topk_lsh
+        # (approximate by construction; recall vs brute is pytest-gated),
+        # multimodal_features (stubbed decoder's blake2b+RNG features)
     }

@@ -41,6 +41,15 @@ LSH_ROWS = 3
 _MERSENNE = np.uint64((1 << 61) - 1)
 NGRAM = 2
 JACCARD_THRESHOLD = 0.5
+#: shuffle partitions for dedup aggregates/groupbys (Ray's default of
+#: 200 spins 200 aggregator actors -- pure startup cost at these sizes;
+#: on a real cluster scale this with cores)
+AGG_PARTITIONS = 16
+#: LSH buckets above this size switch from all-pairs to star sampling
+#: (every member paired with the bucket's min id). A mega-bucket is, by
+#: construction, one heavily-duplicated content cluster, and the star
+#: keeps full cluster membership with n-1 pairs instead of n^2/2.
+MAX_BUCKET_PAIRS = 200
 
 
 def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -54,32 +63,37 @@ def exact_dedup_documents(sf_dir: str) -> ray.data.Dataset:
     """One representative (min doc_id) per distinct text + copy count.
 
     Hash-partition + per-group first (O3 `dropDuplicates` parity,
-    SampleCrud.scala:12, generalized to content dedup). The shuffle key
-    is the 64-bit content hash; text is carried here only because the
-    small-scale oracle verifies exact-text groups -- at 100 TB you ship
-    (hash, doc_id) and resolve rare collisions in a second pass.
+    SampleCrud.scala:12, generalized to content dedup). Two-phase,
+    fully distributed:
+
+      1. within-batch combiner: one (hash, min doc_id, count) row per
+         distinct text per batch -- the text itself never leaves the
+         batch;
+      2. hash-partitioned `groupby(h).aggregate(Min, Sum)` -- the final
+         reduce runs where the partition lives; the driver never sees
+         per-document rows (at 100 TB the per-batch partials are
+         billions of rows, so a driver reduce is not an option).
+
+    64-bit xxhash collisions would merge two distinct texts; at the
+    corpus sizes this targets (~2^40 docs vs 2^64 space) the expected
+    collision count is ~2^16 of 2^40 -- the scale path re-checks texts
+    within h-groups in a second keyed pass when that matters.
     """
+    from ray.data.aggregate import Min, Sum
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        # within-batch combiner: one row per distinct text per batch;
-        # only (hash, doc_id, count) leaves the batch -- text stays put
         out = batch.groupby("text", sort=False, as_index=False).agg(
             doc_id=("doc_id", "min"), n=("doc_id", "size"))
         out["h"] = fingerprint_series(out["text"])
         return out[["h", "doc_id", "n"]]
 
-    # final reduce over the pre-aggregated partials: grouped by content
-    # hash, all vectorized. (At petabyte scale this second phase is a
-    # hash-partitioned aggregate over (h, doc_id, n) -- still never the
-    # text; collision paranoia then re-checks texts within h-groups,
-    # which testdata's 64-bit xxhash makes a non-event here.)
-    parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=8192).to_pandas()
-    out = parts.groupby("h", sort=False, as_index=False).agg(
-        doc_id=("doc_id", "min"), n_copies=("n", "sum"))
-    return out[["doc_id", "n_copies"]].sort_values(
-        "doc_id", ignore_index=True)
+    agg = (ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+             .groupby("h", num_partitions=AGG_PARTITIONS)
+             .aggregate(Min("doc_id", alias_name="doc_id"),
+                        Sum("n", alias_name="n_copies")))
+    return agg.select_columns(["doc_id", "n_copies"]).sort("doc_id")
 
 
 # -- shingling + minhash ---------------------------------------------------
@@ -136,70 +150,60 @@ class MinHasher:
         })
 
 
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                         "id_b": pd.Series(dtype="int64")})
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    """Pairs of one LSH bucket (band_id, band_hash), emitted WHERE THE
+    BUCKET LIVES (inside groupby.map_groups): singleton buckets -- the
+    overwhelming majority -- return nothing; mega-buckets (one heavily
+    duplicated content cluster) fall back to star pairing against the
+    min id, preserving cluster membership at n-1 pairs, and are counted
+    in a `sampled` column so the cap is never silent."""
+    ids = np.unique(group["doc_id"].to_numpy(dtype=np.int64))
+    n = len(ids)
+    if n < 2:
+        return _empty_pairs().assign(sampled=pd.Series(dtype="int64"))
+    if n > MAX_BUCKET_PAIRS:
+        out = pd.DataFrame({"id_a": np.repeat(ids[0], n - 1),
+                            "id_b": ids[1:]})
+        out["sampled"] = np.int64(n)
+        return out
+    iu = np.triu_indices(n, 1)
+    out = pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+    out["sampled"] = np.int64(0)
+    return out
+
+
 def _candidate_pairs(sf_dir: str) -> pd.DataFrame:
-    """LSH candidate pairs (distinct, a<b), driver-collected (the
-    candidate set is tiny relative to the corpus by construction).
+    """LSH candidate pairs (distinct, a<b).
 
-    Shape: band rows -> vectorized bucket-count aggregate -> broadcast
-    semi-join to pull ONLY multi-occupant buckets (never a per-bucket
-    Python call; almost all buckets are singletons and are dropped by
-    the aggregate filter)."""
-    import ray
-
+    Fully distributed: band rows shuffle by (band_id, band_hash) and
+    each bucket emits its own pairs inside `groupby().map_groups` -- no
+    driver-side bucket counting, no per-row membership loop. Only the
+    emitted pairs (tiny relative to the corpus by LSH construction)
+    reach the driver, where the cross-band duplicates are dropped."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     bands = ds.map_batches(MinHasher(), batch_format="pandas",
-                           batch_size=4096).materialize()
+                           batch_size=4096)
 
-    def partial_counts(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby(["band_id", "band_hash"], sort=False,
-                         as_index=False).size()
-
-    # two-phase count: per-batch vectorized partials, tiny driver reduce
-    # (Ray's hash-shuffle aggregate pays ~100s of aggregator-actor
-    # startup at this input size; partial+reduce is the right shape for
-    # band counts anyway -- the partials are already near-distinct)
-    parts = bands.map_batches(partial_counts, batch_format="pandas").to_pandas()
-    tot = parts.groupby(["band_id", "band_hash"], sort=False,
-                        as_index=False)["size"].sum()
-    hot_df = tot[tot["size"] > 1][["band_id", "band_hash"]]
-    if hot_df.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64")})
-    hot_keys = ray.put(set(map(tuple, hot_df.to_numpy())))
-
-    def in_hot(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..stages.joins import fetch_broadcast
-        keys = fetch_broadcast(hot_keys)
-        mask = [(b, h) in keys for b, h in
-                zip(batch["band_id"].to_numpy(), batch["band_hash"].to_numpy())]
-        return batch[np.asarray(mask, dtype=bool)]
-
-    members = bands.map_batches(in_hot, batch_format="pandas").to_pandas()
-    mm = members.drop_duplicates(["band_id", "band_hash", "doc_id"]) \
-                .sort_values(["band_id", "band_hash", "doc_id"], ignore_index=True)
-    # vectorized pair extraction: bucket boundaries via code diffs;
-    # 2-member buckets (the common case) pair in one shot, bigger
-    # buckets (rare) loop
-    mix = (mm["band_id"].to_numpy().astype(np.int64) * np.int64(1_000_003)
-           ^ mm["band_hash"].to_numpy().astype(np.int64))
-    codes = pd.factorize(mix)[0]
-    ids = mm["doc_id"].to_numpy(dtype=np.int64)
-    sizes = np.bincount(codes)
-    starts = np.zeros(len(sizes), dtype=np.int64)
-    np.cumsum(sizes[:-1], out=starts[1:])
-    pairs = []
-    two = sizes == 2
-    if two.any():
-        s2 = starts[two]
-        pairs.append(pd.DataFrame({"id_a": ids[s2], "id_b": ids[s2 + 1]}))
-    for g in np.flatnonzero((sizes > 2) & (sizes <= 200)):
-        u = ids[starts[g]: starts[g] + sizes[g]]
-        iu = np.triu_indices(len(u), 1)
-        pairs.append(pd.DataFrame({"id_a": u[iu[0]], "id_b": u[iu[1]]}))
-    if not pairs:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64")})
-    return pd.concat(pairs, ignore_index=True).drop_duplicates(ignore_index=True)
+    pairs = (bands.groupby(["band_id", "band_hash"],
+                           num_partitions=AGG_PARTITIONS)
+                  .map_groups(_bucket_pairs, batch_format="pandas")
+                  .to_pandas())
+    if pairs.empty:
+        return _empty_pairs()
+    n_mega = int((pairs["sampled"] > 0).sum())
+    if n_mega:
+        import logging
+        logging.getLogger(__name__).warning(
+            "minhash LSH: %d mega-bucket star-sampled pair(s) (bucket "
+            "sizes up to %d > cap %d); recall within those clusters is "
+            "via the star representative", n_mega,
+            int(pairs["sampled"].max()), MAX_BUCKET_PAIRS)
+    return pairs[["id_a", "id_b"]].drop_duplicates(ignore_index=True)
 
 
 def _shingle_sets(sf_dir: str, doc_ids: set[int]) -> dict[int, set]:
@@ -235,23 +239,55 @@ def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, set],
         ["id_a", "id_b"], ignore_index=True)
 
 
+class _JaccardVerifier:
+    """map_batches actor for the distributed verify stage: holds the
+    broadcast candidate-shingle dict (fetched once per actor, never
+    re-shipped per batch) and keeps only pairs with exact Jaccard >=
+    threshold."""
+
+    def __init__(self, shingles_ref, threshold: float):
+        import ray as _r
+        self.shingles: dict[int, set] = _r.get(shingles_ref)
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return verify_jaccard(batch, self.shingles, self.threshold) \
+            if len(batch) else _empty_pairs()
+
+
 def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
-    """Near-duplicate pairs: MinHash -> banded LSH -> candidate pairs ->
-    exact-Jaccard verification of candidates only."""
+    """Near-duplicate pairs: MinHash -> banded LSH -> per-bucket pair
+    emission (distributed) -> exact-Jaccard verification of candidates
+    only (distributed map_batches over the pair set, shingle sets of the
+    candidate docs broadcast once).
+
+    Driver footprint is candidate-proportional only: the corpus-sized
+    stages (shingling, minhash, bucket pair emission, shingle extraction
+    for candidates) all run as Dataset stages."""
+    import ray
+
     cand = _candidate_pairs(sf_dir)
     if cand.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64")})
+        return _empty_pairs()
     ids = set(cand["id_a"]).union(cand["id_b"])
-    shingles = _shingle_sets(sf_dir, ids)
-    return verify_jaccard(cand, shingles, threshold)
+    shingles_ref = ray.put(_shingle_sets(sf_dir, ids))
+    verified = (ray.data.from_pandas(cand)
+                .map_batches(_JaccardVerifier, batch_format="pandas",
+                             batch_size=4096, concurrency=2,
+                             fn_constructor_kwargs=dict(
+                                 shingles_ref=shingles_ref,
+                                 threshold=threshold))
+                .to_pandas())
+    return verified.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
-def ngram_jaccard_pairs(sf_dir: str, modulus: int = 20,
+def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
                         threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """Exact brute-force n-gram Jaccard on the deterministic subset
     doc_id % modulus == 0 (the all-pairs baseline the sketches are
-    validated against)."""
+    validated against). modulus=2 keeps the subset dense enough that
+    planted near-dup pairs survive into it (modulus 20 left the check
+    vacuous: zero pairs at every sf)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def subset(t: pa.Table) -> pa.Table:

@@ -159,24 +159,64 @@ def ann_topk_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 4) -> pd.DataFrame
               .sort_values(["query_id", "vec_id"], ignore_index=True))
 
 
+@ray.remote
+def _block_pair_sims(a_tbl: pa.Table, b_tbl: pa.Table, same: bool,
+                     threshold: float) -> pd.DataFrame:
+    """Exact cosine pairs above threshold between two embedding blocks
+    (upper triangle when the blocks are the same). Runs as a Ray task:
+    only the matching pairs return to the driver."""
+    if a_tbl.num_rows == 0 or b_tbl.num_rows == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    ids_a, Xa = _stack(a_tbl)
+    if same:
+        ids_b, Xb = ids_a, Xa
+    else:
+        ids_b, Xb = _stack(b_tbl)
+    S = _cosine(Xa, Xb)
+    if same:
+        ii, jj = np.triu_indices(len(ids_a), 1)
+        mask = S[ii, jj] > threshold
+        a, b = ids_a[ii[mask]], ids_b[jj[mask]]
+    else:
+        ii, jj = np.nonzero(S > threshold)
+        # cross-block ids are unordered relative to each other
+        a = np.minimum(ids_a[ii], ids_b[jj])
+        b = np.maximum(ids_a[ii], ids_b[jj])
+    return pd.DataFrame({"id_a": a.astype(np.int64),
+                         "id_b": b.astype(np.int64)})
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD,
                        modulus: int = NEAR_DUP_MODULUS) -> pd.DataFrame:
     """Cosine near-duplicate pairs on the vec_id % modulus == 0 subset.
-    The subset is collected (it is modulus-times smaller than the
-    corpus); at true scale this becomes LSH-bucketed pair generation
-    (same shape as minhash_near_dup)."""
+
+    Distributed exact all-pairs via block decomposition: the filtered
+    subset's Arrow blocks stay in the object store (`to_arrow_refs`,
+    nothing is collected to the driver) and one Ray task per block pair
+    computes the O(rows_a x rows_b) similarity tile, returning only
+    matching pairs. Work is O(n^2/cluster) and per-task memory is one
+    tile -- the scale shape for thresholds that sit inside the corpus'
+    background similarity (as here: 0.35 on near-isotropic vectors),
+    where any bucketing prune necessarily loses recall. With a genuine
+    duplicate threshold (cos >~ 0.9) the LSH-bucketed path
+    (`LshTopK`-style hyperplane signatures + per-bucket pairs, the
+    minhash_near_dup shape) prunes safely instead.
+
+    Raw Ray tasks are justified here: a blockwise cross product isn't
+    expressible as a Dataset stage (every block must meet every other)."""
     def subset(b: pa.Table) -> pa.Table:
         ids = b["vec_id"].to_numpy(zero_copy_only=False)
         return b.filter(pa.array(ids % modulus == 0))
 
     sub = _emb(sf_dir).map_batches(subset, batch_format="pyarrow",
-                                   zero_copy_batch=True).to_pandas()
-    sub = sub.sort_values("vec_id", ignore_index=True)
-    ids = sub["vec_id"].to_numpy(dtype=np.int64)
-    X = np.stack(sub["embedding"].to_numpy()).astype(np.float64)
-    S = _cosine(X, X)
-    iu = np.triu_indices(len(ids), 1)
-    mask = S[iu] > threshold
-    return pd.DataFrame({"id_a": ids[iu[0][mask]],
-                         "id_b": ids[iu[1][mask]]}).sort_values(
+                                   zero_copy_batch=True)
+    refs = sub.to_arrow_refs()
+    futures = [_block_pair_sims.remote(refs[i], refs[j], i == j, threshold)
+               for i in range(len(refs)) for j in range(i, len(refs))]
+    parts = [p for p in ray.get(futures) if len(p)]
+    if not parts:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    return pd.concat(parts, ignore_index=True).sort_values(
         ["id_a", "id_b"], ignore_index=True)

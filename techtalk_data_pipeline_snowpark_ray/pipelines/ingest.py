@@ -322,6 +322,21 @@ def _segment_groups(segments: list[wal.Segment], cfg: EngineConfig,
     return groups
 
 
+def _check_bucket_layout(prev: Manifest, cfg: EngineConfig) -> None:
+    """Refuse to write with a bucket count that differs from the one the
+    table's existing run files were laid out with (bucket is a persisted
+    routing key; see Manifest.num_buckets). A mismatch requires an
+    explicit re-bucketing compaction, not a silent config change."""
+    if (prev.num_buckets and prev.num_buckets != cfg.num_buckets
+            and (prev.buckets or prev.global_runs)):
+        raise ValueError(
+            f"table was committed with num_buckets={prev.num_buckets} but "
+            f"cfg.num_buckets={cfg.num_buckets}; changing the bucket count "
+            "on an existing table splits persisted LWW state across "
+            "compaction groups. Re-bucket via a full compaction with the "
+            "old count first, or keep the committed value.")
+
+
 @dataclass
 class TickResult:
     manifest: Manifest
@@ -343,6 +358,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
     cfg.ensure_dirs()
     state = TableState(cfg.table_dir)
     prev = state.load_latest()
+    _check_bucket_layout(prev, cfg)
     direct_mode = cfg.apply_mode == "direct"
     if direct_mode:
         # fused-read path builds its own per-group scans; only list here
@@ -387,7 +403,14 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
             metrics_ds = paths_ds.map_batches(applier, batch_format="pyarrow",
                                               batch_size=1)
         else:
-            ds, _ = tail_changes(cfg, prev.committed_seq, normalize=False)
+            # Build the scan from the ALREADY-listed segments: re-listing
+            # here would race a live WAL writer (a segment published
+            # between the two listings gets applied but excluded from
+            # committed_seq/wal_consumed, double-counting it next tick in
+            # the additive derived sinks and in the metrics).
+            ds = ray.data.read_parquet(
+                [s.path for s in segments],
+                schema=schemas.change_schema(cfg.schema_version))
             metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
                                         batch_size=None, zero_copy_batch=True)
     else:
@@ -437,6 +460,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
         committed_seq=max(s.seq for s in segments),
         committed_lsn=committed,
         schema_version=cfg.schema_version,
+        num_buckets=cfg.num_buckets,
         buckets=buckets,
         global_runs=global_runs,
         derived=derived,
@@ -561,6 +585,7 @@ def compact(cfg: EngineConfig) -> Manifest | None:
     prev = state.load_latest()
     if not prev.buckets and not prev.global_runs:
         return None
+    _check_bucket_layout(prev, cfg)
     payload = schemas.payload_cols(cfg.schema_version)
     txn = state.new_txn()
     runs_dir = state.runs_dir
@@ -597,6 +622,7 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         committed_seq=prev.committed_seq,
         committed_lsn=prev.committed_lsn,
         schema_version=prev.schema_version,
+        num_buckets=cfg.num_buckets,
         buckets=buckets,
         derived=_compact_derived(state, prev, txn),
         wal_consumed=[],

@@ -69,9 +69,26 @@ def hash_strings_arrow(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
         n = len(chunk)
         if n == 0:
             continue
-        off = np.frombuffer(chunk.buffers()[1], dtype=np.int32,
-                            count=n + 1, offset=chunk.offset * 4).astype(np.int64)
-        data = np.frombuffer(chunk.buffers()[2], dtype=np.uint8)
+        # This hash decides PERSISTED bucket placement: a silently
+        # misread offsets buffer (e.g. large_string arriving where
+        # string was assumed) would split one key across two buckets
+        # and corrupt LWW state -- so type drift must fail loudly.
+        if pa.types.is_large_string(chunk.type):
+            off = np.frombuffer(chunk.buffers()[1], dtype=np.int64,
+                                count=n + 1, offset=chunk.offset * 8)
+        elif pa.types.is_string(chunk.type):
+            off = np.frombuffer(chunk.buffers()[1], dtype=np.int32,
+                                count=n + 1, offset=chunk.offset * 4).astype(np.int64)
+        else:
+            raise TypeError(
+                f"hash_strings_arrow needs a (large_)string column, got "
+                f"{chunk.type}")
+        buf = chunk.buffers()[2]
+        # all-null / all-empty chunks may carry no data buffer; the
+        # offsets are then all equal and every length is 0, so any
+        # one-byte stand-in produces the same (length-only) hash
+        data = (np.frombuffer(buf, dtype=np.uint8) if buf is not None
+                and buf.size else np.zeros(1, dtype=np.uint8))
         starts, ends = off[:-1], off[1:]
         lens = (ends - starts)
         h = _splitmix(lens.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))

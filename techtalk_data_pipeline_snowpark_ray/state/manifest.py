@@ -41,6 +41,12 @@ class Manifest:
     committed_lsn: int = -1
     #: lake-table schema version of this snapshot
     schema_version: int = 1
+    #: bucket count the table's run files were written with. `bucket =
+    #: H(conv_id) % num_buckets` is a PERSISTED layout key: changing the
+    #: count between ticks would route the same key to a different stored
+    #: bucket and silently split its LWW state across compaction groups,
+    #: so writers must validate against this (0 = unknown / pre-upgrade).
+    num_buckets: int = 0
     #: bucket -> ordered list of run files (relative to runs/)
     buckets: dict[str, list[str]] = field(default_factory=dict)
     #: delta runs NOT yet bucket-partitioned (direct apply mode); each

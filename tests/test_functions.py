@@ -124,7 +124,7 @@ def test_minhash_on_real_documents_matches_brute():
 def test_exact_dedup_planted(tmp_path):
     texts = ["aaa bbb", "ccc ddd", "aaa bbb", "eee fff", "aaa bbb"]
     sf = make_doc_dir(tmp_path, texts)
-    out = dedup.exact_dedup_documents(sf).sort_values("doc_id")
+    out = dedup.exact_dedup_documents(sf).to_pandas()
     assert len(out) == 3
     rep = out[out["doc_id"] == 0].iloc[0]
     assert rep["n_copies"] == 3
