@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_out_of_order": cdc_queries.cdc_out_of_order,
         "cdc_schema_evolution": cdc_queries.cdc_schema_evolution,
         "cdc_derived_conv_stats": cdc_queries.cdc_derived_conv_stats,
+        "ingest_json_staged": cdc_queries.ingest_json_staged,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "dq_overpaid_orders": analytics.dq_overpaid_orders,
@@ -210,6 +211,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, COUNT(*) AS n_events,
                    CAST(MAX(lsn) AS BIGINT) AS max_lsn
             FROM ch GROUP BY conv_id ORDER BY conv_id
+        """,
+        "ingest_json_staged": f"""
+            SELECT event_id, user_id, event_type,
+                   {val_c} AS value_c, ts
+            FROM events ORDER BY event_id
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,

@@ -200,6 +200,35 @@ def cdc_derived_conv_stats(sf_dir: str) -> ray.data.Dataset:
     return ingest.read_derived(cfg).sort("conv_id")
 
 
+def ingest_json_staged(sf_dir: str) -> ray.data.Dataset:
+    """Staged-JSON ingestion end-to-end (reference pipeline #5,
+    ``IngestPaymentsStreamFromStage.scala:39-69`` + the parse/flatten of
+    ``IngestOrdersFromRawToFlat.scala:39-50``): JSON files land in a
+    stage directory (distributed atomic PUTs) -> stream of new files by
+    marker -> ``ray.data.read_json`` -> parse_json + lateral flatten of
+    the array-of-objects payload -> typed projection (jsonToFields).
+
+    Output is the typed event rows (value as exact cents for float
+    parity with the DuckDB oracle over the source parquet)."""
+    from ..functions.numeric import cents_arrow
+    from ..sources import staged_json
+
+    stage_dir = os.path.join("/tmp", "ttdps-stage", f"q-{uuid.uuid4().hex[:8]}")
+    staged_json.stage_events_as_json(sf_dir, stage_dir)
+    ds, _marker = staged_json.read_staged_json(stage_dir)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "value_c": cents_arrow(t["value"]),
+            "ts": t["ts"],
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("event_id")
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -1,0 +1,143 @@
+"""Staged-JSON file source: JSON files land in a stage directory, a
+stream of NEW files is discovered by marker, and each file's raw
+payload strings parse + explode into typed rows.
+
+Reference parity (the reference's entire ingest boundary is JSON):
+  * stage create / PUT + atomic visibility  -- S4/S5
+    (``SnowflakeUtils.scala:100-115``): dot-prefixed temp file +
+    ``os.replace``; a concurrent lister never sees a partial file;
+  * stage stream = "files newer than the consumed marker" -- S9
+    (``IngestPaymentsStreamFromStage.scala:54-59``): names embed a
+    sortable key; "read the stream" = list names > marker, "consume" =
+    advance the marker (exactly the cloud-stage LIST ... AFTER shape,
+    no file content is opened for consumed files);
+  * JSON file reader -- S10: ``ray.data.read_json`` over the new files.
+
+Layout: each staged file is NDJSON; every line is one *raw payload
+record* ``{"n": <count>, "payload": "<JSON array-of-objects string>"}``
+-- mirroring the REST-response-body-in-a-column shape the reference
+stages (``IngestOrdersFromRawToFlat.scala:39-50``), so the read side
+must exercise real parse_json + lateral flatten (stages/jsonops.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+#: records per JSON-array payload (one NDJSON line)
+PAYLOAD_RECORDS = 512
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"   # microseconds: lossless for timestamp[us]
+
+
+@dataclass(frozen=True)
+class StagedFile:
+    path: str
+    key: str      # sortable discovery key (embedded in the name)
+
+    @property
+    def name(self) -> str:
+        return os.path.basename(self.path)
+
+
+def stage_put(lines: list[str], stage_dir: str, key: str) -> str:
+    """Atomically publish one NDJSON file into the stage (PUT+REFRESH
+    parity: tmp write + rename; the discovery key is part of the name)."""
+    os.makedirs(stage_dir, exist_ok=True)
+    final = os.path.join(stage_dir, f"staged-{key}-{uuid.uuid4().hex[:8]}.json")
+    tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, final)
+    return final
+
+
+def list_staged_files(stage_dir: str, after: str = "") -> list[StagedFile]:
+    """The stage stream: files whose embedded key sorts AFTER the
+    consumed marker, in key order. Consuming = remembering the last
+    key; no consumed file is ever re-opened."""
+    if not os.path.isdir(stage_dir):
+        return []
+    out = []
+    for name in sorted(os.listdir(stage_dir)):
+        if not (name.startswith("staged-") and name.endswith(".json")):
+            continue  # temp files, foreign files
+        key = name[len("staged-"):-len(".json")]
+        if key > after:
+            out.append(StagedFile(os.path.join(stage_dir, name), key))
+    out.sort(key=lambda s: s.key)
+    return out
+
+
+def stage_events_as_json(sf_dir: str, stage_dir: str) -> int:
+    """Deterministic distributed producer: serialize the events table
+    into staged JSON files (PAYLOAD_RECORDS-record JSON-array payloads,
+    one NDJSON line each). Each map task stages its own batch -- the
+    write fans out with the read, nothing is collected to the driver.
+    Returns the number of staged files."""
+
+    def stage_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if batch.empty:
+            return pd.DataFrame({"file": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        batch = batch.sort_values("event_id", ignore_index=True)
+        ts_iso = batch["ts"].dt.strftime(_TS_FMT)
+        lines = []
+        for lo in range(0, len(batch), PAYLOAD_RECORDS):
+            chunk = batch.iloc[lo:lo + PAYLOAD_RECORDS]
+            recs = [
+                {"event_id": int(e), "user_id": int(u), "event_type": et,
+                 "value": float(v), "ts": t}
+                for e, u, et, v, t in zip(
+                    chunk["event_id"], chunk["user_id"], chunk["event_type"],
+                    chunk["value"], ts_iso.iloc[lo:lo + PAYLOAD_RECORDS])
+            ]
+            lines.append(json.dumps({"n": len(recs),
+                                     "payload": json.dumps(recs)}))
+        key = f"{int(batch['event_id'].iloc[0]):012d}"
+        path = stage_put(lines, stage_dir, key)
+        return pd.DataFrame([{"file": os.path.basename(path),
+                              "n": len(batch)}])
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value", "ts"])
+    metrics = ev.map_batches(stage_batch, batch_format="pandas",
+                             batch_size=8192).to_pandas()
+    return len(metrics)
+
+
+#: the declared schema the raw JSON is projected onto (jsonToFields);
+#: ts arrives as an ISO string and is cast by the projection
+STAGED_EVENT_SCHEMA = pa.schema([
+    pa.field("event_id", pa.int64()),
+    pa.field("user_id", pa.int64()),
+    pa.field("event_type", pa.string()),
+    pa.field("value", pa.float64()),
+    pa.field("ts", pa.timestamp("us")),
+])
+
+
+def read_staged_json(stage_dir: str, after: str = "",
+                     ) -> tuple[ray.data.Dataset | None, str]:
+    """One stage-stream read: discover files after the marker, read the
+    raw NDJSON (S10: ray.data.read_json), parse + explode + project the
+    payloads to typed rows. Returns (dataset, new_marker); dataset is
+    None when no new files exist (marker unchanged)."""
+    from ..stages.jsonops import JsonArrayExploder
+
+    files = list_staged_files(stage_dir, after)
+    if not files:
+        return None, after
+    raw = ray.data.read_json([f.path for f in files])
+    ds = raw.map_batches(JsonArrayExploder("payload", STAGED_EVENT_SCHEMA),
+                         batch_format="pyarrow", zero_copy_batch=True)
+    return ds, files[-1].key

@@ -102,3 +102,65 @@ def test_normalize_add_widen_case_and_extra():
     assert out["model"].null_count == 1          # missing column null-filled
     assert "junk" not in out.schema.names
     assert out["conv_id"][0].as_py() == "a"
+
+
+# -- staged JSON source + parse/explode (S4/S5/S9/S10, T1/T3) --------------
+
+def test_staged_json_stream_discovery_by_marker(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.sources import staged_json as sj
+    d = str(tmp_path / "stage")
+    sj.stage_put(['{"n":1,"payload":"[{\\"event_id\\":1}]"}'], d, "000001")
+    sj.stage_put(['{"n":1,"payload":"[{\\"event_id\\":2}]"}'], d, "000002")
+    first = sj.list_staged_files(d)
+    assert [f.key[:6] for f in first] == ["000001", "000002"]
+    marker = first[-1].key
+    # consumed files are never re-listed; a new file is
+    assert sj.list_staged_files(d, after=marker) == []
+    sj.stage_put(['{"n":1,"payload":"[{\\"event_id\\":3}]"}'], d, "000003")
+    new = sj.list_staged_files(d, after=marker)
+    assert len(new) == 1 and new[0].key.startswith("000003")
+    # temp/foreign files are invisible
+    (tmp_path / "stage" / ".tmp-x.json").write_text("{}")
+    (tmp_path / "stage" / "other.txt").write_text("x")
+    assert len(sj.list_staged_files(d)) == 3
+
+
+def test_explode_json_array_types_nulls_and_extras():
+    import json as _json
+    from techtalk_data_pipeline_snowpark_ray.stages.jsonops import explode_json_array
+    target = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.string()),
+                        pa.field("ts", pa.timestamp("us"))])
+    payloads = [
+        _json.dumps([{"a": 1, "b": "x", "ts": "2024-01-01T00:00:00.000001",
+                      "extra": 9},                      # extra field dropped
+                     {"A": 2, "ts": "2024-01-01T00:00:00.000002"}]),  # case-insensitive, b null-filled
+        _json.dumps({"a": 3, "b": "z", "ts": "2024-01-01T00:00:00.000003"}),  # single object = 1-array
+        None,                                           # null payload skipped
+    ]
+    batch = pa.table({"payload": pa.array(payloads, pa.string())})
+    out = explode_json_array(batch, "payload", target)
+    assert out.schema == target
+    assert out["a"].to_pylist() == [1, 2, 3]
+    assert out["b"].to_pylist() == ["x", None, "z"]
+    assert out["ts"][0].as_py().microsecond == 1
+
+
+def test_staged_json_roundtrip_matches_source(tmp_path, ray_session):
+    import os
+    import pandas as pd
+    from techtalk_data_pipeline_snowpark_ray.sources import staged_json as sj
+    sf = "/root/testdata/sf0.001"
+    d = str(tmp_path / "stage")
+    n_files = sj.stage_events_as_json(sf, d)
+    assert n_files >= 1
+    ds, marker = sj.read_staged_json(d)
+    got = ds.to_pandas().sort_values("event_id", ignore_index=True)
+    import pyarrow.parquet as pq
+    want = pq.read_table(os.path.join(sf, "events.parquet"),
+                         columns=["event_id", "user_id", "event_type",
+                                  "value", "ts"]).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+    # stream semantics: nothing new after consuming the marker
+    ds2, marker2 = sj.read_staged_json(d, after=marker)
+    assert ds2 is None and marker2 == marker
