@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_out_of_order": cdc_queries.cdc_out_of_order,
         "cdc_schema_evolution": cdc_queries.cdc_schema_evolution,
         "cdc_derived_conv_stats": cdc_queries.cdc_derived_conv_stats,
+        "cdc_conditional_crud": cdc_queries.cdc_conditional_crud,
+        "cdc_prefix_merge": cdc_queries.cdc_prefix_merge,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
@@ -194,6 +196,51 @@ FROM s ORDER BY doc_id
 """
 
 
+# conditional-CRUD oracle: per-key last event, then the two control
+# ops applied in lsn order against the *state at their position* --
+# C1 flags rows committed before it; C2 deletes current-'system' rows
+# committed before it (a C1-flagged row escapes C2 even if it was
+# 'system' before C1).
+_CDC_CONDITIONAL = f"""
+WITH ch AS ({_CDC_CH}),
+mx AS (SELECT MAX(event_id) AS m FROM events),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ch
+),
+base AS (
+  SELECT conv_id, turn_idx, role, text, tool, ts, lsn
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+),
+s1 AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN lsn < (SELECT m // 3 FROM mx) AND text LIKE 'txt-7%'
+              THEN 'flagged' ELSE role END AS role,
+         text, tool, ts, lsn
+  FROM base
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, CAST(NULL AS VARCHAR) AS model
+FROM s1
+WHERE NOT (lsn < (SELECT 2 * m // 3 FROM mx) AND role = 'system')
+ORDER BY conv_id, turn_idx
+"""
+
+# prefix-merge oracle: the LWW fold keyed on the DERIVED key
+# substr(conv_id, 1, 6) -- the reference's merge-on-substring shape.
+_CDC_PREFIX = f"""
+WITH ch0 AS ({_CDC_CH}),
+ch AS (SELECT lsn, op, substr(conv_id, 1, 6) AS conv_id, turn_idx,
+              role, text, tool, ts FROM ch0),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, turn_idx, role, text, tool, ts, CAST(NULL AS VARCHAR) AS model
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+ORDER BY conv_id, turn_idx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     qty_c = _c("l_quantity")
     base_c = _c("l_extendedprice")
@@ -206,6 +253,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_exactly_once": _CDC_FINAL,   # duplicates must not change it
         "cdc_out_of_order": _CDC_FINAL,   # order must not change it
         "cdc_schema_evolution": _CDC_EVOLUTION,
+        "cdc_conditional_crud": _CDC_CONDITIONAL,
+        "cdc_prefix_merge": _CDC_PREFIX,
         "cdc_derived_conv_stats": f"""
             WITH ch AS ({_CDC_CH})
             SELECT conv_id, COUNT(*) AS n_events,

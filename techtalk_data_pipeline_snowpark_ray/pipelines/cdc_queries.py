@@ -200,6 +200,63 @@ def cdc_derived_conv_stats(sf_dir: str) -> ray.data.Dataset:
     return ingest.read_derived(cfg).sort("conv_id")
 
 
+def cdc_conditional_crud(sf_dir: str) -> ray.data.Dataset:
+    """Apply-time conditional UPDATE/DELETE through the engine
+    (``SampleCrud.scala:28-36`` conditional update with assignment,
+    ``:71-75`` conditional delete): two control ops are committed at
+    fixed lsn positions in the stream and evaluated against the CURRENT
+    table state by the epoch-aware fold --
+
+      C1 (lsn = max//3):    UPDATE SET role = 'flagged'
+                            WHERE startswith(text, 'txt-7')
+      C2 (lsn = 2*max//3):  DELETE WHERE role = 'system'
+
+    A row flagged by C1 escapes C2's delete even if its role was
+    'system' before C1 -- exactly the state-at-position semantics a
+    producer-side rewrite cannot express."""
+    from ..stages.controls import ControlOp
+
+    con_max = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                            columns=["event_id"])
+    mx = int(pc.max(con_max["event_id"]).as_py())
+    c1, c2 = mx // 3, 2 * mx // 3
+    ops = [
+        ControlOp(lsn=c1, kind="update",
+                  predicate={"col": "text", "fn": "startswith", "value": "txt-7"},
+                  assignments={"role": {"fn": "set", "value": "flagged"}}),
+        ControlOp(lsn=c2, kind="delete",
+                  predicate={"col": "role", "fn": "eq", "value": "system"}),
+    ]
+    cfg = _fresh_cfg("crud")
+    _write_events_wal(sf_dir, cfg)
+    ingest.apply_tick(cfg, control_ops=ops)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    # exercise absorption too: compaction must fold the ops into the
+    # bases and the re-read must be identical
+    ingest.compact(cfg)
+    return _snapshot_sorted(cfg)
+
+
+def _prefix_key_extractor(t: pa.Table) -> pa.Table:
+    """Expression merge key (J7, ``SampleCrud.scala:47-51`` merge ON
+    substring(code, 0, 4)): rewrite conv_id to its first 6 chars, so
+    e.g. conv-1 / conv-1x / conv-1xx merge into one key space."""
+    i = t.schema.get_field_index("conv_id")
+    return t.set_column(i, "conv_id", pc.utf8_slice_codeunits(
+        t["conv_id"], 0, 6))
+
+
+def cdc_prefix_merge(sf_dir: str) -> ray.data.Dataset:
+    """Engine replay merging on an EXPRESSION key: the key-extractor
+    hook rewrites conv_id -> substr(conv_id, 1, 6) before partitioning,
+    so routing, fold and storage all operate on the derived key."""
+    cfg = _fresh_cfg("prefix")
+    cfg.extras["key_extractor"] = _prefix_key_extractor
+    _write_events_wal(sf_dir, cfg)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    return _snapshot_sorted(cfg)
+
+
 def ingest_json_staged(sf_dir: str) -> ray.data.Dataset:
     """Staged-JSON ingestion end-to-end (reference pipeline #5,
     ``IngestPaymentsStreamFromStage.scala:39-69`` + the parse/flatten of

@@ -125,12 +125,14 @@ class BucketApplier:
     """
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
-                 salt_factor: int = 1, derived_conv_stats: bool = False):
+                 salt_factor: int = 1, derived_conv_stats: bool = False,
+                 barriers: list[int] | None = None):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
         self.salt_factor = salt_factor
         self.derived_conv_stats = derived_conv_stats
+        self.barriers = list(barriers) if barriers else None
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
@@ -139,7 +141,7 @@ class BucketApplier:
         bucket = shard // self.salt_factor if self.salt_factor > 1 else int(group[BUCKET_COL].iloc[0])
         n_src = int(group["_n"].sum()) if "_n" in group.columns else len(group)
 
-        out = collapse_events(group, self.payload_cols)
+        out = collapse_events(group, self.payload_cols, barriers=self.barriers)
         out = out.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
         ops = out[schemas.OP_COL].value_counts()
 
@@ -198,13 +200,15 @@ class DirectApplier:
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
                  pre_stages: tuple = (), scan_schema: pa.Schema | None = None,
-                 derived_conv_stats: bool = False):
+                 derived_conv_stats: bool = False,
+                 barriers: list[int] | None = None):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
         self.pre_stages = tuple(pre_stages)
         self.scan_schema = scan_schema
         self.derived_conv_stats = derived_conv_stats
+        self.barriers = list(barriers) if barriers else None
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         if "paths" in batch.column_names:
@@ -228,7 +232,8 @@ class DirectApplier:
             return _empty_metrics()
         cols = RUN_COLS_FIXED + self.payload_cols
         kh = batch[KEY_HASH_COL].to_numpy(zero_copy_only=False)
-        out = fold_table(batch.select(cols), self.payload_cols, kh=kh)
+        out = fold_table(batch.select(cols), self.payload_cols, kh=kh,
+                         barriers=self.barriers)
         # order the run by (bucket, key-hash, lsn): pure-integer sort
         # that still co-locates each bucket's keys for read locality
         # (the user-visible (conv_id, turn_idx) ordering is produced by
@@ -349,16 +354,48 @@ class TickResult:
         return self.manifest.committed_lsn
 
 
-def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickResult | None:
+def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
+               control_ops: list | None = None) -> TickResult | None:
     """Consume everything new in the WAL and commit one snapshot version.
 
-    Returns None when there is nothing to consume. Crash-safe: nothing
+    `control_ops` (stages/controls.py ControlOp) are conditional
+    UPDATE/DELETE ... WHERE table ops positioned at their lsn in the
+    stream (``SampleCrud.scala:28-36,71-75`` parity); they are committed
+    with the tick and act as epoch barriers for every fold from here on.
+
+    Returns None when there is nothing to consume (control-only ticks
+    publish a manifest carrying just the new ops). Crash-safe: nothing
     is visible until the manifest LATEST pointer is swapped.
     """
+    from ..stages.controls import sorted_controls
+
     cfg.ensure_dirs()
     state = TableState(cfg.table_dir)
     prev = state.load_latest()
     _check_bucket_layout(prev, cfg)
+
+    new_controls = sorted_controls(control_ops)
+    for op in new_controls:
+        if op.lsn <= prev.committed_lsn:
+            raise ValueError(
+                f"control op at lsn {op.lsn} <= committed_lsn "
+                f"{prev.committed_lsn}: already-committed records were "
+                "folded without this barrier; position new ops after "
+                "the committed watermark")
+    all_controls = sorted_controls(prev.control_ops) + new_controls
+    barriers = [c.lsn for c in all_controls] or None
+    if new_controls and not wal.list_segments(cfg.wal_dir,
+                                              after_seq=prev.committed_seq):
+        # control-only tick: nothing to fold, just commit the ops
+        manifest = state.publish(Manifest(
+            txn_id=state.new_txn(), committed_seq=prev.committed_seq,
+            committed_lsn=prev.committed_lsn,
+            schema_version=prev.schema_version,
+            num_buckets=cfg.num_buckets, buckets=prev.buckets,
+            global_runs=prev.global_runs, derived=prev.derived,
+            control_ops=[c.to_dict() for c in all_controls],
+            wal_consumed=[], metrics={"control_only": True}))
+        return TickResult(manifest, 0, 0, 0)
     direct_mode = cfg.apply_mode == "direct"
     if direct_mode:
         # fused-read path builds its own per-group scans; only list here
@@ -387,11 +424,19 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
         normalizer = SchemaNormalizer(schemas.table_schema(cfg.schema_version),
                                       keep_extra=_BOOKKEEPING)
         partitioner = Partitioner(cfg.num_buckets, 1, None, include_key_hash=True)
+        # key-extractor hook (J7 expression merge keys, SampleCrud.scala:
+        # 47-51: merge ON substring(code, 0, 4)): a table->table callable
+        # rewriting the key columns BEFORE partitioning, so routing,
+        # fold and storage all see the extracted key
+        key_extractor = cfg.extras.get("key_extractor")
+        pre = (normalizer, key_extractor, partitioner) if key_extractor \
+            else (normalizer, partitioner)
         applier = DirectApplier(runs_dir=state.runs_dir, txn_id=txn,
                                 payload_cols=payload,
-                                pre_stages=(normalizer, partitioner),
+                                pre_stages=pre,
                                 scan_schema=schemas.change_schema(cfg.schema_version),
-                                derived_conv_stats=cfg.derived_conv_stats)
+                                derived_conv_stats=cfg.derived_conv_stats,
+                                barriers=barriers)
         # Default: Ray's read operator feeds the fused apply stage (one
         # object-store hop). The in-task-scan variant (fused_read=True)
         # avoids even that hop but oversubscribes arrow IO threads
@@ -414,17 +459,22 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
             metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
                                         batch_size=None, zero_copy_batch=True)
     else:
+        key_extractor = cfg.extras.get("key_extractor")
+        if key_extractor is not None:
+            ds = ds.map_batches(key_extractor, batch_format="pyarrow",
+                                batch_size=cfg.batch_size, zero_copy_batch=True)
         ds = ds.map_batches(
             Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
             batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
         )
         if cfg.pre_collapse:
             # combiner before the shuffle (same interval precondition)
-            ds = ds.map_batches(_CountingCollapser(payload),
+            ds = ds.map_batches(_CountingCollapser(payload, barriers=barriers),
                                 batch_format="pandas", batch_size=None)
         applier_kwargs = dict(runs_dir=state.runs_dir, txn_id=txn,
                               payload_cols=payload, salt_factor=cfg.salt_factor,
-                              derived_conv_stats=cfg.derived_conv_stats)
+                              derived_conv_stats=cfg.derived_conv_stats,
+                              barriers=barriers)
         grouped = ds.groupby(SHARD_COL)
         if cfg.apply_concurrency:
             metrics_ds = grouped.map_groups(BucketApplier, batch_format="pandas",
@@ -464,6 +514,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
         buckets=buckets,
         global_runs=global_runs,
         derived=derived,
+        control_ops=[c.to_dict() for c in all_controls],
         wal_consumed=[s.name for s in segments],
         metrics={
             "events_applied": int(metrics["events_in"].sum()),
@@ -481,15 +532,28 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None) -> TickRes
 class _CountingCollapser(BatchCollapser):
     """Combiner that also tracks how many source events fold into each
     collapsed record (`_n`), so the applier can report true event
-    throughput after pre-aggregation."""
+    throughput after pre-aggregation. With epoch barriers active, the
+    counts group by (key, epoch) to match the finer collapse."""
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         if "_n" not in batch.columns:
             batch = batch.assign(_n=np.int64(1))
         keys = list(schemas.KEY_COLS)
+        if self.barriers:
+            batch = batch.assign(_epoch=np.searchsorted(
+                np.asarray(self.barriers, dtype=np.int64),
+                batch[schemas.LSN_COL].to_numpy(), side="right"))
+            keys = keys + ["_epoch"]
         sums = batch.groupby(keys, sort=False, as_index=False)["_n"].sum()
-        out = collapse_events(batch.drop(columns=["_n"]), self.payload_cols)
+        out = collapse_events(batch.drop(columns=["_n"]), self.payload_cols,
+                              barriers=self.barriers)
+        if self.barriers:
+            out = out.assign(_epoch=np.searchsorted(
+                np.asarray(self.barriers, dtype=np.int64),
+                out[schemas.LSN_COL].to_numpy(), side="right"))
         out = out.merge(sums, on=keys, how="left")
+        if self.barriers:
+            out = out.drop(columns=["_epoch"])
         # hand Arrow blocks (no pandas metadata) to the shuffle
         return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
@@ -505,12 +569,16 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     Grouping is by `bucket` (the stored layout key), which is stable
     across ticks even when the hot-key salt set changes.
     """
+    from ..stages.controls import resolve_with_controls, sorted_controls
+
     state = TableState(cfg.table_dir)
-    paths = state.run_paths(manifest)
+    m = manifest or state.load_latest()
+    paths = state.run_paths(m)
     payload = schemas.payload_cols(cfg.schema_version)
     if not paths:
         empty = schemas.table_schema(cfg.schema_version).empty_table()
         return ray.data.from_arrow(empty)
+    controls = sorted_controls(m.control_ops)
     ds = ray.data.read_parquet(paths)
 
     final_cols = [*schemas.KEY_COLS, *payload]
@@ -519,7 +587,8 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     def resolve(group: pd.DataFrame) -> pd.DataFrame:
         if group.empty:
             return target.empty_table().to_pandas()
-        out = resolve_final(group, payload)
+        out = resolve_with_controls(group, payload, controls) if controls \
+            else resolve_final(group, payload)
         if final_only:
             out = out[final_cols]
         return out
@@ -581,6 +650,8 @@ def compact(cfg: EngineConfig) -> Manifest | None:
     Safe because compaction folds a bucket's COMPLETE run list and no
     event at lsn <= committed can ever be re-applied (checkpoint rule).
     """
+    from ..stages.controls import resolve_with_controls, sorted_controls
+
     state = TableState(cfg.table_dir)
     prev = state.load_latest()
     if not prev.buckets and not prev.global_runs:
@@ -590,6 +661,13 @@ def compact(cfg: EngineConfig) -> Manifest | None:
     txn = state.new_txn()
     runs_dir = state.runs_dir
 
+    # absorb control ops the committed watermark covers (their effects
+    # land in the compacted bases and the ops leave the manifest);
+    # future-dated ops must wait for their position's events
+    controls = sorted_controls(prev.control_ops)
+    absorb = [c for c in controls if c.lsn <= prev.committed_lsn]
+    keep_ops = [c.to_dict() for c in controls if c.lsn > prev.committed_lsn]
+
     cols = RUN_COLS_FIXED + payload
 
     def compact_bucket(group: pa.Table) -> pd.DataFrame:
@@ -598,7 +676,13 @@ def compact(cfg: EngineConfig) -> Manifest | None:
                                  "file": pd.Series(dtype="object"),
                                  "rows": pd.Series(dtype="int64")})
         bucket = group[BUCKET_COL][0].as_py()
-        out = fold_table(group.select(cols), payload)
+        if absorb:
+            resolved = resolve_with_controls(
+                group.select(cols).to_pandas(), payload, absorb, sort=False)
+            out = pa.Table.from_pandas(resolved[cols], preserve_index=False) \
+                .replace_schema_metadata(None)
+        else:
+            out = fold_table(group.select(cols), payload)
         out = out.filter(pc.invert(pc.equal(out[schemas.OP_COL],
                                             schemas.OP_DELETE)))
         # the user-visible stable (conv_id, turn_idx) ordering lives in
@@ -625,6 +709,7 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         num_buckets=cfg.num_buckets,
         buckets=buckets,
         derived=_compact_derived(state, prev, txn),
+        control_ops=keep_ops,
         wal_consumed=[],
         metrics={"compaction": True, "live_rows": int(metrics["rows"].sum())},
     ))

@@ -46,13 +46,20 @@ _OP_MAP_TO_COLLAPSED = {
 
 
 def collapse_events(df: pd.DataFrame, payload_cols: list[str],
-                    key_cols: tuple[str, ...] = schemas.KEY_COLS) -> pd.DataFrame:
+                    key_cols: tuple[str, ...] = schemas.KEY_COLS,
+                    barriers: list[int] | None = None) -> pd.DataFrame:
     """Fold a set of change records to one record per key.
 
     Returns a DataFrame with the same columns, one row per key, where
     ``op`` is one of {full, partial, delete} and ``lsn`` is the highest
     lsn folded for that key. Associative: collapse(collapse(A) + B) ==
     collapse(A + B) for lsn-disjoint-or-duplicate inputs.
+
+    ``barriers`` (sorted control-op lsns, see stages/controls.py) split
+    the stream into epochs: the fold then keeps one record per
+    (key, epoch) instead of per key, so a conditional op can still see
+    each key's state as of its own position. An event at exactly a
+    barrier lsn folds into the epoch AFTER it (controls apply first).
 
     Vectorized: one stable sort + a handful of cython groupby kernels;
     no Python loop over rows.
@@ -65,7 +72,13 @@ def collapse_events(df: pd.DataFrame, payload_cols: list[str],
     # identical, keyed by (key, lsn) -> keep one
     df = df.drop_duplicates(subset=[*key_cols, lsn], keep="last", ignore_index=True)
 
-    key_codes = df.groupby(list(key_cols), sort=False, dropna=False).ngroup()
+    if barriers:
+        epoch = np.searchsorted(np.asarray(barriers, dtype=np.int64),
+                                df[lsn].to_numpy(), side="right")
+        key_codes = df.groupby([*key_cols, pd.Series(epoch, index=df.index)],
+                               sort=False, dropna=False).ngroup()
+    else:
+        key_codes = df.groupby(list(key_cols), sort=False, dropna=False).ngroup()
     if not key_codes.duplicated().any():
         # fast path: each key appears once -- nothing to fold
         out = df.copy()
@@ -119,7 +132,8 @@ _COLLAPSED_OPS_ARR = None  # built lazily (needs pyarrow)
 
 
 def fold_table(batch: "pa.Table", payload_cols: list[str],
-               kh: np.ndarray | None = None) -> "pa.Table":
+               kh: np.ndarray | None = None,
+               barriers: list[int] | None = None) -> "pa.Table":
     """Arrow-native fold of a change-record table (columns: key cols,
     lsn, op, payload, any passthrough) to one collapsed record per key.
 
@@ -149,6 +163,14 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
         kh = hash_strings_arrow(batch["conv_id"]) * np.uint64(0x100000001B3) \
             + batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
     lsn = batch[schemas.LSN_COL].to_numpy(zero_copy_only=False)
+    if barriers:
+        # epoch barriers (control ops): same key, different epoch must
+        # stay distinct groups -- mix the epoch into the key hash (same
+        # key/epoch pairs keep identical hashes, so the collision guard
+        # below still compares real keys soundly)
+        epoch = np.searchsorted(np.asarray(barriers, dtype=np.int64),
+                                lsn, side="right").astype(np.uint64)
+        kh = kh * np.uint64(0x9E3779B97F4A7C15) + epoch
     codes = pc.index_in(batch[schemas.OP_COL],
                         value_set=pa.array(_ALL_OPS)).to_numpy(zero_copy_only=False)
     # relative records (update/partial) need prior state -> exact path
@@ -200,7 +222,8 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
         parts.append(fast)
     if len(hard_rows):
         sub_t = batch.take(pa.array(hard_rows))
-        folded = collapse_events(sub_t.to_pandas(), payload_cols)
+        folded = collapse_events(sub_t.to_pandas(), payload_cols,
+                                 barriers=barriers)
         parts.append(pa.Table.from_pandas(folded[batch.column_names],
                                           schema=sub_t.schema,
                                           preserve_index=False)
@@ -210,10 +233,15 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
 
 class BatchCollapser:
     """map_batches combiner: collapse each batch before the shuffle so
-    repeated updates to one key ship once (pre-aggregation pattern)."""
+    repeated updates to one key ship once (pre-aggregation pattern).
+    `barriers` = committed control-op lsns (epoch boundaries the
+    combiner must not fold across)."""
 
-    def __init__(self, payload_cols: list[str]):
+    def __init__(self, payload_cols: list[str],
+                 barriers: list[int] | None = None):
         self.payload_cols = list(payload_cols)
+        self.barriers = list(barriers) if barriers else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return collapse_events(batch, self.payload_cols)
+        return collapse_events(batch, self.payload_cols,
+                               barriers=self.barriers)

@@ -58,6 +58,11 @@ class Manifest:
     #: transaction, stream/Main.scala:16-19): view name -> run files of
     #: additive partials (reader/compaction sum-merges them)
     derived: dict[str, list[str]] = field(default_factory=dict)
+    #: pending conditional table ops (stages/controls.py ControlOp
+    #: dicts, lsn-sorted): committed with the data, applied by snapshot
+    #: read/compaction at their lsn positions, dropped by the first
+    #: compaction whose committed_lsn covers them
+    control_ops: list[dict] = field(default_factory=list)
     #: WAL segment file names consumed by the txn that produced this
     wal_consumed: list[str] = field(default_factory=list)
     #: per-bucket + global metrics of the producing txn (U3 parity:

@@ -17,14 +17,38 @@ from .. import schemas
 
 
 def apply_events_oracle(events: pa.Table | pd.DataFrame,
-                        payload_cols: list[str]) -> pd.DataFrame:
+                        payload_cols: list[str],
+                        control_ops: list | None = None) -> pd.DataFrame:
     """Apply change records (columns: lsn, op, key cols, payload) and
-    return the final visible table sorted by (conv_id, turn_idx)."""
+    return the final visible table sorted by (conv_id, turn_idx).
+
+    `control_ops` (stages/controls.py ControlOp) are interleaved at
+    their lsn positions: each is applied, one row at a time, to the
+    whole state exactly when the replay reaches its lsn (a control at
+    lsn L runs before an event at the same lsn) -- the naive sequential
+    definition the engine's epoch fold must reproduce."""
+    from ..stages.controls import _ASSIGNMENTS, _PREDICATES, sorted_controls
+
     if isinstance(events, pa.Table):
         df = events.to_pandas()
     else:
         df = events.copy()
     df = df.sort_values(schemas.LSN_COL, kind="stable")
+    pending = list(sorted_controls(control_ops))
+
+    def run_control(op, state):
+        pred = op.predicate
+        for key in list(state.keys()):
+            row1 = pd.DataFrame([state[key]])
+            if not bool(_PREDICATES[pred["fn"]](row1[pred["col"]],
+                                                pred["value"]).iloc[0]):
+                continue
+            if op.kind == "delete":
+                del state[key]
+            else:
+                for col, spec in op.assignments.items():
+                    v = _ASSIGNMENTS[spec["fn"]](row1, spec)
+                    state[key][col] = v.iloc[0] if isinstance(v, pd.Series) else v
 
     state: dict[tuple, dict] = {}
     seen: dict[tuple, int] = {}
@@ -32,6 +56,8 @@ def apply_events_oracle(events: pa.Table | pd.DataFrame,
         key = tuple(rec[k] for k in schemas.KEY_COLS)
         lsn = rec[schemas.LSN_COL]
         op = rec[schemas.OP_COL]
+        while pending and pending[0].lsn <= lsn:
+            run_control(pending.pop(0), state)
         if seen.get(key) == lsn:
             continue  # duplicate delivery of the same event
         seen[key] = lsn
@@ -49,6 +75,8 @@ def apply_events_oracle(events: pa.Table | pd.DataFrame,
                 if not pd.isna(v):
                     merged[c] = v
             state[key] = merged
+    while pending:
+        run_control(pending.pop(0), state)
 
     rows = []
     for key in sorted(state.keys()):

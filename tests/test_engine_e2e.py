@@ -293,3 +293,111 @@ def test_dual_sink_atomic_commit(tmp_path, monkeypatch):
         stats2 = ingest.read_derived(cfg).to_pandas().sort_values(
             "conv_id", ignore_index=True)
         pd.testing.assert_frame_equal(stats2, stats)
+
+
+# -- apply-time conditional ops (controls) + expression merge keys ---------
+
+def wal_oracle_with_controls(wal_dir: str, controls) -> pd.DataFrame:
+    tables = [normalize_batch(pq.read_table(p), schemas.table_schema(3),
+                              keep_extra=("lsn", "op"))
+              for p in sorted(glob.glob(os.path.join(wal_dir, "*.parquet")))]
+    return apply_events_oracle(pa.concat_tables(tables), PAYLOAD,
+                               control_ops=controls)
+
+
+def _tiny_controls():
+    from techtalk_data_pipeline_snowpark_ray.stages.controls import ControlOp
+    # C1 rewrites tool for current-'assistant' rows mid-stream; C2 later
+    # deletes exactly the rows C1 touched -- state-at-position semantics
+    # with partial updates crossing both barriers (TINY has 25% partials)
+    return [
+        ControlOp(lsn=700, kind="update",
+                  predicate={"col": "role", "fn": "eq", "value": "assistant"},
+                  assignments={"tool": {"fn": "concat", "col": "tool",
+                                        "value": "-X"}}),
+        ControlOp(lsn=1400, kind="delete",
+                  predicate={"col": "tool", "fn": "contains", "value": "-X"}),
+    ]
+
+
+def test_conditional_controls_match_sequential_oracle(tmp_engine):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ops = _tiny_controls()
+    ingest.apply_tick(tmp_engine, control_ops=ops)
+    snap = ingest.snapshot_to_pandas(tmp_engine)
+    oracle = wal_oracle_with_controls(tmp_engine.wal_dir, ops)
+    assert len(snap) == len(oracle)
+    pd.testing.assert_frame_equal(
+        snap.reset_index(drop=True),
+        oracle.astype({c: snap[c].dtype for c in snap.columns}),
+        check_dtype=False)
+    # compaction absorbs covered ops: same state, ops gone
+    ingest.compact(tmp_engine)
+    snap2 = ingest.snapshot_to_pandas(tmp_engine)
+    pd.testing.assert_frame_equal(snap, snap2, check_dtype=False)
+    assert TableState(tmp_engine.table_dir).load_latest().control_ops == []
+
+
+def test_conditional_controls_direct_mode_and_future_op(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    from techtalk_data_pipeline_snowpark_ray.stages.controls import ControlOp
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"), wal_dir=str(tmp_path / "w"),
+                       num_buckets=4, apply_mode="direct")
+    cfg.ensure_dirs()
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+    ops = _tiny_controls()
+    future = ControlOp(lsn=10_000_000, kind="delete",
+                       predicate={"col": "role", "fn": "eq", "value": "tool"})
+    ingest.apply_tick(cfg, control_ops=ops + [future])
+    # the future-dated op applies to whatever state exists when the
+    # snapshot is read (all events precede it here)
+    snap = ingest.snapshot_to_pandas(cfg)
+    oracle = wal_oracle_with_controls(cfg.wal_dir, ops + [future])
+    assert len(snap) == len(oracle)
+    pd.testing.assert_frame_equal(
+        snap.reset_index(drop=True),
+        oracle.astype({c: snap[c].dtype for c in snap.columns}),
+        check_dtype=False)
+    # compaction absorbs only covered ops; the future op stays pending
+    ingest.compact(cfg)
+    left = TableState(cfg.table_dir).load_latest().control_ops
+    assert [o["lsn"] for o in left] == [10_000_000]
+    snap2 = ingest.snapshot_to_pandas(cfg)
+    pd.testing.assert_frame_equal(snap, snap2, check_dtype=False)
+
+
+def test_control_before_watermark_rejected(tmp_engine):
+    from techtalk_data_pipeline_snowpark_ray.stages.controls import ControlOp
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    stale = ControlOp(lsn=5, kind="delete",
+                      predicate={"col": "role", "fn": "eq", "value": "user"})
+    with pytest.raises(ValueError, match="committed_lsn"):
+        ingest.apply_tick(tmp_engine, control_ops=[stale])
+
+
+def test_prefix_key_extractor_merges_key_space(tmp_engine):
+    import pyarrow.compute as pc
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+
+    def extractor(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("conv_id")
+        return t.set_column(i, "conv_id",
+                            pc.utf8_slice_codeunits(t["conv_id"], 0, 6))
+
+    tmp_engine.extras["key_extractor"] = extractor
+    ingest.apply_tick(tmp_engine)
+    snap = ingest.snapshot_to_pandas(tmp_engine)
+    # oracle over the SAME extracted key space
+    tables = [normalize_batch(pq.read_table(p), schemas.table_schema(3),
+                              keep_extra=("lsn", "op"))
+              for p in sorted(glob.glob(os.path.join(tmp_engine.wal_dir, "*.parquet")))]
+    ev = extractor(pa.concat_tables(tables))
+    oracle = apply_events_oracle(ev, PAYLOAD)
+    assert len(snap) == len(oracle)
+    assert snap["conv_id"].str.len().max() <= 6
+    assert snap["conv_id"].nunique() < 50   # key space actually merged
+    pd.testing.assert_frame_equal(
+        snap.reset_index(drop=True),
+        oracle.astype({c: snap[c].dtype for c in snap.columns}),
+        check_dtype=False)
