@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_out_of_order": cdc_queries.cdc_out_of_order,
         "cdc_schema_evolution": cdc_queries.cdc_schema_evolution,
         "cdc_derived_conv_stats": cdc_queries.cdc_derived_conv_stats,
+        "cdc_derived_role_stats": cdc_queries.cdc_derived_role_stats,
         "cdc_conditional_crud": cdc_queries.cdc_conditional_crud,
         "cdc_prefix_merge": cdc_queries.cdc_prefix_merge,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
@@ -253,6 +254,13 @@ def oracle_sql() -> dict[str, str]:
         "cdc_exactly_once": _CDC_FINAL,   # duplicates must not change it
         "cdc_out_of_order": _CDC_FINAL,   # order must not change it
         "cdc_schema_evolution": _CDC_EVOLUTION,
+        "cdc_derived_role_stats": f"""
+            WITH ch AS ({_CDC_CH})
+            SELECT role, COUNT(*) AS n_events,
+                   CAST(MAX(lsn) AS BIGINT) AS max_lsn
+            FROM ch WHERE op <> 'delete'
+            GROUP BY role ORDER BY role
+        """,
         "cdc_conditional_crud": _CDC_CONDITIONAL,
         "cdc_prefix_merge": _CDC_PREFIX,
         "cdc_derived_conv_stats": f"""

@@ -59,7 +59,18 @@ class EngineConfig:
     #: consumed-record counters), fed by the same delta and committed in
     #: the same atomic manifest publish as the main table (the
     #: reference's one-stream-two-sinks transaction, stream/Main.scala).
+    #: Shorthand for including "conv_stats" in derived_views.
     derived_conv_stats: bool = False
+    #: NAMED derived views maintained alongside the table (see
+    #: pipelines/derived.py registry) -- all fed by the same consumed
+    #: delta, all committed in the same manifest publish.
+    derived_views: tuple = ()
+
+    #: manifest versions whose run files the post-compaction GC keeps
+    #: (time-travel / in-flight-reader retention window). Orphans from
+    #: aborted txns and superseded compactions older than this are
+    #: deleted by run_loop after each compaction.
+    gc_keep_versions: int = 2
 
     # --- generator / determinism -----------------------------------------
     seed: int = 42

@@ -33,12 +33,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.numeric import cents_arrow
-from ..stages.joins import broadcast_join
+from ..stages.joins import auto_join, broadcast_join
 
 JOIN_PARTITIONS = 16
 #: partitions for hash aggregates (Ray's default of 200 spins up 200
@@ -122,13 +123,16 @@ def urgent_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
                          "tot_c": cents_arrow(t["o_totalprice"])})
 
     orders = orders.map_batches(urgent, batch_format="pyarrow", zero_copy_batch=True)
-    # customer/nation are dimension tables -> broadcast (J2/J3 pattern),
-    # pre-joined driver-side into one tiny lookup (one broadcast, no shuffle)
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    # nation is a FIXED dim (25 rows) -> always broadcast onto customer;
+    # customer is sf-PROPORTIONAL -> the size-gated chooser broadcasts
+    # it while it fits and switches to the partitioned hash join beyond
+    # the threshold (it stops being a 'small side' at scale)
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    j = broadcast_join(orders, dim[["c_custkey", "n_name"]],
-                       on="o_custkey", right_on="c_custkey")
+    cust = broadcast_join(_read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+                          nation, on="c_nationkey", right_on="n_nationkey")
+    cust = cust.select_columns(["c_custkey", "n_name"])
+    j = auto_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                  num_partitions=JOIN_PARTITIONS)
     agg = j.groupby("n_name", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n_orders"),
                                         Sum("tot_c", alias_name="sum_tot_c"))
     return agg.sort(["n_orders", "n_name"], descending=[True, False])
@@ -145,9 +149,28 @@ def _col_max(ds: ray.data.Dataset, col: str):
     return max(r[col] for r in parts if r[col] is not None)
 
 
+def _parquet_col_max(path: str, col: str):
+    """Column max straight from parquet row-group statistics -- zero
+    data bytes read. Returns None when any row group lacks min/max
+    stats (caller falls back to a scan)."""
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+    vals = []
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        vals.append(st.max)
+    return max(vals) if vals else None
+
+
 def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
     ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
-    hi = _col_max(ev, "ts")  # deterministic bound from the data
+    # deterministic window bound from the data: footer statistics spare
+    # the extra full scan the per-batch max would cost
+    hi = _parquet_col_max(os.path.join(sf_dir, "events.parquet"), "ts")
+    if hi is None:
+        hi = _col_max(ev, "ts")
     lo = hi - pd.Timedelta(days=7)
 
     def in_window(t: pa.Table) -> pa.Table:
@@ -158,7 +181,9 @@ def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
 
     ev = ev.map_batches(in_window, batch_format="pyarrow", zero_copy_batch=True)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    j = broadcast_join(ev, cust, on="user_id", right_on="c_custkey")
+    # customer is sf-proportional: size-gated broadcast-vs-partitioned
+    j = auto_join(ev, cust, on="user_id", right_on="c_custkey",
+                  num_partitions=JOIN_PARTITIONS)
     agg = j.groupby("c_mktsegment", num_partitions=AGG_PARTITIONS).aggregate(
         Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
 

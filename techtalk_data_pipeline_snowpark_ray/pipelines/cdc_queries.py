@@ -200,6 +200,20 @@ def cdc_derived_conv_stats(sf_dir: str) -> ray.data.Dataset:
     return ingest.read_derived(cfg).sort("conv_id")
 
 
+def cdc_derived_role_stats(sf_dir: str) -> ray.data.Dataset:
+    """Second NAMED derived view (registry parity,
+    ``TopRestaurantsLast30Days.scala:38`` createOrReplaceView +
+    ``stream/Main.scala:16-19`` multi-sink transaction): per-role event
+    counters maintained ALONGSIDE conv_stats from the same consumed
+    delta, all three sinks committed in one manifest publish. Returns
+    the resolved role_stats view."""
+    cfg = _fresh_cfg("roles")
+    cfg.derived_views = ("conv_stats", "role_stats")
+    _write_events_wal(sf_dir, cfg)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    return ingest.read_derived(cfg, "role_stats").sort("role")
+
+
 def cdc_conditional_crud(sf_dir: str) -> ray.data.Dataset:
     """Apply-time conditional UPDATE/DELETE through the engine
     (``SampleCrud.scala:28-36`` conditional update with assignment,

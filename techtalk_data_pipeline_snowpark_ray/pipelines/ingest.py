@@ -125,13 +125,13 @@ class BucketApplier:
     """
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
-                 salt_factor: int = 1, derived_conv_stats: bool = False,
+                 salt_factor: int = 1, derived_views: tuple = (),
                  barriers: list[int] | None = None):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
         self.salt_factor = salt_factor
-        self.derived_conv_stats = derived_conv_stats
+        self.derived_views = tuple(derived_views)
         self.barriers = list(barriers) if barriers else None
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
@@ -155,16 +155,18 @@ class BucketApplier:
         os.replace(tmp, path)
 
         derived_file = None
-        if self.derived_conv_stats:
-            # exact per-conv source-event counts survive the combiner
-            # through the `_n` column
+        if self.derived_views:
+            # exact per-key source-event counts survive the combiner
+            # through the `_n` column (views that need raw per-event
+            # attributes disable the combiner via exact_after_combine)
             counts = (group["_n"].to_numpy(dtype=np.int64)
                       if "_n" in group.columns else None)
-            derived_file = write_conv_stats_partial(
-                pa.Table.from_pandas(group[["conv_id", schemas.LSN_COL]],
-                                     preserve_index=False)
-                  .replace_schema_metadata(None),
-                self.runs_dir, self.txn_id, counts=counts)
+            derived_file = write_derived_partials(
+                pa.Table.from_pandas(
+                    group.drop(columns=["_n"], errors="ignore"),
+                    preserve_index=False).replace_schema_metadata(None),
+                self.derived_views, self.runs_dir, self.txn_id,
+                counts=counts)
 
         return pd.DataFrame([{
             "bucket": bucket, "shard": shard, "file": fname,
@@ -200,14 +202,14 @@ class DirectApplier:
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
                  pre_stages: tuple = (), scan_schema: pa.Schema | None = None,
-                 derived_conv_stats: bool = False,
+                 derived_views: tuple = (),
                  barriers: list[int] | None = None):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
         self.pre_stages = tuple(pre_stages)
         self.scan_schema = scan_schema
-        self.derived_conv_stats = derived_conv_stats
+        self.derived_views = tuple(derived_views)
         self.barriers = list(barriers) if barriers else None
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -250,8 +252,8 @@ class DirectApplier:
         pq.write_table(out, tmp, compression="zstd")
         os.replace(tmp, path)
 
-        derived_file = (write_conv_stats_partial(batch, self.runs_dir, self.txn_id)
-                        if self.derived_conv_stats else None)
+        derived_file = write_derived_partials(batch, self.derived_views,
+                                              self.runs_dir, self.txn_id)
 
         op_counts = dict(zip(*np.unique(
             pc.index_in(out[schemas.OP_COL], value_set=_COLLAPSED_OPS)
@@ -278,29 +280,32 @@ def _empty_metrics() -> pd.DataFrame:
     })
 
 
-DERIVED_CONV_STATS = "conv_stats"
+from .derived import DERIVED_CONV_STATS, resolve_views  # noqa: E402
 
 
-def write_conv_stats_partial(batch: pa.Table, runs_dir: str, txn_id: str,
-                             counts: "np.ndarray | None" = None) -> str:
-    """Derived-sink partial for one batch: additive per-conversation
-    counters (consumed records incl. redelivery, max lsn). Written by
-    the same task that applies the delta; becomes visible only through
-    the same manifest publish as the main table (atomic dual sink)."""
-    weights = counts if counts is not None else np.ones(batch.num_rows, np.int64)
-    tbl = pa.table({"conv_id": batch["conv_id"],
-                    "n_events": pa.array(weights, pa.int64()),
-                    "max_lsn": batch[schemas.LSN_COL]})
-    agg = pa.TableGroupBy(tbl, "conv_id").aggregate(
-        [("n_events", "sum"), ("max_lsn", "max")])
-    agg = agg.select(["conv_id", "n_events_sum", "max_lsn_max"]) \
-             .rename_columns(["conv_id", "n_events", "max_lsn"])
-    fname = f"derived-{DERIVED_CONV_STATS}-x{txn_id}-{uuid.uuid4().hex[:12]}.parquet"
-    path = os.path.join(runs_dir, fname)
-    tmp = path + ".tmp"
-    pq.write_table(agg, tmp, compression="zstd")
-    os.replace(tmp, path)
-    return fname
+def write_derived_partials(batch: pa.Table, view_names, runs_dir: str,
+                           txn_id: str,
+                           counts: "np.ndarray | None" = None) -> str | None:
+    """Write one additive partial file per registered derived view for
+    this batch (see pipelines/derived.py). Written by the same task that
+    applies the delta; all partials become visible only through the same
+    manifest publish as the main table (atomic multi-sink). Returns a
+    JSON {view: filename} string for the metrics row (None when no
+    views are configured)."""
+    import json
+
+    if not view_names:
+        return None
+    out: dict[str, str] = {}
+    for view in resolve_views(view_names):
+        agg = view.partial(batch, counts)
+        fname = f"derived-{view.name}-x{txn_id}-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(runs_dir, fname)
+        tmp = path + ".tmp"
+        pq.write_table(agg, tmp, compression="zstd")
+        os.replace(tmp, path)
+        out[view.name] = fname
+    return json.dumps(out)
 
 
 # --------------------------------------------------------------------------
@@ -407,6 +412,14 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         return None
     payload = schemas.payload_cols(cfg.schema_version)
     direct = direct_mode
+    view_names = list(cfg.derived_views)
+    if cfg.derived_conv_stats and DERIVED_CONV_STATS not in view_names:
+        view_names.append(DERIVED_CONV_STATS)
+    views = resolve_views(view_names)
+    # views reading per-event attributes the fold collapses away need
+    # raw events in the applier -> skip the pre-shuffle combiner
+    pre_collapse = cfg.pre_collapse and all(v.exact_after_combine
+                                            for v in views)
 
     if not direct and hot_convs is None and cfg.hot_key_threshold > 0:
         hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold, cfg.batch_size)
@@ -435,7 +448,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                 payload_cols=payload,
                                 pre_stages=pre,
                                 scan_schema=schemas.change_schema(cfg.schema_version),
-                                derived_conv_stats=cfg.derived_conv_stats,
+                                derived_views=tuple(view_names),
                                 barriers=barriers)
         # Default: Ray's read operator feeds the fused apply stage (one
         # object-store hop). The in-task-scan variant (fused_read=True)
@@ -467,13 +480,13 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
             Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
             batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
         )
-        if cfg.pre_collapse:
+        if pre_collapse:
             # combiner before the shuffle (same interval precondition)
             ds = ds.map_batches(_CountingCollapser(payload, barriers=barriers),
                                 batch_format="pandas", batch_size=None)
         applier_kwargs = dict(runs_dir=state.runs_dir, txn_id=txn,
                               payload_cols=payload, salt_factor=cfg.salt_factor,
-                              derived_conv_stats=cfg.derived_conv_stats,
+                              derived_views=tuple(view_names),
                               barriers=barriers)
         grouped = ds.groupby(SHARD_COL)
         if cfg.apply_concurrency:
@@ -499,9 +512,13 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         for rec in metrics.sort_values("shard").itertuples():
             buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
     derived = {k: list(v) for k, v in prev.derived.items()}
-    if cfg.derived_conv_stats and "derived_file" in metrics.columns:
-        new_derived = [f for f in metrics["derived_file"].tolist() if f]
-        derived.setdefault(DERIVED_CONV_STATS, []).extend(new_derived)
+    if view_names and "derived_file" in metrics.columns:
+        import json as _json
+        for blob in metrics["derived_file"].tolist():
+            if not blob:
+                continue
+            for view, fname in _json.loads(blob).items():
+                derived.setdefault(view, []).append(fname)
 
     committed = max(int(metrics["max_lsn"].max()), max(s.hi for s in segments),
                     prev.committed_lsn)
@@ -605,35 +622,37 @@ def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
 
 def read_derived(cfg: EngineConfig, view: str = DERIVED_CONV_STATS,
                  num_partitions: int = 32) -> ray.data.Dataset:
-    """Resolved state of a derived sink: sum-merge of its additive
-    partials (one row per conv: total records consumed, max lsn)."""
-    from ray.data.aggregate import Max, Sum
+    """Resolved state of a named derived view: distributed associative
+    merge of its additive partials per the registry's merge_spec."""
+    from ray.data.aggregate import Max, Min, Sum
 
+    from .derived import VIEWS
+
+    spec = VIEWS[view]
     state = TableState(cfg.table_dir)
     paths = state.derived_paths(view)
     if not paths:
-        return ray.data.from_arrow(pa.table(
-            {"conv_id": pa.array([], pa.string()),
-             "n_events": pa.array([], pa.int64()),
-             "max_lsn": pa.array([], pa.int64())}))
+        cols = {spec.key: pa.array([], pa.string())}
+        for c, _fn in spec.merge_spec:
+            cols[c] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
+    aggs = {"sum": Sum, "max": Max, "min": Min}
     ds = ray.data.read_parquet(paths)
-    return ds.groupby("conv_id", num_partitions=num_partitions).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Max("max_lsn", alias_name="max_lsn"))
+    return ds.groupby(spec.key, num_partitions=num_partitions).aggregate(
+        *[aggs[fn](c, alias_name=c) for c, fn in spec.merge_spec])
 
 
 def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, list[str]]:
-    """Fold each derived sink's partials into a single file."""
+    """Fold each derived view's partials into a single base file."""
+    from .derived import VIEWS
+
     out: dict[str, list[str]] = {}
     for view, files in prev.derived.items():
         if not files:
             continue
         tbl = pa.concat_tables([pq.read_table(os.path.join(state.runs_dir, f))
                                 for f in files], promote_options="default")
-        agg = pa.TableGroupBy(tbl, "conv_id").aggregate(
-            [("n_events", "sum"), ("max_lsn", "max")])
-        agg = agg.select(["conv_id", "n_events_sum", "max_lsn_max"]) \
-                 .rename_columns(["conv_id", "n_events", "max_lsn"])
+        agg = VIEWS[view].merge_table(tbl)
         fname = f"derived-{view}-base-x{txn}.parquet"
         tmp = os.path.join(state.runs_dir, fname + ".tmp")
         pq.write_table(agg, tmp, compression="zstd")
@@ -743,4 +762,9 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
         ticks += 1
         if compact_every and ticks % compact_every == 0:
             compact(cfg)
+            # sweep run files no manifest in the retention window
+            # references (aborted txns, superseded compactions) -- a
+            # long-running deployment must not accumulate them forever
+            TableState(cfg.table_dir).gc_orphan_runs(
+                keep_versions=cfg.gc_keep_versions)
     return results

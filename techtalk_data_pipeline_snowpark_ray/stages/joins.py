@@ -66,6 +66,43 @@ def broadcast_join(left: ray.data.Dataset, right: "ray.data.Dataset | pd.DataFra
                             batch_size=batch_size)
 
 
+#: right sides at or under this measured size are broadcast; larger
+#: ones take the partitioned hash join. ~256MB of pandas-materialized
+#: dim comfortably fits every worker heap while covering all genuine
+#: dimension tables; sf-proportional tables (customer!) outgrow it and
+#: switch paths instead of silently becoming a driver-memory bomb.
+BROADCAST_THRESHOLD_BYTES = 256 * 1024 * 1024
+
+
+def auto_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              on: "list[str] | str", right_on: "list[str] | str | None" = None,
+              how: Literal["inner", "left"] = "inner",
+              num_partitions: int = 16,
+              broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
+              ) -> ray.data.Dataset:
+    """Size-gated join strategy chooser: measure the right side (it is
+    materialized -- measuring the candidate small side IS the point),
+    broadcast it when it fits, otherwise run the partitioned hash join.
+
+    Partitioned-path guard for the Ray 2.49 empty-partition ArrowInvalid
+    (a hash partition receiving zero rows from one side reaches acero as
+    a schema-less table): partition count is clamped so the right side
+    averages >=64 rows per partition, which keeps empties out of any
+    densely-keyed join; genuinely sparse key spaces should stay on the
+    broadcast path (raise the threshold) -- see module docstring."""
+    right = right.materialize()
+    rbytes = right.size_bytes() or 0
+    if rbytes <= broadcast_threshold_bytes:
+        return broadcast_join(left, right, on, right_on, how)
+    on_l = [on] if isinstance(on, str) else list(on)
+    on_r = on_l if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    nparts = max(1, min(num_partitions, right.count() // 64 or 1))
+    return left.join(right, join_type=how, num_partitions=nparts,
+                     on=tuple(on_l),
+                     right_on=tuple(on_r) if on_r != on_l else None)
+
+
 def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
                         anti: bool = False) -> ray.data.Dataset:
     """Semi (keep matching) / anti (keep non-matching) join against a

@@ -257,7 +257,7 @@ def test_dual_sink_atomic_commit(tmp_path, monkeypatch):
         cfg = EngineConfig(table_dir=str(tmp_path / f"t{i}"),
                            wal_dir=str(tmp_path / f"w{i}"),
                            num_buckets=4, apply_mode=mode,
-                           derived_conv_stats=True)
+                           derived_views=("conv_stats", "role_stats"))
         cfg.ensure_dirs()
         write_wal(TINY, cfg.wal_dir, segment_rows=500)
         # crash before publish: NEITHER sink becomes visible
@@ -286,13 +286,29 @@ def test_dual_sink_atomic_commit(tmp_path, monkeypatch):
         pd.testing.assert_frame_equal(
             stats, expect.sort_values("conv_id", ignore_index=True),
             check_dtype=False)
-        # compaction folds the partials and preserves totals
+        # the SECOND named view rides the same transaction (registry):
+        # per-role counts over non-delete events
+        assert m.derived["role_stats"]
+        roles = ingest.read_derived(cfg, "role_stats").to_pandas() \
+            .sort_values("role", ignore_index=True)
+        edf = events.to_pandas()
+        expect_roles = (edf[(edf["op"] != "delete") & edf["role"].notna()]
+                        .groupby("role", as_index=False)
+                        .agg(n_events=("lsn", "size"), max_lsn=("lsn", "max")))
+        pd.testing.assert_frame_equal(
+            roles, expect_roles.sort_values("role", ignore_index=True),
+            check_dtype=False)
+        # compaction folds the partials and preserves totals in BOTH views
         ingest.compact(cfg)
         m2 = TableState(cfg.table_dir).load_latest()
         assert len(m2.derived["conv_stats"]) == 1
+        assert len(m2.derived["role_stats"]) == 1
         stats2 = ingest.read_derived(cfg).to_pandas().sort_values(
             "conv_id", ignore_index=True)
         pd.testing.assert_frame_equal(stats2, stats)
+        roles2 = ingest.read_derived(cfg, "role_stats").to_pandas() \
+            .sort_values("role", ignore_index=True)
+        pd.testing.assert_frame_equal(roles2, roles)
 
 
 # -- apply-time conditional ops (controls) + expression merge keys ---------
@@ -401,3 +417,25 @@ def test_prefix_key_extractor_merges_key_space(tmp_engine):
         snap.reset_index(drop=True),
         oracle.astype({c: snap[c].dtype for c in snap.columns}),
         check_dtype=False)
+
+
+def test_run_loop_gc_sweeps_orphans(tmp_engine):
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=250)
+    for t, sv in chunks:
+        w.append(t, sv)
+    w.close()
+    ingest.run_loop(tmp_engine, stop_when_idle=True, compact_every=1)
+    state = TableState(tmp_engine.table_dir)
+    latest = state.latest_version()
+    referenced = set()
+    v = latest
+    for _ in range(tmp_engine.gc_keep_versions):
+        if v is None:
+            break
+        m = state.load(v)
+        referenced.update(m.run_files())
+        v = m.parent
+    on_disk = {f for f in os.listdir(state.runs_dir) if f.endswith(".parquet")}
+    assert on_disk == referenced          # nothing unreferenced survives
+    assert_matches_oracle(tmp_engine)     # and the data is still right

@@ -205,3 +205,25 @@ def test_video_frame_sampling_counts():
     want = int(((vids["n_frames"] + 4) // 5).sum())
     assert len(out) == want
     assert (out["frame_idx"] % 5 == 0).all()
+
+
+# -- join strategy chooser -------------------------------------------------
+
+def test_auto_join_partitioned_path_equals_broadcast():
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        auto_join, broadcast_join)
+    import pandas as pd
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": list(range(500)) * 2, "v": range(1000)}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"rk": range(500), "w": [i * 10 for i in range(500)]}))
+    a = auto_join(left, right, on="k", right_on="rk",
+                  broadcast_threshold_bytes=0,       # force partitioned
+                  num_partitions=4).to_pandas()
+    b = broadcast_join(left, right.to_pandas(), on="k",
+                       right_on="rk").to_pandas()
+    cols = sorted(set(a.columns) & set(b.columns))
+    a2 = a[cols].sort_values(cols, ignore_index=True)
+    b2 = b[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
