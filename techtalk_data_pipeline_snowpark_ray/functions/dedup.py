@@ -69,31 +69,41 @@ def exact_dedup_documents(sf_dir: str) -> ray.data.Dataset:
       1. within-batch combiner: one (hash, min doc_id, count) row per
          distinct text per batch -- the text itself never leaves the
          batch;
-      2. hash-partitioned `groupby(h).aggregate(Min, Sum)` -- the final
-         reduce runs where the partition lives; the driver never sees
-         per-document rows (at 100 TB the per-batch partials are
-         billions of rows, so a driver reduce is not an option).
+      2. partials hash-route by content hash into AGG_PARTITIONS
+         partitions and each partition reduces its own keys with ONE
+         vectorized pandas groupby -- the final reduce runs where the
+         partition lives; the driver never sees per-document rows (at
+         100 TB the per-batch partials are billions of rows, so a
+         driver reduce is not an option). The routed map_groups shape
+         is deliberate: Ray 2.49's hash-shuffle `.aggregate()` spins
+         `num_partitions` aggregator actors per call (~0.7s each of
+         pure startup), while the sort-based map_groups shuffle moves
+         the same pre-aggregated rows for milliseconds.
 
     64-bit xxhash collisions would merge two distinct texts; at the
     corpus sizes this targets (~2^40 docs vs 2^64 space) the expected
     collision count is ~2^16 of 2^40 -- the scale path re-checks texts
     within h-groups in a second keyed pass when that matters.
     """
-    from ray.data.aggregate import Min, Sum
-
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = batch.groupby("text", sort=False, as_index=False).agg(
             doc_id=("doc_id", "min"), n=("doc_id", "size"))
         out["h"] = fingerprint_series(out["text"])
-        return out[["h", "doc_id", "n"]]
+        out["part"] = (out["h"].to_numpy().astype(np.uint64)
+                       % np.uint64(AGG_PARTITIONS)).astype(np.int32)
+        return out[["part", "h", "doc_id", "n"]]
 
-    agg = (ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-             .groupby("h", num_partitions=AGG_PARTITIONS)
-             .aggregate(Min("doc_id", alias_name="doc_id"),
-                        Sum("n", alias_name="n_copies")))
-    return agg.select_columns(["doc_id", "n_copies"]).sort("doc_id")
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("h", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n", "sum"))
+        return out[["doc_id", "n_copies"]]
+
+    return (ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+              .groupby("part", num_partitions=AGG_PARTITIONS)
+              .map_groups(reduce_partition, batch_format="pandas")
+              .sort("doc_id"))
 
 
 # -- shingling + minhash ---------------------------------------------------
@@ -155,43 +165,81 @@ def _empty_pairs() -> pd.DataFrame:
                          "id_b": pd.Series(dtype="int64")})
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    """Pairs of one LSH bucket (band_id, band_hash), emitted WHERE THE
-    BUCKET LIVES (inside groupby.map_groups): singleton buckets -- the
-    overwhelming majority -- return nothing; mega-buckets (one heavily
-    duplicated content cluster) fall back to star pairing against the
-    min id, preserving cluster membership at n-1 pairs, and are counted
-    in a `sampled` column so the cap is never silent."""
-    ids = np.unique(group["doc_id"].to_numpy(dtype=np.int64))
-    n = len(ids)
-    if n < 2:
+def _partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    """Emit candidate pairs for EVERY LSH bucket hash-routed to this
+    partition, fully vectorized (factorize + bincount bucket boundaries;
+    one numpy triu per multi-occupant bucket). Singleton buckets -- the
+    overwhelming majority -- cost nothing but the factorize. Runs
+    inside groupby(partition).map_groups: one Python call per PARTITION,
+    never per bucket (a per-bucket callable at ~1 group/doc/band is
+    pure call overhead).
+
+    Mega-buckets (one heavily duplicated content cluster) above
+    MAX_BUCKET_PAIRS fall back to star pairing against the min id --
+    cluster membership survives with n-1 pairs -- and are reported in
+    the `sampled` column so the cap is never silent."""
+    if part.empty:
         return _empty_pairs().assign(sampled=pd.Series(dtype="int64"))
-    if n > MAX_BUCKET_PAIRS:
-        out = pd.DataFrame({"id_a": np.repeat(ids[0], n - 1),
-                            "id_b": ids[1:]})
-        out["sampled"] = np.int64(n)
-        return out
-    iu = np.triu_indices(n, 1)
-    out = pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
-    out["sampled"] = np.int64(0)
-    return out
+    mm = part.drop_duplicates(["band_id", "band_hash", "doc_id"]) \
+             .sort_values(["band_id", "band_hash", "doc_id"],
+                          ignore_index=True)
+    mix = (mm["band_id"].to_numpy().astype(np.int64) * np.int64(1_000_003)
+           ^ mm["band_hash"].to_numpy().astype(np.int64))
+    codes = pd.factorize(mix)[0]
+    ids = mm["doc_id"].to_numpy(dtype=np.int64)
+    sizes = np.bincount(codes)
+    starts = np.zeros(len(sizes), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=starts[1:])
+    pairs = []
+    two = sizes == 2
+    if two.any():
+        s2 = starts[two]
+        pairs.append(pd.DataFrame({"id_a": ids[s2], "id_b": ids[s2 + 1],
+                                   "sampled": np.int64(0)}))
+    for g in np.flatnonzero(sizes > 2):
+        u = ids[starts[g]: starts[g] + sizes[g]]
+        if len(u) > MAX_BUCKET_PAIRS:
+            pairs.append(pd.DataFrame({"id_a": np.repeat(u[0], len(u) - 1),
+                                       "id_b": u[1:],
+                                       "sampled": np.int64(len(u))}))
+        else:
+            iu = np.triu_indices(len(u), 1)
+            pairs.append(pd.DataFrame({"id_a": u[iu[0]], "id_b": u[iu[1]],
+                                       "sampled": np.int64(0)}))
+    if not pairs:
+        return _empty_pairs().assign(sampled=pd.Series(dtype="int64"))
+    return pd.concat(pairs, ignore_index=True)
 
 
 def _candidate_pairs(sf_dir: str) -> pd.DataFrame:
     """LSH candidate pairs (distinct, a<b).
 
-    Fully distributed: band rows shuffle by (band_id, band_hash) and
-    each bucket emits its own pairs inside `groupby().map_groups` -- no
-    driver-side bucket counting, no per-row membership loop. Only the
-    emitted pairs (tiny relative to the corpus by LSH construction)
-    reach the driver, where the cross-band duplicates are dropped."""
+    Fully distributed: band rows hash-route by bucket key into
+    AGG_PARTITIONS coarse partitions (each bucket lands wholly in one
+    partition) and each partition emits its buckets' pairs vectorized
+    -- no driver-side bucket counting, no per-row membership loop, no
+    per-bucket Python call. Only the emitted pairs (tiny relative to
+    the corpus by LSH construction) reach the driver, where cross-band
+    duplicates are dropped."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    bands = ds.map_batches(MinHasher(), batch_format="pandas",
+
+    class BandRouter(MinHasher):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = MinHasher.__call__(self, batch)
+            bh = out["band_hash"].to_numpy().astype(np.uint64)
+            bi = out["band_id"].to_numpy().astype(np.uint64)
+            out["part"] = ((bh * np.uint64(0x9E3779B97F4A7C15) + bi)
+                           % np.uint64(AGG_PARTITIONS)).astype(np.int32)
+            return out
+
+    bands = ds.map_batches(BandRouter(), batch_format="pandas",
                            batch_size=4096)
 
-    pairs = (bands.groupby(["band_id", "band_hash"],
-                           num_partitions=AGG_PARTITIONS)
-                  .map_groups(_bucket_pairs, batch_format="pandas")
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        return _partition_pairs(part)
+
+    pairs = (bands.groupby("part", num_partitions=AGG_PARTITIONS)
+                  .map_groups(emit, batch_format="pandas")
                   .to_pandas())
     if pairs.empty:
         return _empty_pairs()
