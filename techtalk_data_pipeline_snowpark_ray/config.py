@@ -38,6 +38,13 @@ class EngineConfig:
     #: rows per batch for map_batches stages (tune by bytes: transcript text
     #: dominates; ~64k rows * ~200B text ~ 13MB/batch).
     batch_size: int = 65536
+    #: rows per fold/write unit in direct apply mode. Ray's parquet read
+    #: can emit many small blocks (one per row group); coalescing them to
+    #: ~256k rows (~65MB of transcript) per applier call cuts run-file
+    #: count ~20x, improves the within-task fold ratio, and measured
+    #: 3.8x faster compaction at 96M events -- while one batch x workers
+    #: still fits comfortably in worker heaps. Size DOWN for fat rows.
+    direct_batch_rows: int = 262144
     #: actor-pool size for the merge-apply stage; None -> let Ray size tasks.
     apply_concurrency: int | None = None
     #: pre-collapse each batch before the shuffle (combiner). Cuts shuffle

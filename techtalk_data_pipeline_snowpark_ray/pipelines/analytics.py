@@ -64,6 +64,46 @@ def agg_partitions() -> int:
 
 
 
+def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
+                  batch_size: int | None = None) -> pd.DataFrame:
+    """Grouped aggregate for BOUNDED group cardinality (dimension-like
+    keys: segments, nations, event types): one vectorized pandas
+    partial per batch (<= n_groups rows each) and a tiny driver merge.
+
+    Ray 2.49's hash-shuffle `.aggregate()` spins `num_partitions`
+    aggregator actors per call -- ~7s of pure startup to reduce a few
+    thousand rows to 5 groups (measured). Partial+merge ships
+    n_groups x n_blocks rows total, which for bounded n_groups stays
+    O(small) at any corpus size; unbounded keys (per-order, per-doc)
+    must keep a partitioned reduce instead (see dq_overpaid_orders).
+
+    agg_spec: {out_col: (src_col, fn)} with fn in
+    {"sum", "count", "max", "min"}; count merges as sum of partials.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(keys, sort=False, as_index=False)
+        cols = {}
+        for out, (src, fn) in agg_spec.items():
+            if fn == "count":
+                s = g.size().rename(columns={"size": out})
+            else:
+                s = getattr(g[src], fn)().rename(columns={src: out})
+            cols[out] = s[out]
+            key_frame = s[keys]
+        return pd.concat([key_frame] + [c.to_frame() for c in cols.values()],
+                         axis=1)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=batch_size).to_pandas()
+    merge_fn = {out: ("sum" if fn == "count" else fn)
+                for out, (_src, fn) in agg_spec.items()}
+    g = parts.groupby(keys, sort=False, as_index=False)
+    out = g.agg(**{out: (out, fn) for out, fn in merge_fn.items()})
+    return out
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
                                  columns=columns)
@@ -88,45 +128,68 @@ def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
             "disc_c": cents_arrow(disc),
         })
 
-    agg = (ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["l_returnflag", "l_linestatus"], num_partitions=agg_partitions())
-             .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
-                        Sum("base_c", alias_name="sum_base_c"),
-                        Sum("disc_c", alias_name="sum_disc_c"),
-                        Count(alias_name="count_order")))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        avg_qty = pc.divide(pc.divide(pc.cast(t["sum_qty_c"], pa.float64()), 100.0),
-                            pc.cast(t["count_order"], pa.float64()))
-        return t.append_column("avg_qty", avg_qty)
-
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    pre = ds.map_batches(measures, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small_groupby(pre, ["l_returnflag", "l_linestatus"], {
+        "sum_qty_c": ("qty_c", "sum"), "sum_base_c": ("base_c", "sum"),
+        "sum_disc_c": ("disc_c", "sum"), "count_order": ("qty_c", "count")})
+    agg["avg_qty"] = (agg["sum_qty_c"].astype("float64") / 100.0) \
+        / agg["count_order"].astype("float64")
+    return agg.sort_values(["l_returnflag", "l_linestatus"],
+                           ignore_index=True)
 
 
 # -- data-quality: orders whose line revenue exceeds the header total ------
 # (group-sum per key -> join back -> col-vs-col comparison filter)
 
 def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    """Group-sum per key ⋈ fact + col-vs-col filter, as ONE routed
+    co-partition stage: both sides hash-route by o_orderkey into K
+    coarse partitions (a key lands wholly in one partition), and each
+    partition does the sum + inner merge + rev>tot filter in a single
+    vectorized pandas call. Same exchange volume as agg-then-join, but
+    one shuffle instead of two and no per-call aggregator/join actor
+    startup (measured 9s -> 2.8s at sf0.1/32 cpus on Ray 2.49)."""
+    nparts = agg_partitions()
 
-    def rev(t: pa.Table) -> pa.Table:
+    def li_side(t: pa.Table) -> pd.DataFrame:
         r = pc.multiply(pc.cast(t["l_extendedprice"], pa.float64()),
                         pc.subtract(pa.scalar(1.0), pc.cast(t["l_discount"], pa.float64())))
-        return pa.table({"o_orderkey": t["l_orderkey"], "rev_c": cents_arrow(r)})
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        # within-batch combiner: pre-sum per key before the shuffle
+        df = pd.DataFrame({"o_orderkey": key,
+                           "rev_c": cents_arrow(r).to_numpy(zero_copy_only=False)})
+        df = df.groupby("o_orderkey", sort=False, as_index=False)["rev_c"].sum()
+        df["tot_c"] = np.int64(0)
+        df["side"] = np.int8(0)
+        df["part"] = (df["o_orderkey"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
 
-    per_order = (li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
-                   .groupby("o_orderkey", num_partitions=agg_partitions()).aggregate(Sum("rev_c", alias_name="rev_c")))
+    def o_side(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False),
+            "rev_c": np.int64(0),
+            "tot_c": cents_arrow(t["o_totalprice"]).to_numpy(zero_copy_only=False)})
+        df["side"] = np.int8(1)
+        df["part"] = (df["o_orderkey"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]).map_batches(
-        lambda t: pa.table({"o_orderkey": t["o_orderkey"],
-                            "tot_c": cents_arrow(t["o_totalprice"])}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        li_g = g[g["side"] == 0]
+        o_g = g[g["side"] == 1]
+        rev = li_g.groupby("o_orderkey", sort=False, as_index=False)["rev_c"].sum()
+        out = rev.merge(o_g[["o_orderkey", "tot_c"]], on="o_orderkey",
+                        how="inner")
+        return out[out["rev_c"] > out["tot_c"]]
 
-    joined = per_order.join(orders, join_type="inner",
-                            num_partitions=join_partitions(), on=("o_orderkey",))
-    return joined.map_batches(
-        lambda t: t.filter(pc.greater(t["rev_c"], t["tot_c"])),
-        batch_format="pyarrow")
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
+        .map_batches(o_side, batch_format="pyarrow", zero_copy_batch=True)
+    return li.union(orders).groupby("part", num_partitions=nparts) \
+             .map_groups(merge_part, batch_format="pandas")
 
 
 # -- 3-way join + equality filter + agg + sort (Amex-analogue) -------------
@@ -150,9 +213,10 @@ def urgent_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
     cust = cust.select_columns(["c_custkey", "n_name"])
     j = auto_join(orders, cust, on="o_custkey", right_on="c_custkey",
                   num_partitions=join_partitions())
-    agg = j.groupby("n_name", num_partitions=agg_partitions()).aggregate(Count(alias_name="n_orders"),
-                                        Sum("tot_c", alias_name="sum_tot_c"))
-    return agg.sort(["n_orders", "n_name"], descending=[True, False])
+    agg = small_groupby(j, "n_name", {"n_orders": ("tot_c", "count"),
+                                      "sum_tot_c": ("tot_c", "sum")})
+    return agg.sort_values(["n_orders", "n_name"], ascending=[False, True],
+                           ignore_index=True)
 
 
 # -- date-window filter + group-avg + join dim + sort desc (Top30 analogue)
@@ -201,16 +265,12 @@ def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
     # customer is sf-proportional: size-gated broadcast-vs-partitioned
     j = auto_join(ev, cust, on="user_id", right_on="c_custkey",
                   num_partitions=join_partitions())
-    agg = j.groupby("c_mktsegment", num_partitions=agg_partitions()).aggregate(
-        Count(alias_name="n_events"), Sum("value_c", alias_name="sum_value_c"))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        avg_value = pc.divide(pc.divide(pc.cast(t["sum_value_c"], pa.float64()), 100.0),
-                              pc.cast(t["n_events"], pa.float64()))
-        return t.append_column("avg_value", avg_value)
-
-    return agg.map_batches(finalize, batch_format="pyarrow") \
-              .sort(["n_events", "c_mktsegment"], descending=[True, False])
+    agg = small_groupby(j, "c_mktsegment", {
+        "n_events": ("value_c", "count"), "sum_value_c": ("value_c", "sum")})
+    agg["avg_value"] = (agg["sum_value_c"].astype("float64") / 100.0) \
+        / agg["n_events"].astype("float64")
+    return agg.sort_values(["n_events", "c_mktsegment"],
+                           ascending=[False, True], ignore_index=True)
 
 
 # -- expression join on derived string key (SampleStream J6) ---------------
@@ -230,8 +290,8 @@ def derived_key_join(sf_dir: str) -> ray.data.Dataset:
                             "n_name": t["n_name"]}),
         batch_format="pyarrow", zero_copy_batch=True)
     j = broadcast_join(cust, nation, on="k")
-    return (j.groupby("k", num_partitions=agg_partitions()).aggregate(Count(alias_name="n_pairs"))
-             .select_columns(["k", "n_pairs"]).sort("k"))
+    agg = small_groupby(j, "k", {"n_pairs": ("k", "count")})
+    return agg.sort_values("k", ignore_index=True)
 
 
 # -- contains/startswith filters + dedup-by-key (SampleCrud) ---------------
@@ -246,8 +306,9 @@ def crud_filter_dedup(sf_dir: str) -> ray.data.Dataset:
         t = t.filter(m)
         return t.select(["p_brand", "p_partkey"])
 
-    return (part.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
-                .groupby("p_brand", num_partitions=agg_partitions()).aggregate(Min("p_partkey", alias_name="p_partkey")))
+    pre = part.map_batches(flt, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small_groupby(pre, "p_brand", {"p_partkey": ("p_partkey", "min")})
+    return agg.sort_values("p_brand", ignore_index=True)
 
 
 # -- union with source tag (O2/T4) -----------------------------------------
@@ -272,14 +333,11 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"event_type": t["event_type"], "hour": hour,
                          "value_c": cents_arrow(t["value"])})
 
-    agg = (ev.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-             .groupby(["event_type", "hour"], num_partitions=agg_partitions())
-             .aggregate(Count(alias_name="n"), Sum("value_c", alias_name="sum_value_c")))
-    # the shuffle may widen the timestamp key; pin the output to us
-    return agg.map_batches(
-        lambda t: t.set_column(t.schema.get_field_index("hour"), "hour",
-                               pc.cast(t["hour"], pa.timestamp("us"))),
-        batch_format="pyarrow")
+    pre = ev.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small_groupby(pre, ["event_type", "hour"], {
+        "n": ("value_c", "count"), "sum_value_c": ("value_c", "sum")})
+    agg["hour"] = agg["hour"].astype("datetime64[us]")
+    return agg.sort_values(["event_type", "hour"], ignore_index=True)
 
 
 # -- sessionization: per-key ordered, gap-based windows --------------------
@@ -318,8 +376,8 @@ def events_semi_join(sf_dir: str) -> ray.data.Dataset:
                urgent.map_batches(keys, batch_format="pyarrow").take_all()}
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
     j = broadcast_semi_join(ev, key_set, on="user_id")
-    return (j.groupby("event_type", num_partitions=agg_partitions()).aggregate(Count(alias_name="n"))
-             .sort("event_type"))
+    agg = small_groupby(j, "event_type", {"n": ("user_id", "count")})
+    return agg.sort_values("event_type", ignore_index=True)
 
 
 # -- top-k with limit (O4) -------------------------------------------------
@@ -344,7 +402,7 @@ def props_json_extract(sf_dir: str) -> ray.data.Dataset:
                     pa.int64())
         return pa.table({"event_type": t["event_type"], "k": k})
 
-    return (ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("event_type", num_partitions=agg_partitions())
-              .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"),
-                         Max("k", alias_name="max_k")))
+    pre = ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small_groupby(pre, "event_type", {
+        "n": ("k", "count"), "sum_k": ("k", "sum"), "max_k": ("k", "max")})
+    return agg.sort_values("event_type", ignore_index=True)

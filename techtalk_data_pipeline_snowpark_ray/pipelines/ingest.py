@@ -469,8 +469,14 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
             ds = ray.data.read_parquet(
                 [s.path for s in segments],
                 schema=schemas.change_schema(cfg.schema_version))
+            # coalesce the read's (often tiny, per-row-group) blocks
+            # into direct_batch_rows fold units: fewer+bigger run files
+            # and a better within-task fold ratio. Consecutive blocks
+            # of one task are consecutive segment rows, so each batch
+            # is still an lsn interval (fold precondition).
             metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
-                                        batch_size=None, zero_copy_batch=True)
+                                        batch_size=cfg.direct_batch_rows,
+                                        zero_copy_batch=True)
     else:
         key_extractor = cfg.extras.get("key_extractor")
         if key_extractor is not None:
