@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "embedding_near_dup": similarity.embedding_near_dup,
         "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
+        "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
         # --- multimodal plumbing (decode stubbed; Ray side real) ---
         "multimodal_features": multimodal.multimodal_features,   # rows-only
         "video_frame_samples": multimodal.video_frame_samples,

@@ -187,6 +187,213 @@ def _block_pair_sims(a_tbl: pa.Table, b_tbl: pa.Table, same: bool,
                          "id_b": b.astype(np.int64)})
 
 
+class IvfTopK(BatchTopK):
+    """IVF (inverted-file) ANN: vectors quantize to their nearest
+    coarse centroid; a query scores ONLY vectors whose cell is among
+    its `n_probe` nearest cells. The centroid matrix is trained once on
+    a deterministic sample and broadcast; per batch the cell assignment
+    is one matmul. This is the classic scale path when hyperplane LSH
+    prunes too weakly (near-isotropic corpora)."""
+
+    def __init__(self, q_ref, k: int, centroids_ref, n_probe: int):
+        super().__init__(q_ref, k)
+        self.C = ray.get(centroids_ref)                  # [n_cells, dim]
+        Cn = self.C / np.linalg.norm(self.C, axis=1, keepdims=True)
+        qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
+        # each query's probe list: its n_probe nearest cells
+        self.q_cells = np.argsort(-(qn @ Cn.T), axis=1)[:, :n_probe]
+        self._Cn = Cn
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids, X = _stack(batch)
+        keep = ids >= N_QUERIES
+        ids, X = ids[keep], X[keep]
+        empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                              "vec_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        if len(ids) == 0:
+            return empty
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        cell = np.argmax(Xn @ self._Cn.T, axis=1)        # [n]
+        rows = [empty]
+        for j, qid in enumerate(self.q_ids):
+            cand = np.isin(cell, self.q_cells[j])
+            if not cand.any():
+                continue
+            S = _cosine(X[cand], self.Q[j:j + 1])[:, 0]
+            cids = ids[cand]
+            order = np.lexsort((cids, -S))[: self.k]
+            rows.append(pd.DataFrame({"query_id": qid, "vec_id": cids[order],
+                                      "sim": S[order]}))
+        return pd.concat(rows, ignore_index=True)
+
+
+def _train_centroids(sf_dir: str, n_cells: int, sample_rows: int = 4096,
+                     iters: int = 10, seed: int = 53) -> np.ndarray:
+    """Seeded Lloyd iterations over a deterministic corpus sample (the
+    sample is bounded, so the driver-side training is O(sample);
+    assignment of the full corpus stays distributed)."""
+    def sample(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids >= N_QUERIES)
+                                 & (ids < N_QUERIES + sample_rows)))
+
+    t = _emb(sf_dir).map_batches(sample, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    X = np.stack(pd.DataFrame(t)["embedding"].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        a = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(axis=0)
+    return C
+
+
+def ann_topk_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
+                 n_probe: int = 4) -> pd.DataFrame:
+    """Approximate top-k via IVF coarse quantization (see IvfTopK)."""
+    q_ids, Q = _query_matrix(sf_dir)
+    C = _train_centroids(sf_dir, n_cells)
+    q_ref = ray.put((q_ids, Q))
+    c_ref = ray.put(C)
+    parts = _emb(sf_dir).map_batches(
+        IvfTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
+        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, centroids_ref=c_ref,
+                                   n_probe=n_probe),
+        zero_copy_batch=True).to_pandas()
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
+        out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                 "vec_id": g["vec_id"].to_numpy()[order]}))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64")})
+    return (pd.concat(out, ignore_index=True)
+              .sort_values(["query_id", "vec_id"], ignore_index=True))
+
+
+def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
+                           n_bands: int = 16, band_planes: int = 8,
+                           modulus: int = 1) -> pd.DataFrame:
+    """Near-duplicate pairs at a GENUINE duplicate threshold (cos >=
+    ~0.9) via banded hyperplane LSH -- the bucketed scale path promised
+    by `embedding_near_dup`'s docstring:
+
+      signature -> B bands of R planes -> co-partition by (band, sig)
+      -> per-partition vectorized pair emission (the minhash shape)
+      -> exact-cosine verification of candidates only.
+
+    Recall at cos s per band is (1 - acos(s)/pi)^R: with R=8/B=16
+    that's >0.999 at s=0.95 and ~0.43 per band at s=0.9 (misses
+    ~1-(1-0.43^1)^16 ~ 1e-4). Background pairs (s~0.16 here) become
+    candidates at ~13%, so this prunes ~8x -- hyperplane LSH is the
+    honest-but-weak pruner on near-isotropic vectors; IVF cells
+    (`ann_topk_ivf`) quantize harder when recall can be traded."""
+    rng = np.random.default_rng(271)
+    planes_by_band = None
+
+    def subset(b: pa.Table) -> pa.Table:
+        if modulus <= 1:
+            return b
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % modulus == 0))
+
+    sub = _emb(sf_dir).map_batches(subset, batch_format="pyarrow",
+                                   zero_copy_batch=True).materialize()
+    dim = len(sub.take(1)[0]["embedding"])
+    H = rng.standard_normal((dim, n_bands * band_planes))
+    h_ref = ray.put(H)
+    nparts = 16
+
+    def band_rows(b: pa.Table) -> pd.DataFrame:
+        from ..stages.joins import fetch_broadcast
+        ids, X = _stack(b)
+        if len(ids) == 0:
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "band_id": pd.Series(dtype="int32"),
+                                 "sig": pd.Series(dtype="int64"),
+                                 "part": pd.Series(dtype="int32")})
+        Hh = fetch_broadcast(h_ref)
+        bits = (X @ Hh > 0).reshape(len(ids), n_bands, band_planes)
+        sig = np.zeros((len(ids), n_bands), dtype=np.int64)
+        for r in range(band_planes):
+            sig = sig * 2 + bits[:, :, r]
+        band = np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
+        out = pd.DataFrame({"vec_id": np.repeat(ids, n_bands),
+                            "band_id": band, "sig": sig.ravel()})
+        out["part"] = ((out["sig"].to_numpy().astype(np.uint64)
+                        * np.uint64(0x9E3779B97F4A7C15)
+                        + out["band_id"].to_numpy().astype(np.uint64))
+                       % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        mm = part.drop_duplicates(["band_id", "sig", "vec_id"]) \
+                 .sort_values(["band_id", "sig", "vec_id"], ignore_index=True)
+        mix = (mm["band_id"].to_numpy().astype(np.int64) * np.int64(1_000_003)
+               ^ mm["sig"].to_numpy().astype(np.int64))
+        codes = pd.factorize(mix)[0]
+        ids = mm["vec_id"].to_numpy(dtype=np.int64)
+        sizes = np.bincount(codes)
+        starts = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        out = []
+        for g in np.flatnonzero(sizes > 1):
+            u = ids[starts[g]: starts[g] + sizes[g]]
+            iu = np.triu_indices(len(u), 1)
+            out.append(pd.DataFrame({"id_a": u[iu[0]], "id_b": u[iu[1]]}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    cand = (sub.map_batches(band_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("part", num_partitions=nparts)
+               .map_groups(emit_pairs, batch_format="pandas")
+               .to_pandas())
+    if cand.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    cand = cand.drop_duplicates(ignore_index=True)
+
+    # exact-cosine verification of candidates only: fetch the candidate
+    # embeddings (candidate-proportional) and keep true pairs
+    cand_ids = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
+    ids_ref = ray.put(set(cand_ids.tolist()))
+
+    def fetch(b: pa.Table) -> pd.DataFrame:
+        from ..stages.joins import fetch_broadcast
+        ids, X = _stack(b) if b.num_rows else (np.array([], np.int64), None)
+        keep = np.isin(ids, list(fetch_broadcast(ids_ref))) if len(ids) else \
+            np.array([], bool)
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                                 "emb": pd.Series(dtype="object")})
+        return pd.DataFrame({"vec_id": ids[keep],
+                             "emb": [row for row in X[keep]]})
+
+    rows = sub.map_batches(fetch, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    emb = {int(r["vec_id"]): np.asarray(r["emb"], dtype=np.float64)
+           for r in rows}
+    a = np.stack([emb[i] for i in cand["id_a"]])
+    b2 = np.stack([emb[i] for i in cand["id_b"]])
+    s = np.round((a * b2).sum(axis=1)
+                 / (np.linalg.norm(a, axis=1) * np.linalg.norm(b2, axis=1)), 6)
+    out = cand[s >= threshold]
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD,
                        modulus: int = NEAR_DUP_MODULUS) -> pd.DataFrame:
     """Cosine near-duplicate pairs on the vec_id % modulus == 0 subset.

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Literal
 
+import numpy as np
 import pandas as pd
 
 import ray
@@ -106,7 +107,8 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset,
 def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
                         anti: bool = False) -> ray.data.Dataset:
     """Semi (keep matching) / anti (keep non-matching) join against a
-    broadcast key set (a Bloom filter at larger key cardinalities)."""
+    broadcast key set (use :func:`bloom_semi_join` when the key set is
+    too large to broadcast exactly)."""
     ref = ray.put(frozenset(keys))
 
     def filter_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -114,3 +116,116 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
         return batch[~mask] if anti else batch[mask]
 
     return left.map_batches(filter_batch, batch_format="pandas")
+
+
+class BloomFilter:
+    """Vectorized numpy Bloom filter over int64 keys.
+
+    `m` bits, `k` probes derived per key by splitmix64 remixing --
+    membership tests are pure numpy over a batch, no Python loop. The
+    bit array is the broadcastable summary of an arbitrarily large key
+    set: ~1.2 bytes/key at k=7 for ~1% false positives, vs 8+ bytes/key
+    (plus set overhead) for the exact frozenset."""
+
+    _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+    _MIX2 = np.uint64(0x94D049BB133111EB)
+
+    def __init__(self, m_bits: int, k: int = 7):
+        self.m = int(m_bits)
+        self.k = int(k)
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    @classmethod
+    def sized_for(cls, n_keys: int, bits_per_key: int = 10) -> "BloomFilter":
+        return cls(max(64, n_keys * bits_per_key))
+
+    def _positions(self, keys: np.ndarray) -> np.ndarray:
+        h = keys.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        out = np.empty((self.k, len(keys)), dtype=np.int64)
+        for i in range(self.k):
+            h = (h ^ (h >> np.uint64(30))) * self._MIX1
+            h = (h ^ (h >> np.uint64(27))) * self._MIX2
+            h = h ^ (h >> np.uint64(31))
+            out[i] = (h % np.uint64(self.m)).astype(np.int64)
+        return out
+
+    def add(self, keys: np.ndarray) -> None:
+        pos = self._positions(np.asarray(keys))
+        np.bitwise_or.at(self.bits, pos // 64,
+                         np.uint64(1) << (pos % 64).astype(np.uint64))
+
+    def might_contain(self, keys: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(keys))
+        hit = (self.bits[pos // 64] >> (pos % 64).astype(np.uint64)) \
+            & np.uint64(1)
+        return (hit == 1).all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits |= other.bits
+        return self
+
+
+def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    on: str, right_on: str | None = None,
+                    bits_per_key: int = 10,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Exact semi join whose broadcast side is a Bloom SUMMARY of the
+    right key set, for key sets too large to broadcast exactly:
+
+      1. each right batch builds a partial Bloom (vectorized); the
+         driver OR-merges the fixed-size bit arrays (bytes ~ keys/7,
+         independent of row width);
+      2. the broadcast Bloom pre-filters left rows in place -- only
+         matches + ~1% false positives survive;
+      3. the survivors co-partition with the exact right keys by key
+         hash and a per-partition vectorized isin removes the false
+         positives, so the result is EXACT.
+
+    The all-to-all only ever carries pre-filtered survivors, which is
+    the point: at 100 TB the left side never ships non-matching rows."""
+    right_on = right_on or on
+    n_keys = right.count()
+    proto = BloomFilter.sized_for(n_keys, bits_per_key)
+
+    def partial_bloom(b: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(proto.m, proto.k)
+        bf.add(b[right_on].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+
+    merged = BloomFilter(proto.m, proto.k)
+    for row in right.map_batches(partial_bloom,
+                                 batch_format="pandas").take_all():
+        merged.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    bloom_ref = ray.put(merged)
+
+    nparts = num_partitions
+
+    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+        bf = fetch_broadcast(bloom_ref)
+        keep = bf.might_contain(b[on].to_numpy(dtype=np.int64))
+        out = b[keep].copy()
+        out["_part"] = (out[on].to_numpy().astype(np.uint64)
+                        % np.uint64(nparts)).astype(np.int32)
+        out["_side"] = np.int8(0)
+        return out
+
+    def right_route(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({on: b[right_on].to_numpy(dtype=np.int64)})
+        out["_part"] = (out[on].to_numpy().astype(np.uint64)
+                        % np.uint64(nparts)).astype(np.int32)
+        out["_side"] = np.int8(1)
+        return out
+
+    lf = left.map_batches(prefilter, batch_format="pandas")
+    rk = right.map_batches(right_route, batch_format="pandas")
+
+    def exact_part(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["_side"] == 1, on].unique()
+        out = g[(g["_side"] == 0) & g[on].isin(keys)]
+        return out.drop(columns=["_part", "_side"])
+
+    # union of two differently-shaped frames: pandas aligns by column
+    # name and null-fills, which exact_part tolerates
+    return lf.union(rk).groupby("_part", num_partitions=nparts) \
+             .map_groups(exact_part, batch_format="pandas")

@@ -227,3 +227,55 @@ def test_auto_join_partitioned_path_equals_broadcast():
     a2 = a[cols].sort_values(cols, ignore_index=True)
     b2 = b[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
+
+
+def test_bloom_filter_and_bloom_semi_join():
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        BloomFilter, bloom_semi_join, broadcast_semi_join)
+    rng = np.random.default_rng(11)
+    keys = rng.choice(100_000, size=5_000, replace=False).astype(np.int64)
+    bf = BloomFilter.sized_for(len(keys))
+    bf.add(keys)
+    assert bf.might_contain(keys).all()          # no false negatives
+    probe = rng.integers(200_000, 400_000, size=20_000).astype(np.int64)
+    fp = bf.might_contain(probe).mean()
+    assert fp < 0.05                              # ~1% expected at 10 bits/key
+    # exact semi-join equality vs the frozenset path
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": rng.integers(0, 100_000, size=30_000).astype(np.int64),
+        "v": np.arange(30_000)}))
+    right = ray.data.from_pandas(pd.DataFrame({"rk": keys}))
+    a = bloom_semi_join(left, right, on="k", right_on="rk").to_pandas()
+    b = broadcast_semi_join(left, set(keys.tolist()), on="k").to_pandas()
+    cols = ["k", "v"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True), check_dtype=False)
+
+
+def test_ann_ivf_deterministic_and_decent_recall():
+    a = similarity.ann_topk_ivf(SF_TINY)
+    b = similarity.ann_topk_ivf(SF_TINY)
+    pd.testing.assert_frame_equal(a, b)
+    brute = similarity.ann_topk_cosine(SF_TINY)
+    recall = len(set(map(tuple, a.to_numpy())) & set(map(tuple, brute.to_numpy()))) \
+        / len(brute)
+    assert recall >= 0.3     # n_probe=4 of 16 cells on near-isotropic data
+
+
+def test_embedding_near_dup_lsh_finds_planted_dups(tmp_path):
+    rng = np.random.default_rng(13)
+    X = rng.standard_normal((120, 32)).astype(np.float32)
+    planted = [(3, 80), (10, 95), (40, 111)]
+    for a, b in planted:
+        X[b] = X[a] + rng.standard_normal(32).astype(np.float32) * 0.02
+    sf = make_emb_dir(tmp_path, X)
+    got = similarity.embedding_near_dup_lsh(sf, threshold=0.95)
+    pairs = set(map(tuple, got.to_numpy()))
+    assert set(planted) <= pairs                   # recall 1 on planted dups
+    # precision 1 by construction: every reported pair is exact-verified
+    Xn = X.astype(np.float64)
+    Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
+    for a, b in pairs:
+        assert round(float(Xn[a] @ Xn[b]), 6) >= 0.95
