@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crud_filter_dedup": analytics.crud_filter_dedup,
         "union_tag": analytics.union_tag,
         "events_tumbling_window": analytics.events_tumbling_window,
+        "events_hopping_window": analytics.events_hopping_window,
+        "events_distinct_users": analytics.events_distinct_users,
         "events_sessionize": analytics.events_sessionize,
         "props_json_extract": analytics.props_json_extract,
         "events_semi_join": analytics.events_semi_join,
@@ -345,6 +347,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, CAST(SUM({val_c}) AS BIGINT) AS sum_value_c
             FROM events GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, hour
+        """,
+        "events_hopping_window": f"""
+            SELECT time_bucket(INTERVAL 30 MINUTE, ts)
+                     - i * INTERVAL 30 MINUTE AS window_start,
+                   event_type, COUNT(*) AS n,
+                   CAST(SUM({val_c}) AS BIGINT) AS sum_value_c
+            FROM events CROSS JOIN UNNEST([0, 1]) AS t(i)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "events_sessionize": """
             WITH d AS (

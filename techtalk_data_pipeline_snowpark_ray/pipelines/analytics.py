@@ -406,3 +406,68 @@ def props_json_extract(sf_dir: str) -> ray.data.Dataset:
     agg = small_groupby(pre, "event_type", {
         "n": ("k", "count"), "sum_k": ("k", "sum"), "max_k": ("k", "max")})
     return agg.sort_values("event_type", ignore_index=True)
+
+
+# -- hopping (sliding) window aggregate ------------------------------------
+
+def events_hopping_window(sf_dir: str, size_min: int = 60,
+                          hop_min: int = 30) -> pd.DataFrame:
+    """Overlapping (hopping) windows: every event lands in size/hop
+    windows, emitted vectorized as size/hop shifted copies of the
+    floor-to-hop bucket, then the bounded-cardinality window aggregate
+    (§2.8 sliding-window extension of events_tumbling_window)."""
+    assert size_min % hop_min == 0
+    k = size_min // hop_min
+    ev = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        base = pc.floor_temporal(t["ts"], multiple=hop_min, unit="minute")
+        parts = []
+        for i in range(k):
+            ws = pc.subtract(base, pa.scalar(pd.Timedelta(minutes=i * hop_min)))
+            parts.append(pa.table({
+                "window_start": pc.cast(ws, pa.timestamp("us")),
+                "event_type": t["event_type"],
+                "value_c": cents_arrow(t["value"]),
+            }))
+        return pa.concat_tables(parts)
+
+    pre = ev.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small_groupby(pre, ["window_start", "event_type"], {
+        "n": ("value_c", "count"), "sum_value_c": ("value_c", "sum")})
+    agg["window_start"] = agg["window_start"].astype("datetime64[us]")
+    return agg.sort_values(["window_start", "event_type"], ignore_index=True)
+
+
+# -- exact distributed COUNT(DISTINCT) -------------------------------------
+
+def events_distinct_users(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame:
+    """Exact distinct-user count per event type, distributed: rows
+    hash-route by user_id (each user lands wholly in one partition), a
+    per-partition vectorized drop_duplicates counts its users once, and
+    the per-partition counts sum on the driver (n_types x n_partitions
+    rows). No global shuffle of raw rows beyond the routed exchange; no
+    driver-side distinct."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                           "user_id": uid})
+        # within-batch combiner: distinct before the exchange
+        df = df.drop_duplicates(ignore_index=True)
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(num_partitions)).astype(np.int32)
+        return df
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["event_type", "user_id"])
+        out = d.groupby("event_type", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    parts = (ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+               .groupby("part", num_partitions=num_partitions)
+               .map_groups(count_part, batch_format="pandas")
+               .to_pandas())
+    out = parts.groupby("event_type", sort=False, as_index=False)["n_users"].sum()
+    return out.sort_values("event_type", ignore_index=True)
