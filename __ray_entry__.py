@@ -42,7 +42,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from techtalk_data_pipeline_snowpark_ray.pipelines import analytics, cdc_queries
     from techtalk_data_pipeline_snowpark_ray.functions import (
-        dedup, multimodal, similarity, textstats)
+        dedup, multimodal, sampling, similarity, textstats)
 
     return {
         # --- CDC engine (SURVEY §2.5 U1-U7, §2.1 S7/S8, §2.3 ST2/ST3) ---
@@ -69,15 +69,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": analytics.events_sessionize,
         "props_json_extract": analytics.props_json_extract,
         "events_semi_join": analytics.events_semi_join,
+        "events_anti_join": analytics.events_anti_join,
+        "events_asof_latest_order": analytics.events_asof_latest_order,
+        "top_events_per_user": analytics.top_events_per_user,
+        "value_quantiles": analytics.value_quantiles,
         "top10_expensive_orders": analytics.top10_expensive_orders,
         # --- training-data ops (dedup / text / similarity) ---
         "token_counts": textstats.token_counts,
         "doc_quality": textstats.doc_quality,
         "lang_id": textstats.lang_id,
-        "doc_fingerprint": textstats.doc_fingerprint,      # rows-only
+        "doc_fingerprint": textstats.doc_fingerprint,      # portable md5 mode
+        "doc_split": sampling.doc_split,
         "exact_dedup_documents": dedup.exact_dedup_documents,
         "minhash_near_dup": dedup.minhash_near_dup,
-        "simhash_documents": dedup.simhash_documents,      # rows-only
+        "simhash_documents": dedup.simhash_documents,      # portable md5 mode
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "embedding_near_dup": similarity.embedding_near_dup,
@@ -380,6 +385,46 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o_orderpriority = '1-URGENT')
             GROUP BY event_type ORDER BY event_type
         """,
+        "events_anti_join": """
+            SELECT event_type, COUNT(*) AS n
+            FROM events
+            WHERE user_id NOT IN (SELECT o_custkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "events_asof_latest_order": """
+            WITH j AS (
+              SELECT e.event_id, o.o_orderkey,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e JOIN orders o
+                ON o.o_custkey = e.user_id
+               AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+            )
+            SELECT event_id, o_orderkey FROM j WHERE rn = 1
+            ORDER BY event_id
+        """,
+        "top_events_per_user": f"""
+            WITH r AS (
+              SELECT user_id, event_id, {val_c} AS value_c,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY {val_c} DESC, event_id) AS rn
+              FROM events)
+            SELECT user_id, event_id, value_c FROM r WHERE rn <= 3
+            ORDER BY user_id, event_id
+        """,
+        "value_quantiles": "".join(
+            ("UNION ALL" if i else "")
+            + f"""
+            SELECT event_type, 'p{lab}' AS p,
+                   CAST(quantile_disc({val_c}, {p}) AS BIGINT) AS q_value_c
+            FROM events GROUP BY event_type
+            """
+            for i, (lab, p) in enumerate(
+                [(25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9), (99, 0.99)])
+        ) + " ORDER BY event_type, p",
         "top10_expensive_orders": f"""
             SELECT o_orderkey, {_c('o_totalprice')} AS tot_c
             FROM orders
@@ -440,6 +485,46 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL.format(
             where="doc_id % 2 = 0"),
         "lang_id": _LANG_ID_SQL,
+        # portable md5-derived 64-bit hash: engine's md5_hash64() is
+        # bit-identical to DuckDB md5_number_lower(), making the
+        # fingerprint, the SimHash sketch and the train/val/test split
+        # value-verifiable across engines (not just rows-counted)
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   CAST(md5_number_lower(coalesce(text, '')) >> 1 AS BIGINT) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "simhash_documents": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS ws
+              FROM documents),
+            t AS (SELECT doc_id, unnest(ws) AS tok FROM d),
+            h AS (SELECT doc_id, md5_number_lower(tok) AS th FROM t),
+            b AS (SELECT unnest(range(64)) AS b),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     SUM(CASE WHEN (th >> CAST(b.b AS INTEGER)) & 1 = 1
+                              THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN b GROUP BY doc_id, b.b)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0
+                            THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
+                            ELSE 0 END) >> 1 AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_split": """
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 100
+                          AS BIGINT) AS bucket
+              FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
         "video_frame_samples": """
             SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx
             FROM documents
@@ -447,8 +532,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 = 2
             ORDER BY media_id, frame_idx
         """,
-        # rows-only (non-SQL-expressible): doc_fingerprint +
-        # simhash_documents (polars-xxhash-based sketches), ann_topk_lsh
+        # rows-only (non-SQL-expressible): ann_topk_lsh / ann_topk_ivf
         # (approximate by construction; recall vs brute is pytest-gated),
         # multimodal_features (stubbed decoder's blake2b+RNG features)
     }

@@ -355,7 +355,30 @@ def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
 # -- simhash ---------------------------------------------------------------
 
 class SimHasher:
-    """map_batches actor: 64-bit SimHash per doc over token hashes."""
+    """map_batches actor: 64-bit SimHash per doc over token hashes.
+
+    ``token_hash="md5"`` uses the portable md5-derived token hash
+    (DuckDB ``md5_number_lower`` parity -> the sketch itself is
+    oracle-verifiable value-exactly); the default ``"xx64"`` is the
+    faster engine-internal polars xxhash. The md5 path hashes each
+    DISTINCT token once per batch and memoizes the vocabulary across
+    batches in the actor (__init__-once ST1 lifecycle), so per-token
+    cost amortizes toward a dict lookup on natural-language corpora."""
+
+    def __init__(self, token_hash: str = "xx64"):
+        self.token_hash = token_hash
+        self._vocab: dict[str, int] = {}
+
+    def _hash_tokens(self, tok: pd.Series) -> np.ndarray:
+        if self.token_hash == "xx64":
+            return fingerprint_series(tok).astype(np.uint64)
+        from .textstats import md5_hash64
+        uniq, inv = np.unique(tok.to_numpy(), return_inverse=True)
+        vocab = self._vocab
+        hashes = np.fromiter(
+            (vocab[t] if t in vocab else vocab.setdefault(t, md5_hash64(t))
+             for t in uniq), dtype=np.uint64, count=len(uniq))
+        return hashes[inv]
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         toks = pd.DataFrame({"doc_id": batch["doc_id"],
@@ -363,7 +386,7 @@ class SimHasher:
                  .explode("tok", ignore_index=True)
         toks["tok"] = toks["tok"].fillna("")
         codes, uniq = pd.factorize(toks["doc_id"])
-        h = fingerprint_series(toks["tok"]).astype(np.uint64)
+        h = self._hash_tokens(toks["tok"])
         acc = np.zeros((len(uniq), 64), dtype=np.int64)
         for b in range(64):
             bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
@@ -376,7 +399,12 @@ class SimHasher:
                              "simhash": (sim >> np.uint64(1)).astype(np.int64)})
 
 
-def simhash_documents(sf_dir: str) -> ray.data.Dataset:
+def simhash_documents(sf_dir: str, token_hash: str = "md5") -> ray.data.Dataset:
+    """64-bit SimHash per document. Default token hash is the portable
+    md5 one so the sketch is value-verifiable against a DuckDB oracle
+    (token unnest -> 64 bit-votes -> bit assembly); pass "xx64" for the
+    faster engine-internal hash (rows-only checkable)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher(), batch_format="pandas",
+    return ds.map_batches(SimHasher, fn_constructor_args=(token_hash,),
+                          concurrency=2, batch_format="pandas",
                           batch_size=4096).sort("doc_id")

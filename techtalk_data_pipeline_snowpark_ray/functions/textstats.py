@@ -108,14 +108,42 @@ def fingerprint_series(text: pd.Series, seed: int = 0) -> np.ndarray:
     return (out >> np.uint64(1)).astype(np.int64)
 
 
-def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
-    """Content fingerprint per document (the rolling-hash dedup key).
-    Rows-only check (hash choice is engine-internal); determinism and
-    collision behaviour are pytest-verified."""
+def md5_hash64(s: str) -> int:
+    """Portable 64-bit string hash: bytes 8..16 of md5, little-endian --
+    bit-for-bit equal to DuckDB's ``md5_number_lower()``, so any sketch
+    or routing decision built on it can be re-derived (and oracle-
+    verified) by a different engine. ~2x slower than xxhash per byte;
+    use :func:`fingerprint_series` where the hash never leaves this
+    engine."""
+    import hashlib
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[8:16], "little")
+
+
+def md5_hash64_series(text: pd.Series) -> np.ndarray:
+    """Per-string :func:`md5_hash64` over a batch (uint64). Hashing is
+    inherently per-string work; the comprehension is the per-element
+    digest call itself, not avoidable row logic (~0.5M 200-byte docs/s
+    per core -- the stage stays compute-bound, not interpreter-bound)."""
+    vals = text.fillna("").to_numpy()
+    return np.fromiter((md5_hash64(s) for s in vals), dtype=np.uint64,
+                       count=len(vals))
+
+
+def doc_fingerprint(sf_dir: str, portable: bool = True) -> ray.data.Dataset:
+    """Content fingerprint per document (the content-key for dedup /
+    lineage). Default is the PORTABLE md5-derived 64-bit fingerprint
+    (top bit cleared): cross-engine reproducible, so the driver verifies
+    it value-exactly against DuckDB ``md5_number_lower(text) >> 1``.
+    ``portable=False`` switches to the faster engine-internal polars
+    xxhash (rows-only checkable; determinism pytest-verified)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "fp": fingerprint_series(batch["text"])})
+        if portable:
+            fp = (md5_hash64_series(batch["text"])
+                  >> np.uint64(1)).astype(np.int64)
+        else:
+            fp = fingerprint_series(batch["text"])
+        return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
 
     return ds.map_batches(f, batch_format="pandas", batch_size=8192).sort("doc_id")

@@ -471,3 +471,178 @@ def events_distinct_users(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame
                .to_pandas())
     out = parts.groupby("event_type", sort=False, as_index=False)["n_users"].sum()
     return out.sort_values("event_type", ignore_index=True)
+
+
+# -- as-of join: event -> latest order at-or-before its timestamp ----------
+
+def events_asof_latest_order(sf_dir: str) -> ray.data.Dataset:
+    """Distributed AS-OF join (temporal nearest-<= match), the lookup a
+    CDC/feature pipeline does constantly: for each event, the user's
+    most recent order as of the event time (ties on order date broken
+    by max o_orderkey -- fully deterministic).
+
+    Plan: both sides hash-route by the join key into K coarse
+    partitions (a user's events AND orders land wholly in one
+    partition), then each partition runs ONE vectorized
+    ``pd.merge_asof(by=user)`` -- no per-key Python loop, no global
+    sort: ordering is established per-partition, which is the
+    partitioning assumption this operator relies on (key-hash
+    co-location; skew-safe because no single user exceeds a partition).
+    """
+    nparts = agg_partitions()
+
+    def ev_side(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "ats": t["ts"].to_pandas().astype("datetime64[us]")})
+        df["o_orderkey"] = np.int64(0)
+        df["side"] = np.int8(0)
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def o_side(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["o_custkey"].to_numpy(zero_copy_only=False),
+            "event_id": np.int64(0),
+            "ats": t["o_orderdate"].to_pandas().astype("datetime64[us]"),
+            "o_orderkey": t["o_orderkey"].to_numpy(zero_copy_only=False)})
+        df["side"] = np.int8(1)
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0].sort_values("ats", kind="stable")
+        # sorted by (ats, o_orderkey): merge_asof(backward) takes the
+        # LAST positional row <= ats => max orderkey of the max date
+        right = g[g["side"] == 1].sort_values(["ats", "o_orderkey"],
+                                              kind="stable")
+        if left.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "o_orderkey": pd.Series(dtype="int64")})
+        m = pd.merge_asof(left[["user_id", "event_id", "ats"]],
+                          right[["user_id", "ats", "o_orderkey"]],
+                          on="ats", by="user_id", direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame({"event_id": m["event_id"],
+                             "o_orderkey": m["o_orderkey"].astype("int64")})
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(ev_side, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(o_side, batch_format="pyarrow", zero_copy_batch=True)
+    return ev.union(orders).groupby("part", num_partitions=nparts) \
+             .map_groups(asof_part, batch_format="pandas").sort("event_id")
+
+
+# -- top-k per group (the per-entity leaderboard shape) --------------------
+
+def top_events_per_user(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k events per user by value (ties -> lower event_id), without
+    a global sort: each batch first prunes itself to <=k rows per user
+    (within-batch combiner -- the exchange only ever carries candidate
+    rows), the survivors hash-route by user, and each partition takes
+    its exact per-user top-k vectorized."""
+    nparts = agg_partitions()
+
+    def prune(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "value_c": cents_arrow(t["value"]).to_numpy(zero_copy_only=False)})
+        df = df.sort_values(["value_c", "event_id"],
+                            ascending=[False, True], kind="stable")
+        df = df.groupby("user_id", sort=False).head(k)
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value_c", "event_id"],
+                          ascending=[False, True], kind="stable")
+        out = g.groupby("user_id", sort=False).head(k)
+        return out[["user_id", "event_id", "value_c"]]
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return ev.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("part", num_partitions=nparts) \
+             .map_groups(topk_part, batch_format="pandas") \
+             .sort(["user_id", "event_id"])
+
+
+# -- exact distributed quantiles (discrete-domain histogram method) --------
+
+_QUANTILE_PS = ((25, 0.25), (50, 0.5), (75, 0.75), (90, 0.9), (99, 0.99))
+
+
+def value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT p25/p50/p75/p90/p99 of event value (cents) per event type,
+    distributed by value-count histogram: each batch pre-counts its
+    (type, value) pairs, counts hash-route by value and reduce per
+    partition, and only the HISTOGRAM (one row per distinct (type,
+    cents) pair) reaches the driver for the cumulative-count quantile
+    selection. Exactness relies on the discrete bounded domain (money
+    cents), which caps histogram size independently of row count -- the
+    right trade for 100-TB exact quantiles; unbounded-domain quantiles
+    should use a mergeable sketch (t-digest) instead and accept
+    approximation. Selection index matches DuckDB quantile_disc:
+    sorted[ceil(p*n) - 1]."""
+    nparts = agg_partitions()
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "event_type": t["event_type"].to_pandas(),
+            "value_c": cents_arrow(t["value"]).to_numpy(zero_copy_only=False)})
+        out = df.groupby(["event_type", "value_c"], sort=False,
+                         as_index=False).size().rename(columns={"size": "n"})
+        out["part"] = (out["value_c"].to_numpy().astype(np.uint64)
+                       % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["event_type", "value_c"], sort=False,
+                         as_index=False)["n"].sum()
+
+    hist = (ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+              .groupby("part", num_partitions=nparts)
+              .map_groups(reduce_part, batch_format="pandas")
+              .to_pandas())
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("value_c", ignore_index=True)
+        cum = g["n"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for label, p in _QUANTILE_PS:
+            idx = max(0, int(np.ceil(p * n)) - 1)
+            pos = int(np.searchsorted(cum, idx + 1, side="left"))
+            rows.append({"event_type": etype, "p": f"p{label}",
+                         "q_value_c": int(g["value_c"].iloc[pos])})
+    return pd.DataFrame(rows)
+
+
+# -- anti join: events of users who never placed an urgent order -----------
+
+def events_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast ANTI join (complement of events_semi_join): the urgent
+    key set ships once, batches drop members in place. Anti joins can
+    NOT use the Bloom pre-filter shape (a false positive would wrongly
+    drop a legitimate row), so past broadcast size the scale path is
+    the co-partitioned exact membership stage of bloom_semi_join with
+    the polarity inverted at the final isin."""
+    from ..stages.joins import broadcast_semi_join
+
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return t.select(["o_custkey"])
+
+    key_set = {r["o_custkey"] for r in
+               urgent.map_batches(keys, batch_format="pyarrow").take_all()}
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    j = broadcast_semi_join(ev, key_set, on="user_id", anti=True)
+    agg = small_groupby(j, "event_type", {"n": ("user_id", "count")})
+    return agg.sort_values("event_type", ignore_index=True)

@@ -279,3 +279,93 @@ def test_embedding_near_dup_lsh_finds_planted_dups(tmp_path):
     Xn = Xn / np.linalg.norm(Xn, axis=1, keepdims=True)
     for a, b in pairs:
         assert round(float(Xn[a] @ Xn[b]), 6) >= 0.95
+
+
+# -- deterministic sampling / splits ---------------------------------------
+
+def test_md5_hash64_matches_duckdb():
+    import duckdb
+    from techtalk_data_pipeline_snowpark_ray.functions.textstats import md5_hash64
+    con = duckdb.connect()
+    for s in ["", "abc", "hello world", "42", "é漢字"]:
+        want = con.sql("SELECT md5_number_lower(?)", params=[s]).fetchone()[0]
+        assert md5_hash64(s) == want
+
+
+def test_doc_split_deterministic_disjoint_and_sampled_subset():
+    from techtalk_data_pipeline_snowpark_ray.functions import sampling
+    a = sampling.doc_split(SF_TINY).to_pandas()
+    b = sampling.doc_split(SF_TINY).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # full cover, label consistent with bucket
+    assert set(a["split"]) <= {"train", "val", "test"}
+    assert ((a["bucket"] < 90) == (a["split"] == "train")).all()
+    # sample(10) subset-of sample(20) subset-of train universe
+    import ray.data
+    ds = ray.data.read_parquet(SF_TINY + "/documents.parquet",
+                               columns=["doc_id"])
+    s10 = set(sampling.doc_sample(ds, "doc_id", 10).to_pandas()["doc_id"])
+    s20 = set(sampling.doc_sample(ds, "doc_id", 20).to_pandas()["doc_id"])
+    assert s10 <= s20
+    assert s20 <= set(a.loc[a["bucket"] < 20, "doc_id"])
+
+
+# -- as-of join / top-k per group / quantiles vs local brute force ---------
+
+def test_asof_join_matches_bruteforce():
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
+    got = analytics.events_asof_latest_order(SF_TINY).to_pandas()
+    ev = pd.read_parquet(SF_TINY + "/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    orders = pd.read_parquet(
+        SF_TINY + "/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders["ats"] = pd.to_datetime(orders["o_orderdate"]).astype("datetime64[us]")
+    want = {}
+    by_user = dict(tuple(orders.groupby("o_custkey")))
+    for e in ev.itertuples():
+        og = by_user.get(e.user_id)
+        if og is None:
+            continue
+        cand = og[og["ats"] <= e.ts]
+        if cand.empty:
+            continue
+        top = cand.sort_values(["ats", "o_orderkey"]).iloc[-1]
+        want[e.event_id] = int(top["o_orderkey"])
+    got_map = dict(zip(got["event_id"], got["o_orderkey"]))
+    assert got_map == want
+
+
+def test_topk_per_user_and_quantiles_match_pandas():
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
+    ev = pd.read_parquet(SF_TINY + "/events.parquet",
+                         columns=["user_id", "event_id", "event_type", "value"])
+    ev["value_c"] = np.floor(ev["value"] * 100 + 0.5).astype("int64")
+
+    got = analytics.top_events_per_user(SF_TINY).to_pandas()
+    want = (ev.sort_values(["value_c", "event_id"], ascending=[False, True])
+              .groupby("user_id", sort=False).head(3))
+    assert (set(map(tuple, got[["user_id", "event_id"]].to_numpy()))
+            == set(map(tuple, want[["user_id", "event_id"]].to_numpy())))
+
+    q = analytics.value_quantiles(SF_TINY)
+    for r in q.itertuples():
+        vals = np.sort(ev.loc[ev["event_type"] == r.event_type, "value_c"].to_numpy())
+        p = int(r.p[1:]) / 100.0
+        idx = max(0, int(np.ceil(p * len(vals))) - 1)
+        assert r.q_value_c == vals[idx], (r.event_type, r.p)
+
+
+def test_simhash_md5_and_xx64_modes_both_deterministic():
+    a = dedup.simhash_documents(SF_TINY, token_hash="md5").to_pandas()
+    b = dedup.simhash_documents(SF_TINY, token_hash="md5").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    c = dedup.simhash_documents(SF_TINY, token_hash="xx64").to_pandas()
+    assert len(c) == len(a)
+    # identical docs agree under either token hash
+    texts = pd.read_parquet(SF_TINY + "/documents.parquet",
+                            columns=["doc_id", "text"])
+    for df in (a, c):
+        m = texts.merge(df, on="doc_id")
+        groups = m.groupby("text")["simhash"].nunique()
+        assert (groups == 1).all()
