@@ -53,8 +53,8 @@ MAX_BUCKET_PAIRS = 200
 
 
 def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns)
+    from ..sources.tables import read_table
+    return read_table(sf_dir, "documents", columns)
 
 
 # -- exact dedup -----------------------------------------------------------

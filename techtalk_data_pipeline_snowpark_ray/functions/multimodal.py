@@ -57,8 +57,8 @@ def synth_media_batch(t: pa.Table) -> pa.Table:
 
 def media_dataset(sf_dir: str) -> ray.data.Dataset:
     import os
-    docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=["doc_id", "text"])
+    from ..sources.tables import read_table
+    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
     return docs.map_batches(synth_media_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
 

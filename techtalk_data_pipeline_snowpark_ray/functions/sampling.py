@@ -51,8 +51,8 @@ def assign_split(keys: pd.Series, buckets: int = SPLIT_BUCKETS,
 def doc_split(sf_dir: str) -> ray.data.Dataset:
     """Train/val/test assignment for every document: one stateless
     zero-shuffle pass; (doc_id, bucket, split) per row."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id"])
+    from ..sources.tables import read_table
+    ds = read_table(sf_dir, "documents", ["doc_id"])
 
     def f(batch: pd.DataFrame) -> pd.DataFrame:
         bucket, split = assign_split(batch["doc_id"])

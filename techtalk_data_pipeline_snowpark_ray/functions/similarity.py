@@ -35,8 +35,8 @@ NEAR_DUP_MODULUS = 10
 
 
 def _emb(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                                 columns=["vec_id", "embedding"])
+    from ..sources.tables import read_table
+    return read_table(sf_dir, "embeddings", ["vec_id", "embedding"])
 
 
 def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -26,8 +26,8 @@ PUNCT_RE = r"[.,!?;:]"
 
 
 def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                                 columns=columns)
+    from ..sources.tables import read_table
+    return read_table(sf_dir, "documents", columns)
 
 
 def token_counts(sf_dir: str) -> ray.data.Dataset:

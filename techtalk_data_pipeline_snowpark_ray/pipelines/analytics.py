@@ -105,8 +105,8 @@ def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                                 columns=columns)
+    from ..sources.tables import read_table
+    return read_table(sf_dir, table, columns)
 
 
 # -- Q1-style pricing summary (A1/A2/T11) ----------------------------------

@@ -92,8 +92,8 @@ def derive_change_batch(t: pa.Table, with_model_from: int | None = None) -> pa.T
 
 
 def changes_dataset(sf_dir: str) -> ray.data.Dataset:
-    ev = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["event_id", "user_id", "ts"])
+    from ..sources.tables import read_table
+    ev = read_table(sf_dir, "events", ["event_id", "user_id", "ts"])
     return ev.map_batches(derive_change_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
 

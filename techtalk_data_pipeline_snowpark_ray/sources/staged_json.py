@@ -107,9 +107,9 @@ def stage_events_as_json(sf_dir: str, stage_dir: str) -> int:
         return pd.DataFrame([{"file": os.path.basename(path),
                               "n": len(batch)}])
 
-    ev = ray.data.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "event_type", "value", "ts"])
+    from .tables import read_table
+    ev = read_table(sf_dir, "events",
+                    ["event_id", "user_id", "event_type", "value", "ts"])
     metrics = ev.map_batches(stage_batch, batch_format="pandas",
                              batch_size=8192).to_pandas()
     return len(metrics)
