@@ -254,33 +254,53 @@ def _candidate_pairs(sf_dir: str) -> pd.DataFrame:
     return pairs[["id_a", "id_b"]].drop_duplicates(ignore_index=True)
 
 
-def _shingle_sets(sf_dir: str, doc_ids: set[int]) -> dict[int, set]:
-    """Shingle sets for a SMALL id set (verification side-channel)."""
+def _shingle_sets(sf_dir: str, doc_ids: set[int]) -> dict[int, np.ndarray]:
+    """Distinct-shingle HASH arrays (sorted uint64) for a candidate id
+    set. Hashing the shingles keeps the broadcast payload ints instead
+    of Python string sets (identical Jaccard modulo 2^-64 collisions,
+    ~10x smaller, zero-copy batch math at verify time); the id filter is
+    a broadcast numpy array fetched once per worker (memoized), not
+    re-deserialized per batch. Everything per-batch is vectorized:
+    shingle explode -> hash -> drop_duplicates; only (doc_id, h) rows of
+    CANDIDATE docs reach the driver (candidate-proportional, not
+    corpus-proportional)."""
+    from ..stages.joins import fetch_broadcast
     ds = _docs(sf_dir, ["doc_id", "text"])
     import ray
-    ids_ref = ray.put(doc_ids)
+    ids_ref = ray.put(np.fromiter(doc_ids, dtype=np.int64))
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
-        import ray as _r
-        keep = batch[batch["doc_id"].isin(_r.get(ids_ref))]
+        keep = batch[batch["doc_id"].isin(fetch_broadcast(ids_ref))]
         if keep.empty:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "sh": pd.Series(dtype="object")})
+                                 "h": pd.Series(dtype="int64")})
         sh = shingle_frame(keep)
-        return sh.groupby("doc_id", as_index=False).agg(sh=("sh", lambda s: list(set(s))))
+        sh["h"] = fingerprint_series(sh["sh"])
+        return sh[["doc_id", "h"]].drop_duplicates(ignore_index=True)
 
-    rows = ds.map_batches(extract, batch_format="pandas", batch_size=8192).take_all()
-    return {int(r["doc_id"]): set(r["sh"]) for r in rows}
+    rows = ds.map_batches(extract, batch_format="pandas",
+                          batch_size=8192).to_pandas()
+    if rows.empty:
+        return {}
+    rows = rows.sort_values(["doc_id", "h"], ignore_index=True)
+    codes, uniq = pd.factorize(rows["doc_id"])
+    bounds = np.flatnonzero(np.diff(codes)) + 1
+    arrays = np.split(rows["h"].to_numpy(), bounds)
+    return {int(d): a for d, a in zip(uniq, arrays)}
 
 
-def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, set],
+def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, np.ndarray],
                    threshold: float) -> pd.DataFrame:
+    """Exact Jaccard over sorted distinct-hash arrays (sorted-merge
+    intersection per pair; the candidate pair count is tiny relative to
+    the corpus by LSH construction)."""
     out = []
     for a, b in pairs[["id_a", "id_b"]].itertuples(index=False):
         A, B = shingles.get(int(a)), shingles.get(int(b))
-        if not A or not B:
+        if A is None or B is None or not len(A) or not len(B):
             continue
-        j = len(A & B) / len(A | B)
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        j = inter / (len(A) + len(B) - inter)
         if j >= threshold:
             out.append((int(a), int(b)))
     return pd.DataFrame(out, columns=["id_a", "id_b"]).sort_values(
@@ -319,7 +339,12 @@ def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.Da
         return _empty_pairs()
     ids = set(cand["id_a"]).union(cand["id_b"])
     shingles_ref = ray.put(_shingle_sets(sf_dir, ids))
-    verified = (ray.data.from_pandas(cand)
+    # split the pair set into blocks so the verify actor pool actually
+    # parallelizes (from_pandas of one frame = one block = one task)
+    n_chunks = max(1, min(16, len(cand) // 1024))
+    chunks = [cand.iloc[i::n_chunks].reset_index(drop=True)
+              for i in range(n_chunks)]
+    verified = (ray.data.from_pandas(chunks)
                 .map_batches(_JaccardVerifier, batch_format="pandas",
                              batch_size=4096, concurrency=2,
                              fn_constructor_kwargs=dict(
@@ -344,8 +369,12 @@ def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
 
     sub = ds.map_batches(subset, batch_format="pyarrow", zero_copy_batch=True)
     docs = sub.to_pandas()
-    sh = {int(r.doc_id): set(" ".join(ws)
-                             for ws in zip(*[str(r.text).split()[i:] for i in range(NGRAM)]))
+    # verify_jaccard takes sorted-unique arrays; plain string shingles
+    # here (the baseline stays hash-free by definition)
+    sh = {int(r.doc_id): np.unique(np.array(
+              [" ".join(ws) for ws in
+               zip(*[str(r.text).split()[i:] for i in range(NGRAM)])],
+              dtype=object))
           for r in docs.itertuples()}
     ids = sorted(sh)
     pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
