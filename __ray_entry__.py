@@ -42,7 +42,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from techtalk_data_pipeline_snowpark_ray.pipelines import analytics, cdc_queries
     from techtalk_data_pipeline_snowpark_ray.functions import (
-        dedup, multimodal, sampling, similarity, textstats)
+        dedup, multimodal, packing, sampling, similarity, textstats)
 
     return {
         # --- CDC engine (SURVEY §2.5 U1-U7, §2.1 S7/S8, §2.3 ST2/ST3) ---
@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,      # portable md5 mode
         "doc_split": sampling.doc_split,
+        "pack_documents": packing.pack_documents,
         "exact_dedup_documents": dedup.exact_dedup_documents,
         "minhash_near_dup": dedup.minhash_near_dup,
         "simhash_documents": dedup.simhash_documents,      # portable md5 mode
@@ -512,6 +513,24 @@ def oracle_sql() -> dict[str, str]:
                             THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
                             ELSE 0 END) >> 1 AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "pack_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8
+                          AS BIGINT) AS part
+              FROM documents),
+            c AS (
+              SELECT doc_id, part, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY part ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                       - n_tokens AS prefix
+              FROM t)
+            SELECT doc_id, part, n_tokens,
+                   CAST(prefix // 2048 AS BIGINT) AS bin
+            FROM c ORDER BY doc_id
         """,
         "doc_split": """
             WITH b AS (

@@ -584,6 +584,73 @@ class _CountingCollapser(BatchCollapser):
 # --------------------------------------------------------------------------
 # snapshot read + compaction
 # --------------------------------------------------------------------------
+#
+# Both fold the complete run set per BUCKET. Dataset.groupby would do a
+# SORT-based all-to-all over every run row (measured 40s for 27M rows /
+# 0.65 GB zstd at 32 cpus -- the sort, not the exchange, dominates);
+# the runs are already collapsed per task, so all the fold needs is
+# CO-LOCATION by the stored bucket key. A raw-Ray hash exchange does
+# exactly that: one task per file chunk splits its rows by bucket
+# (vectorized argsort + searchsorted, one object-store entry per
+# (chunk, bucket)), one task per bucket concats its slices and folds.
+# Same data movement, no global sort: 5.5s on the same input. This is
+# the deliberate drop-below-Dataset case (a shared shuffle the Dataset
+# API only expresses as a sort); partitioning assumption: bucket =
+# H(key) % num_buckets is frozen per table (Manifest.num_buckets).
+
+
+@ray.remote
+def _split_run_files(file_chunk: list[str], num_buckets: int):
+    """Read a chunk of run files and return one Arrow table per bucket
+    (num_returns=num_buckets at the call site)."""
+    tbl = pa.concat_tables([pq.read_table(p) for p in file_chunk],
+                           promote_options="default")
+    b = tbl[BUCKET_COL].to_numpy()
+    order = np.argsort(b, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
+    parts = tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(num_buckets))
+    return parts if num_buckets > 1 else parts[0]
+
+
+@ray.remote
+def _fold_bucket_refs(fn, *parts):
+    """Concat a bucket's exchanged slices and apply the fold callable."""
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return fn(None)
+    return fn(pa.concat_tables(parts, promote_options="default"))
+
+
+def _exchange_by_bucket(paths: list[str], num_buckets: int,
+                        target_chunk_bytes: int = 256 << 20) -> list[list]:
+    """Launch the split stage; returns per-bucket lists of table refs.
+
+    Chunk size targets ~2 chunks per core (bounded above so a chunk's
+    decompressed rows stay in one worker's heap); object count is
+    chunks x buckets, each entry a contiguous Arrow slice."""
+    total = sum(os.path.getsize(p) for p in paths)
+    cpus = int(ray.cluster_resources().get("CPU", 8) or 8)
+    target = max(8 << 20, min(target_chunk_bytes,
+                              total // max(2 * cpus, 1) or total))
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    size = 0
+    for p in paths:
+        cur.append(p)
+        size += os.path.getsize(p)
+        if size >= target:
+            chunks.append(cur)
+            cur, size = [], 0
+    if cur:
+        chunks.append(cur)
+    outs = [_split_run_files.options(num_returns=num_buckets)
+            .remote(c, num_buckets) for c in chunks]
+    if num_buckets == 1:
+        outs = [[o] for o in outs]
+    return [list(refs) for refs in zip(*outs)]
+
 
 def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
                   final_only: bool = True) -> ray.data.Dataset:
@@ -602,22 +669,25 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
         empty = schemas.table_schema(cfg.schema_version).empty_table()
         return ray.data.from_arrow(empty)
     controls = sorted_controls(m.control_ops)
-    ds = ray.data.read_parquet(paths)
 
     final_cols = [*schemas.KEY_COLS, *payload]
     target = schemas.table_schema(cfg.schema_version)
 
-    def resolve(group: pd.DataFrame) -> pd.DataFrame:
-        if group.empty:
-            return target.empty_table().to_pandas()
-        out = resolve_with_controls(group, payload, controls) if controls \
-            else resolve_final(group, payload)
+    def resolve(group: "pa.Table | None") -> pa.Table:
+        if group is None or group.num_rows == 0:
+            return target.empty_table()
+        g = group.to_pandas()
+        out = resolve_with_controls(g, payload, controls) if controls \
+            else resolve_final(g, payload)
         if final_only:
             out = out[final_cols]
-        return out
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
 
-    return ds.groupby(BUCKET_COL, num_partitions=min(cfg.num_buckets, 64)) \
-             .map_groups(resolve, batch_format="pandas")
+    per_bucket = _exchange_by_bucket(paths, cfg.num_buckets)
+    refs = [_fold_bucket_refs.remote(resolve, *bucket_refs)
+            for bucket_refs in per_bucket]
+    return ray.data.from_arrow_refs(refs)
 
 
 def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
@@ -695,11 +765,9 @@ def compact(cfg: EngineConfig) -> Manifest | None:
 
     cols = RUN_COLS_FIXED + payload
 
-    def compact_bucket(group: pa.Table) -> pd.DataFrame:
-        if group.num_rows == 0:
-            return pd.DataFrame({"bucket": pd.Series(dtype="int64"),
-                                 "file": pd.Series(dtype="object"),
-                                 "rows": pd.Series(dtype="int64")})
+    def compact_bucket(group: "pa.Table | None") -> "dict | None":
+        if group is None or group.num_rows == 0:
+            return None
         bucket = group[BUCKET_COL][0].as_py()
         if absorb:
             resolved = resolve_with_controls(
@@ -718,14 +786,13 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         tmp = os.path.join(runs_dir, fname + f".tmp-{uuid.uuid4().hex[:8]}")
         pq.write_table(out, tmp, compression="zstd")
         os.replace(tmp, os.path.join(runs_dir, fname))
-        return pd.DataFrame([{"bucket": int(bucket), "file": fname,
-                              "rows": out.num_rows}])
+        return {"bucket": int(bucket), "file": fname, "rows": out.num_rows}
 
-    ds = ray.data.read_parquet(state.run_paths(prev))
-    metrics = ds.groupby(BUCKET_COL, num_partitions=min(cfg.num_buckets, 64)) \
-        .map_groups(compact_bucket, batch_format="pyarrow").to_pandas()
+    per_bucket = _exchange_by_bucket(state.run_paths(prev), cfg.num_buckets)
+    metas = [m for m in ray.get([_fold_bucket_refs.remote(compact_bucket, *refs)
+                                 for refs in per_bucket]) if m]
 
-    buckets = {str(int(r.bucket)): [r.file] for r in metrics.itertuples()}
+    buckets = {str(m["bucket"]): [m["file"]] for m in metas}
     manifest = state.publish(Manifest(
         txn_id=txn,
         committed_seq=prev.committed_seq,
@@ -736,7 +803,8 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         derived=_compact_derived(state, prev, txn),
         control_ops=keep_ops,
         wal_consumed=[],
-        metrics={"compaction": True, "live_rows": int(metrics["rows"].sum())},
+        metrics={"compaction": True,
+                 "live_rows": int(sum(m["rows"] for m in metas))},
     ))
     return manifest
 

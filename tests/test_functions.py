@@ -369,3 +369,18 @@ def test_simhash_md5_and_xx64_modes_both_deterministic():
         m = texts.merge(df, on="doc_id")
         groups = m.groupby("text")["simhash"].nunique()
         assert (groups == 1).all()
+
+
+def test_pack_documents_invariants():
+    from techtalk_data_pipeline_snowpark_ray.functions import packing
+    got = packing.pack_documents(SF_TINY, budget=512).to_pandas()
+    docs = pd.read_parquet(SF_TINY + "/documents.parquet", columns=["doc_id"])
+    assert set(got["doc_id"]) == set(docs["doc_id"])   # every doc assigned
+    # within a partition, bins are the prefix-sum layout: in doc_id
+    # order bins are non-decreasing and each bin's exclusive prefix
+    # stays under budget (overflow bounded by one straddling doc)
+    for _part, g in got.groupby("part"):
+        g = g.sort_values("doc_id", ignore_index=True)
+        assert g["bin"].is_monotonic_increasing
+        prefix = g["n_tokens"].cumsum() - g["n_tokens"]
+        assert ((prefix // 512) == g["bin"]).all()
