@@ -1,0 +1,126 @@
+"""Resumable partitioned parquet output.
+
+A 100-TB export must survive being killed halfway: output is split
+into a FIXED set of key-hash bucket directories, each committed by an
+atomic ``_SUCCESS`` marker written after its data files. Re-running
+the same write:
+
+  * lists finished buckets first (one readdir, no data reads);
+  * drops their rows at the FIRST map stage (vectorized mask -- rows
+    of finished buckets never enter the exchange);
+  * writes only the missing buckets, each atomically (tmp + rename,
+    marker last).
+
+Bucket membership is the portable md5 key hash (``md5_hash64``, DuckDB
+``md5_number_lower`` parity), so the layout is deterministic across
+runs, engines and cluster shapes -- the property resume depends on.
+The exchange reuses the engine's raw hash-exchange shape (no global
+sort); never one giant file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..functions.textstats import md5_hash64_series
+
+SUCCESS = "_SUCCESS"
+
+
+def _bucket_dir(out_dir: str, b: int) -> str:
+    return os.path.join(out_dir, f"bucket={b:05d}")
+
+
+def finished_buckets(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    out = set()
+    for name in os.listdir(out_dir):
+        if name.startswith("bucket=") and \
+                os.path.exists(os.path.join(out_dir, name, SUCCESS)):
+            out.add(int(name.split("=", 1)[1]))
+    return out
+
+
+@ray.remote
+def _write_bucket(out_dir: str, b: int, *parts: pa.Table) -> int:
+    parts = [p for p in parts if p.num_rows]
+    d = _bucket_dir(out_dir, b)
+    os.makedirs(d, exist_ok=True)
+    rows = 0
+    for i, tbl in enumerate(parts):
+        tmp = os.path.join(d, f"part-{i:05d}.parquet.tmp")
+        pq.write_table(tbl.replace_schema_metadata(None), tmp,
+                       compression="zstd")
+        os.replace(tmp, os.path.join(d, f"part-{i:05d}.parquet"))
+        rows += tbl.num_rows
+    tmp = os.path.join(d, SUCCESS + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(f"{rows}\n")
+    os.replace(tmp, os.path.join(d, SUCCESS))
+    return rows
+
+
+def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
+                      num_buckets: int = 64) -> dict[int, int]:
+    """Write `ds` under ``out_dir/bucket=NNNNN/`` by key hash; skip
+    buckets already marked complete. Returns rows written per bucket
+    (only the buckets written THIS run)."""
+    os.makedirs(out_dir, exist_ok=True)
+    done = finished_buckets(out_dir)
+    todo = [b for b in range(num_buckets) if b not in done]
+    if not todo:
+        return {}
+    done_arr = np.zeros(num_buckets, dtype=bool)
+    for b in done:
+        done_arr[b] = True
+
+    def route(batch: pd.DataFrame) -> list[pd.DataFrame]:
+        b = (md5_hash64_series(batch[key].astype(str))
+             % np.uint64(num_buckets)).astype(np.int64)
+        keep = ~done_arr[b]
+        batch, b = batch[keep], b[keep]
+        return [batch[b == t] for t in todo]
+
+    # raw hash exchange: one split task per input block, per-bucket
+    # object returns, one writer task per missing bucket
+    blocks = ds.to_arrow_refs()
+
+    @ray.remote
+    def split(tbl: pa.Table):
+        out = route(tbl.to_pandas())
+        tables = tuple(pa.Table.from_pandas(df, preserve_index=False)
+                       .replace_schema_metadata(None) for df in out)
+        return tables if len(todo) > 1 else tables[0]
+
+    outs = [split.options(num_returns=len(todo)).remote(r) for r in blocks]
+    if len(todo) == 1:
+        outs = [[o] for o in outs]
+    per_bucket = list(zip(*outs))
+    written = ray.get([
+        _write_bucket.remote(out_dir, b, *refs)
+        for b, refs in zip(todo, per_bucket)])
+    return dict(zip(todo, written))
+
+
+def read_partitioned(out_dir: str) -> ray.data.Dataset:
+    """Read back every COMPLETE bucket (incomplete ones are invisible,
+    which is the resume contract)."""
+    paths = []
+    for b in sorted(finished_buckets(out_dir)):
+        d = _bucket_dir(out_dir, b)
+        paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet"))
+    if not paths:
+        raise FileNotFoundError(f"no complete buckets under {out_dir}")
+    # partitioning=None: the bucket id is layout, not data -- don't
+    # hive-infer it back as a column
+    return ray.data.read_parquet(paths, partitioning=None)

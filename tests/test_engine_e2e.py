@@ -439,3 +439,35 @@ def test_run_loop_gc_sweeps_orphans(tmp_engine):
     on_disk = {f for f in os.listdir(state.runs_dir) if f.endswith(".parquet")}
     assert on_disk == referenced          # nothing unreferenced survives
     assert_matches_oracle(tmp_engine)     # and the data is still right
+
+
+def test_resumable_partitioned_sink(tmp_path):
+    """write_partitioned: atomic per-bucket commit, resume skips
+    complete buckets, readback equals input."""
+    import shutil
+
+    import numpy as np
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.pipelines import sinks
+
+    df = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                       "v": np.arange(500, dtype=np.int64) * 3})
+    out = str(tmp_path / "sink")
+    ds = ray.data.from_pandas([df.iloc[:250], df.iloc[250:]])
+    first = sinks.write_partitioned(ds, out, key="k", num_buckets=8)
+    assert sum(first.values()) == 500 and len(first) == 8
+    back = sinks.read_partitioned(out).to_pandas()
+    pd.testing.assert_frame_equal(
+        back.sort_values("k", ignore_index=True), df)
+    # kill two buckets (one fully, one mid-write: data present, no marker)
+    shutil.rmtree(out + "/bucket=00003")
+    (tmp_path / "sink" / "bucket=00005" / "_SUCCESS").unlink()
+    second = sinks.write_partitioned(ds, out, key="k", num_buckets=8)
+    assert set(second) == {3, 5}            # only the incomplete buckets
+    assert second[3] == first[3] and second[5] == first[5]
+    back2 = sinks.read_partitioned(out).to_pandas()
+    # the unmarked bucket re-writes the same deterministic file names
+    # (atomic overwrite), so readback equals the input with no
+    # duplicated rows from the partial attempt
+    pd.testing.assert_frame_equal(
+        back2.sort_values("k", ignore_index=True), df)
