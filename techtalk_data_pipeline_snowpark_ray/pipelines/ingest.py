@@ -690,6 +690,28 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     return ray.data.from_arrow_refs(refs)
 
 
+def read_snapshot_as_of(cfg: EngineConfig, version: int,
+                        final_only: bool = True) -> ray.data.Dataset:
+    """TIME TRAVEL: the table exactly as manifest `version` committed it.
+
+    Manifests are immutable and name their run files, so any retained
+    version is readable; the read honors the VERSION'S schema_version
+    and num_buckets (not the current config's), so it works across
+    schema evolution and is safe against layout drift. Retention is
+    bounded by `cfg.gc_keep_versions` (the post-compaction GC deletes
+    files only unreferenced by that window) -- a reader pinned to an
+    old version within the window never sees files vanish.
+    """
+    from dataclasses import replace
+
+    state = TableState(cfg.table_dir)
+    m = state.load(version)
+    cfg_v = replace(cfg,
+                    schema_version=m.schema_version or cfg.schema_version,
+                    num_buckets=m.num_buckets or cfg.num_buckets)
+    return read_snapshot(cfg_v, manifest=m, final_only=final_only)
+
+
 def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
     """Small-scale convenience (tests): full snapshot, stable ordering."""
     df = read_snapshot(cfg).to_pandas()

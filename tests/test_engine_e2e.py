@@ -471,3 +471,29 @@ def test_resumable_partitioned_sink(tmp_path):
     # duplicated rows from the partial attempt
     pd.testing.assert_frame_equal(
         back2.sort_values("k", ignore_index=True), df)
+
+
+def test_time_travel_read_snapshot_as_of(tmp_engine):
+    """Reading an older manifest version reproduces exactly the state
+    that version committed, even after later ticks and compaction."""
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    r1 = ingest.apply_tick(tmp_engine)
+    v1 = r1.manifest.version
+    snap_v1 = ingest.read_snapshot(tmp_engine).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    r2 = ingest.apply_tick(tmp_engine)
+    assert r2.manifest.version > v1
+    # time travel back to v1: identical to what v1's reader saw
+    back = ingest.read_snapshot_as_of(tmp_engine, v1).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(back[snap_v1.columns], snap_v1)
+    # latest still matches the full oracle
+    assert_matches_oracle(tmp_engine)
