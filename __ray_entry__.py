@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anti_join": analytics.events_anti_join,
         "events_asof_latest_order": analytics.events_asof_latest_order,
         "top_events_per_user": analytics.top_events_per_user,
+        "user_running_total": analytics.user_running_total,
         "value_quantiles": analytics.value_quantiles,
         "top10_expensive_orders": analytics.top10_expensive_orders,
         # --- training-data ops (dedup / text / similarity) ---
@@ -415,6 +416,14 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value_c FROM r WHERE rn <= 3
             ORDER BY user_id, event_id
+        """,
+        "user_running_total": f"""
+            SELECT user_id, event_id, {val_c} AS value_c,
+                   CAST(SUM({val_c}) OVER (PARTITION BY user_id
+                                           ORDER BY event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS running_c
+            FROM events ORDER BY event_id
         """,
         "value_quantiles": "".join(
             ("UNION ALL" if i else "")

@@ -623,6 +623,37 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# -- per-key ordered window: running total (cumsum / lag family) -----------
+
+def user_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative value per user in event-time order (the per-entity
+    ordered-window shape: cumsum, lag, lead, diff all reduce to it).
+    No global sort: rows hash-route by user, each partition sorts ONLY
+    its own users' rows and computes every user's cumsum in one
+    vectorized pandas groupby-cumsum call."""
+    nparts = agg_partitions()
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "value_c": cents_arrow(t["value"]).to_numpy(zero_copy_only=False)})
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", ignore_index=True)
+        g["running_c"] = g.groupby("user_id", sort=False)["value_c"].cumsum()
+        return g[["user_id", "event_id", "value_c", "running_c"]]
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
+    return ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True) \
+             .groupby("part", num_partitions=nparts) \
+             .map_groups(window_part, batch_format="pandas") \
+             .sort("event_id")
+
+
 # -- anti join: events of users who never placed an urgent order -----------
 
 def events_anti_join(sf_dir: str) -> ray.data.Dataset:
