@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_latest_order": analytics.events_asof_latest_order,
         "top_events_per_user": analytics.top_events_per_user,
         "user_running_total": analytics.user_running_total,
+        "events_weekday_pivot": analytics.events_weekday_pivot,
+        "vocab_top_terms": textstats.vocab_top_terms,
         "value_quantiles": analytics.value_quantiles,
         "top10_expensive_orders": analytics.top10_expensive_orders,
         # --- training-data ops (dedup / text / similarity) ---
@@ -416,6 +418,24 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value_c FROM r WHERE rn <= 3
             ORDER BY user_id, event_id
+        """,
+        "events_weekday_pivot": """
+            SELECT event_type,
+                   """ + ", ".join(
+                       f"CAST(SUM(CASE WHEN isodow(ts) - 1 = {d} THEN 1 "
+                       f"ELSE 0 END) AS BIGINT) AS n_d{d}"
+                       for d in range(7)) + """
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "vocab_top_terms": r"""
+            WITH t AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_split_to_array(trim(coalesce(text, '')),
+                                                  '\s+')) AS tok
+              FROM documents),
+            df AS (SELECT tok, COUNT(*) AS df FROM t
+                   WHERE tok <> '' GROUP BY tok)
+            SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 50
         """,
         "user_running_total": f"""
             SELECT user_id, event_id, {val_c} AS value_c,

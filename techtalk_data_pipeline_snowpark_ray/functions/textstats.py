@@ -129,6 +129,47 @@ def md5_hash64_series(text: pd.Series) -> np.ndarray:
                        count=len(vals))
 
 
+def vocab_top_terms(sf_dir: str, k: int = 50,
+                    num_partitions: int = 16) -> pd.DataFrame:
+    """Top-k tokens by DOCUMENT frequency (vocabulary building /
+    stopword discovery), distributed and EXACT:
+
+      1. per batch: explode distinct (doc, token) pairs, pre-count df
+         per token (within-batch combiner), hash-route by token;
+      2. per partition: sum counts -- exact, since a token lives wholly
+         in one partition -- and keep only that partition's top-k;
+      3. driver: merge the P x k candidate rows (global top-k is a
+         subset of the union of per-partition top-k's, so this is
+         exact, and driver traffic is O(P*k), corpus-independent).
+
+    Ties break by token ascending (deterministic / oracle-parity).
+    Empty tokens are excluded on both sides."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame({"doc_id": batch["doc_id"],
+                             "tok": batch["text"].fillna("").str.split()}) \
+                 .explode("tok", ignore_index=True).dropna()
+        toks = toks[toks["tok"] != ""].drop_duplicates()
+        out = toks.groupby("tok", sort=False, as_index=False).size() \
+                  .rename(columns={"size": "df"})
+        out["part"] = (fingerprint_series(out["tok"]).astype(np.uint64)
+                       % np.uint64(num_partitions)).astype(np.int32)
+        return out
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("tok", sort=False, as_index=False)["df"].sum()
+        return out.sort_values(["df", "tok"], ascending=[False, True],
+                               kind="stable").head(k)
+
+    cand = (ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+              .groupby("part", num_partitions=num_partitions)
+              .map_groups(topk_part, batch_format="pandas")
+              .to_pandas())
+    return cand.sort_values(["df", "tok"], ascending=[False, True],
+                            kind="stable", ignore_index=True).head(k)
+
+
 def doc_fingerprint(sf_dir: str, portable: bool = True) -> ray.data.Dataset:
     """Content fingerprint per document (the content-key for dedup /
     lineage). Default is the PORTABLE md5-derived 64-bit fingerprint

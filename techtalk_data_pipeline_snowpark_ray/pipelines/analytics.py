@@ -623,6 +623,30 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# -- pivot: event counts per type across weekday columns -------------------
+
+def events_weekday_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (conditional aggregation) -- long (type, weekday) counts
+    reshaped to one fixed wide row per type. The aggregate is the
+    bounded-cardinality combiner shape; the reshape is a driver-side
+    pandas pivot over n_types x 7 rows."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def derive(t: pa.Table) -> pd.DataFrame:
+        ts = t["ts"].to_pandas()
+        return pd.DataFrame({"event_type": t["event_type"].to_pandas(),
+                             "dow": ts.dt.dayofweek.astype("int64")})
+
+    pre = ev.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    agg = small_groupby(pre, ["event_type", "dow"], {"n": ("dow", "count")})
+    wide = agg.pivot_table(index="event_type", columns="dow", values="n",
+                           fill_value=0, aggfunc="sum")
+    wide = wide.reindex(columns=range(7), fill_value=0)
+    wide.columns = [f"n_d{d}" for d in range(7)]
+    out = wide.reset_index().sort_values("event_type", ignore_index=True)
+    return out.astype({c: "int64" for c in out.columns if c != "event_type"})
+
+
 # -- per-key ordered window: running total (cumsum / lag family) -----------
 
 def user_running_total(sf_dir: str) -> ray.data.Dataset:
