@@ -28,6 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..stages.exchange import exchange_map_groups
 from .textstats import fingerprint_series
 
 # MinHash parameters: K = B*R signatures. Candidate probability at
@@ -100,10 +101,9 @@ def exact_dedup_documents(sf_dir: str) -> ray.data.Dataset:
             doc_id=("doc_id", "min"), n_copies=("n", "sum"))
         return out[["doc_id", "n_copies"]]
 
-    return (ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-              .groupby("part", num_partitions=AGG_PARTITIONS)
-              .map_groups(reduce_partition, batch_format="pandas")
-              .sort("doc_id"))
+    routed = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    return exchange_map_groups(routed, "part", AGG_PARTITIONS,
+                               reduce_partition).sort("doc_id")
 
 
 # -- shingling + minhash ---------------------------------------------------
@@ -238,9 +238,8 @@ def _candidate_pairs(sf_dir: str) -> pd.DataFrame:
     def emit(part: pd.DataFrame) -> pd.DataFrame:
         return _partition_pairs(part)
 
-    pairs = (bands.groupby("part", num_partitions=AGG_PARTITIONS)
-                  .map_groups(emit, batch_format="pandas")
-                  .to_pandas())
+    pairs = exchange_map_groups(bands, "part", AGG_PARTITIONS,
+                                emit).to_pandas()
     if pairs.empty:
         return _empty_pairs()
     n_mega = int((pairs["sampled"] > 0).sum())

@@ -39,6 +39,7 @@ import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.numeric import cents_arrow
+from ..stages.exchange import exchange_map_groups
 from ..stages.joins import auto_join, broadcast_join
 
 def _cluster_cpus() -> int:
@@ -188,8 +189,7 @@ def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
         .map_batches(li_side, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]) \
         .map_batches(o_side, batch_format="pyarrow", zero_copy_batch=True)
-    return li.union(orders).groupby("part", num_partitions=nparts) \
-             .map_groups(merge_part, batch_format="pandas")
+    return exchange_map_groups(li.union(orders), "part", nparts, merge_part)
 
 
 # -- 3-way join + equality filter + agg + sort (Amex-analogue) -------------
@@ -465,10 +465,9 @@ def events_distinct_users(sf_dir: str, num_partitions: int = 16) -> pd.DataFrame
         out = d.groupby("event_type", sort=False, as_index=False).size()
         return out.rename(columns={"size": "n_users"})
 
-    parts = (ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
-               .groupby("part", num_partitions=num_partitions)
-               .map_groups(count_part, batch_format="pandas")
-               .to_pandas())
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(routed, "part", num_partitions,
+                                count_part).to_pandas()
     out = parts.groupby("event_type", sort=False, as_index=False)["n_users"].sum()
     return out.sort_values("event_type", ignore_index=True)
 
@@ -533,8 +532,8 @@ def events_asof_latest_order(sf_dir: str) -> ray.data.Dataset:
         .map_batches(ev_side, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
         .map_batches(o_side, batch_format="pyarrow", zero_copy_batch=True)
-    return ev.union(orders).groupby("part", num_partitions=nparts) \
-             .map_groups(asof_part, batch_format="pandas").sort("event_id")
+    return exchange_map_groups(ev.union(orders), "part", nparts,
+                               asof_part).sort("event_id")
 
 
 # -- top-k per group (the per-entity leaderboard shape) --------------------
@@ -566,10 +565,9 @@ def top_events_per_user(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         return out[["user_id", "event_id", "value_c"]]
 
     ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
-    return ev.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("part", num_partitions=nparts) \
-             .map_groups(topk_part, batch_format="pandas") \
-             .sort(["user_id", "event_id"])
+    routed = ev.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", nparts, topk_part) \
+        .sort(["user_id", "event_id"])
 
 
 # -- exact distributed quantiles (discrete-domain histogram method) --------
@@ -606,10 +604,8 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
         return g.groupby(["event_type", "value_c"], sort=False,
                          as_index=False)["n"].sum()
 
-    hist = (ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-              .groupby("part", num_partitions=nparts)
-              .map_groups(reduce_part, batch_format="pandas")
-              .to_pandas())
+    routed = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = exchange_map_groups(routed, "part", nparts, reduce_part).to_pandas()
     rows = []
     for etype, g in hist.groupby("event_type", sort=True):
         g = g.sort_values("value_c", ignore_index=True)
@@ -672,10 +668,9 @@ def user_running_total(sf_dir: str) -> ray.data.Dataset:
         return g[["user_id", "event_id", "value_c", "running_c"]]
 
     ev = _read(sf_dir, "events", ["user_id", "event_id", "value"])
-    return ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True) \
-             .groupby("part", num_partitions=nparts) \
-             .map_groups(window_part, batch_format="pandas") \
-             .sort("event_id")
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", nparts, window_part) \
+        .sort("event_id")
 
 
 # -- anti join: events of users who never placed an urgent order -----------

@@ -1,0 +1,85 @@
+"""Generic raw-Ray hash exchange for routed per-partition reduces.
+
+Half the query layer follows one shape: map_batches computes a
+``part`` routing column (key-hash % P, every key wholly in one
+partition), then needs each partition's rows co-located for ONE
+vectorized reduce. ``Dataset.groupby(part).map_groups`` delivers that
+via a sort-based all-to-all -- measured ~7x slower than the exchange
+it actually needs (40s vs 5.5s at 27M rows; the global sort is pure
+overhead when the reduce re-sorts or doesn't care). This module is the
+exchange alone: split each materialized block by the part column
+(vectorized argsort + searchsorted, one object-store entry per
+(block, part)), then one task per partition concats its slices and
+applies the reduce. Output is a Dataset again (from_arrow_refs), so
+downstream stays lazy/streamed.
+
+Scale notes: object count is blocks x partitions (keep P at O(cores));
+peak object-store footprint equals the exchanged rows, same as any
+shuffle, and spills normally. The same shape reads run FILES instead
+of blocks in `pipelines.ingest._exchange_by_bucket`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+def _split_block(tbl: pa.Table, col: str, n: int):
+    vals = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(vals[order], np.arange(n + 1))
+    parts = tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+                  for i in range(n))
+    return parts if n > 1 else parts[0]
+
+
+@ray.remote
+def _reduce_part(fn, drop_col: str, pandas: bool, *parts) -> pa.Table:
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    tbl = pa.concat_tables(parts, promote_options="default")
+    if drop_col:
+        tbl = tbl.drop_columns([drop_col])
+    if pandas:
+        out = fn(tbl.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+    return fn(tbl)
+
+
+def exchange_map_groups(ds: ray.data.Dataset, part_col: str,
+                        num_partitions: int, fn,
+                        batch_format: str = "pandas",
+                        keep_part_col: bool = False) -> ray.data.Dataset:
+    """Co-locate rows by `part_col` (values 0..num_partitions-1) and
+    apply `fn` once per partition. Drop-in replacement for
+    ``ds.groupby(part_col, num_partitions=P).map_groups(fn)`` minus the
+    global sort (and minus the part column, unless kept). Partitions
+    with zero rows are skipped, matching map_groups semantics."""
+    blocks = ds.to_arrow_refs()
+    if not blocks:
+        return ds
+    outs = [_split_block.options(num_returns=num_partitions)
+            .remote(b, part_col, num_partitions) for b in blocks]
+    if num_partitions == 1:
+        outs = [[o] for o in outs]
+    drop = "" if keep_part_col else part_col
+    refs = [_reduce_part.remote(fn, drop, batch_format == "pandas", *slices)
+            for slices in zip(*outs)]
+    # None results (empty partitions) must not reach from_arrow_refs
+    refs = [r for r, got in zip(refs, ray.get(
+        [_nonempty.remote(r) for r in refs])) if got]
+    return ray.data.from_arrow_refs(refs)
+
+
+@ray.remote
+def _nonempty(tbl) -> bool:
+    return tbl is not None

@@ -227,5 +227,6 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     # union of two differently-shaped frames: pandas aligns by column
     # name and null-fills, which exact_part tolerates
-    return lf.union(rk).groupby("_part", num_partitions=nparts) \
-             .map_groups(exact_part, batch_format="pandas")
+    from .exchange import exchange_map_groups
+    return exchange_map_groups(lf.union(rk), "_part", nparts, exact_part,
+                               keep_part_col=True)
