@@ -384,3 +384,43 @@ def test_pack_documents_invariants():
         assert g["bin"].is_monotonic_increasing
         prefix = g["n_tokens"].cumsum() - g["n_tokens"]
         assert ((prefix // 512) == g["bin"]).all()
+
+
+def test_exchange_map_groups_equals_dataset_groupby():
+    """The raw hash exchange must be semantically identical to
+    groupby(part).map_groups for any reduce (modulo row order)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.exchange import (
+        exchange_map_groups)
+
+    rng = np.random.default_rng(5)
+    nparts = 7
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, size=2000).astype(np.int64),
+        "v": rng.integers(0, 1000, size=2000).astype(np.int64)})
+    df["part"] = (df["k"].to_numpy().astype(np.uint64)
+                  % np.uint64(nparts)).astype(np.int32)
+
+    def reduce_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("k", sort=False, as_index=False)["v"].sum()
+        return out[out["v"] % 3 != 0]          # non-trivial filter too
+
+    chunks = [df.iloc[i::5].reset_index(drop=True) for i in range(5)]
+    ds = ray.data.from_pandas(chunks)
+    a = exchange_map_groups(ds, "part", nparts, reduce_fn).to_pandas()
+    b = ds.groupby("part", num_partitions=nparts) \
+          .map_groups(lambda g: reduce_fn(g.drop(columns=["part"])),
+                      batch_format="pandas").to_pandas()
+    cols = ["k", "v"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True), check_dtype=False)
+    # empty partitions are skipped, not materialized as empty blocks
+    small = df[df["part"] == 2]
+    dss = ray.data.from_pandas(small.reset_index(drop=True))
+    c = exchange_map_groups(dss, "part", nparts, reduce_fn).to_pandas()
+    pd.testing.assert_frame_equal(
+        c[cols].sort_values(cols, ignore_index=True),
+        reduce_fn(small.drop(columns=["part"]))[cols]
+            .sort_values(cols, ignore_index=True),
+        check_dtype=False)
