@@ -31,6 +31,11 @@ def _c(x: str) -> str:
     return _CENTS.format(x=x)
 
 
+def _profile_documents(sf_dir: str) -> Any:
+    from techtalk_data_pipeline_snowpark_ray.functions.profile import profile_table
+    return profile_table(sf_dir, "documents")
+
+
 def entry() -> Any:
     """Flagship pipeline: full CDC engine replay (WAL tail -> merge-apply
     -> atomic commit -> LWW snapshot) of a change stream derived from
@@ -75,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": analytics.user_running_total,
         "events_weekday_pivot": analytics.events_weekday_pivot,
         "vocab_top_terms": textstats.vocab_top_terms,
+        "profile_documents": _profile_documents,
         "value_quantiles": analytics.value_quantiles,
         "top10_expensive_orders": analytics.top10_expensive_orders,
         # --- training-data ops (dedup / text / similarity) ---
@@ -427,6 +433,21 @@ def oracle_sql() -> dict[str, str]:
                        for d in range(7)) + """
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "profile_documents": " UNION ALL ".join(
+            part for c, is_int in [("doc_id", True), ("lang", False),
+                                   ("n_chars", True), ("source", False),
+                                   ("text", False)]
+            for part in ([
+                f"SELECT '{c}' AS col, 'count' AS stat, "
+                f"CAST(COUNT(*) AS BIGINT) AS value FROM documents",
+                f"SELECT '{c}', 'distinct', CAST(COUNT(DISTINCT {c}) AS BIGINT) "
+                f"FROM documents",
+                f"SELECT '{c}', 'nulls', CAST(COUNT(*) - COUNT({c}) AS BIGINT) "
+                f"FROM documents",
+            ] + ([f"SELECT '{c}', 'max', CAST(MAX({c}) AS BIGINT) FROM documents",
+                  f"SELECT '{c}', 'min', CAST(MIN({c}) AS BIGINT) FROM documents"]
+                 if is_int else []))
+        ) + " ORDER BY col, stat",
         "vocab_top_terms": r"""
             WITH t AS (
               SELECT DISTINCT doc_id,

@@ -1,0 +1,80 @@
+"""Table profiling (ANALYZE TABLE): per-column stats in one pass.
+
+Emits long-form rows (col, stat, value) with every value an int64:
+row count, null count, exact distinct count, and min/max for integer
+columns. Shapes:
+
+  * count/nulls/min/max: per-batch partials (a handful of rows each)
+    merged on the driver -- bounded by n_cols, corpus-independent;
+  * exact distinct: per batch, each column's values dedupe locally and
+    hash to 64-bit (only (col_id, hash) pairs leave the batch), pairs
+    hash-route so a value lives wholly in one partition, each partition
+    counts its own uniques, and the per-partition counts sum -- the
+    routed exact-distinct shape (no driver-side set, no value shipping).
+    64-bit collisions undercount by ~n^2/2^65 -- zero in practice and
+    the driver oracle will catch any actual miss.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from ..stages.exchange import exchange_map_groups
+from .textstats import md5_hash64_series
+
+PROFILE_PARTITIONS = 16
+
+
+def profile_table(sf_dir: str, table: str = "documents",
+                  columns: list[str] | None = None) -> pd.DataFrame:
+    from ..sources.tables import read_table
+    ds = read_table(sf_dir, table, columns)
+    names = ds.schema().names
+
+    def scalar_partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in names:
+            s = b[c]
+            rows.append({"col": c, "stat": "count", "value": np.int64(len(s))})
+            rows.append({"col": c, "stat": "nulls",
+                         "value": np.int64(s.isna().sum())})
+            if pd.api.types.is_integer_dtype(s) and s.notna().any():
+                rows.append({"col": c, "stat": "min", "value": np.int64(s.min())})
+                rows.append({"col": c, "stat": "max", "value": np.int64(s.max())})
+        return pd.DataFrame(rows)
+
+    scal = ds.map_batches(scalar_partial, batch_format="pandas").to_pandas()
+    merged = []
+    for (c, st), g in scal.groupby(["col", "stat"], sort=False):
+        v = {"count": g["value"].sum, "nulls": g["value"].sum,
+             "min": g["value"].min, "max": g["value"].max}[st]()
+        merged.append({"col": c, "stat": st, "value": int(v)})
+
+    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for ci, c in enumerate(names):
+            vals = b[c].dropna().drop_duplicates().astype(str)
+            h = md5_hash64_series(vals).astype(np.int64)
+            frames.append(pd.DataFrame({"col_id": np.int64(ci), "h": h}))
+        out = pd.concat(frames, ignore_index=True).drop_duplicates()
+        out["part"] = (out["h"].to_numpy().astype(np.uint64)
+                       % np.uint64(PROFILE_PARTITIONS)).astype(np.int32)
+        return out
+
+    def distinct_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["col_id", "h"]) \
+               .groupby("col_id", sort=False, as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    routed = ds.map_batches(distinct_partial, batch_format="pandas")
+    parts = exchange_map_groups(routed, "part", PROFILE_PARTITIONS,
+                                distinct_part).to_pandas()
+    dist = parts.groupby("col_id", sort=False, as_index=False)["n"].sum()
+    for r in dist.itertuples():
+        merged.append({"col": names[int(r.col_id)], "stat": "distinct",
+                       "value": int(r.n)})
+    out = pd.DataFrame(merged)
+    return out.sort_values(["col", "stat"], ignore_index=True)
