@@ -41,6 +41,9 @@ QUERY_NAMES = [
     "cdc_apply_full", "q1_pricing_summary", "dq_overpaid_orders",
     "top_segments_last7d", "events_sessionize", "token_counts",
     "exact_dedup_documents", "minhash_near_dup", "ann_topk_cosine",
+    # round-2 operators
+    "events_asof_latest_order", "user_running_total", "top_events_per_user",
+    "doc_split", "pack_documents", "vocab_top_terms",
 ]
 
 

@@ -366,16 +366,36 @@ def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
 
     sub = ds.map_batches(subset, batch_format="pyarrow", zero_copy_batch=True)
     docs = sub.to_pandas()
-    # verify_jaccard takes sorted-unique arrays; plain string shingles
-    # here (the baseline stays hash-free by definition)
-    sh = {int(r.doc_id): np.unique(np.array(
-              [" ".join(ws) for ws in
-               zip(*[str(r.text).split()[i:] for i in range(NGRAM)])],
-              dtype=object))
-          for r in docs.itertuples()}
-    ids = sorted(sh)
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
-    return verify_jaccard(pd.DataFrame(pairs, columns=["id_a", "id_b"]), sh, threshold)
+    # all-pairs Jaccard as one incidence matmul: M[doc, shingle] in
+    # {0,1}, |A∩B| = M M^T, |A∪B| = |A|+|B|-|A∩B| -- fully vectorized
+    # (the per-pair Python loop took 143s at sf0.1; this takes <1s).
+    # Row-blocked so the intersect matrix never exceeds ~256MB.
+    sh = shingle_frame(docs).drop_duplicates()
+    dcodes, uniq_docs = pd.factorize(sh["doc_id"])
+    scodes, _ = pd.factorize(sh["sh"])
+    n_d = len(uniq_docs)
+    if n_d < 2:
+        return _empty_pairs()
+    M = np.zeros((n_d, int(scodes.max()) + 1), dtype=np.float32)
+    M[dcodes, scodes] = 1.0
+    sizes = M.sum(axis=1)
+    ids = np.asarray(uniq_docs, dtype=np.int64)
+    rows_a, rows_b = [], []
+    step = max(1, (256 << 20) // (4 * n_d))
+    for r0 in range(0, n_d, step):
+        r1 = min(r0 + step, n_d)
+        inter = M[r0:r1] @ M.T
+        union = sizes[r0:r1, None] + sizes[None, :] - inter
+        J = np.divide(inter, union, out=np.zeros_like(inter),
+                      where=union > 0)
+        ia, ib = np.nonzero(J >= threshold)
+        keep = (ia + r0) < ib          # each unordered pair once
+        rows_a.append(ids[ia[keep] + r0])
+        rows_b.append(ids[ib[keep]])
+    a = np.concatenate(rows_a) if rows_a else np.array([], dtype=np.int64)
+    b = np.concatenate(rows_b) if rows_b else np.array([], dtype=np.int64)
+    out = pd.DataFrame({"id_a": np.minimum(a, b), "id_b": np.maximum(a, b)})
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 # -- simhash ---------------------------------------------------------------
