@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,      # portable md5 mode
         "doc_split": sampling.doc_split,
+        "doc_split_stratified": sampling.doc_split_stratified,
         "pack_documents": packing.pack_documents,
         "exact_dedup_documents": dedup.exact_dedup_documents,
         "minhash_near_dup": dedup.minhash_near_dup,
@@ -563,6 +564,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
                             ELSE 0 END) >> 1 AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        "doc_split_stratified": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     CAST(md5_number_lower(coalesce(lang, '') || ':' ||
+                                           CAST(doc_id AS VARCHAR)) % 100
+                          AS BIGINT) AS bucket
+              FROM documents)
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         "pack_documents": r"""
             WITH t AS (

@@ -62,6 +62,26 @@ def doc_split(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pandas").sort("doc_id")
 
 
+def doc_split_stratified(sf_dir: str) -> ray.data.Dataset:
+    """Stratified split: the hash key is salted with the stratum
+    (language), so each language's documents split 90/5/5
+    INDEPENDENTLY -- per-stratum proportions hold even when strata are
+    wildly imbalanced (the failure mode of unstratified hash splits on
+    multilingual corpora). Same determinism/portability properties as
+    doc_split."""
+    from ..sources.tables import read_table
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        salted = batch["lang"].fillna("") + ":" + batch["doc_id"].astype(str)
+        bucket, split = assign_split(salted)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "lang": batch["lang"],
+                             "bucket": bucket, "split": split})
+
+    return ds.map_batches(f, batch_format="pandas").sort("doc_id")
+
+
 def doc_sample(ds: ray.data.Dataset, key_col: str, pct: int,
                buckets: int = SPLIT_BUCKETS) -> ray.data.Dataset:
     """Deterministic pct% sample of any Dataset by key-hash bucket:
