@@ -54,8 +54,8 @@ def pack_documents(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
         g["bin"] = (prefix // budget).astype("int64")
         return g[["doc_id", "part", "n_tokens", "bin"]]
 
-    return (ds.map_batches(count_route, batch_format="pyarrow",
-                           zero_copy_batch=True)
-              .groupby("part", num_partitions=num_partitions)
-              .map_groups(assign_bins, batch_format="pandas")
-              .sort("doc_id"))
+    from ..stages.exchange import exchange_map_groups
+    routed = ds.map_batches(count_route, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", num_partitions,
+                               assign_bins, keep_part_col=True).sort("doc_id")

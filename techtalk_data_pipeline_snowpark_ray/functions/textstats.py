@@ -162,10 +162,10 @@ def vocab_top_terms(sf_dir: str, k: int = 50,
         return out.sort_values(["df", "tok"], ascending=[False, True],
                                kind="stable").head(k)
 
-    cand = (ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-              .groupby("part", num_partitions=num_partitions)
-              .map_groups(topk_part, batch_format="pandas")
-              .to_pandas())
+    from ..stages.exchange import exchange_map_groups
+    routed = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    cand = exchange_map_groups(routed, "part", num_partitions,
+                               topk_part).to_pandas()
     return cand.sort_values(["df", "tok"], ascending=[False, True],
                             kind="stable", ignore_index=True).head(k)
 

@@ -343,21 +343,38 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
 # -- sessionization: per-key ordered, gap-based windows --------------------
 
 def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
-    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    """Gap-based session counts per user. ALL of a partition's users
+    sessionize in ONE vectorized pandas call (sort by (user, ts), diff,
+    user-boundary reset) -- one Python call per PARTITION, not per user
+    (per-user map_groups means millions of interpreter calls at real
+    user counts)."""
+    nparts = agg_partitions()
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty:
-            return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
-                                 "n_sessions": pd.Series(dtype="int64"),
-                                 "n_events": pd.Series(dtype="int64")})
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        new_s = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        return pd.DataFrame([{"user_id": int(g["user_id"].iloc[0]),
-                              "n_sessions": int(new_s.sum()),
-                              "n_events": len(g)}])
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "ts": t["ts"].to_pandas().astype("datetime64[us]")})
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable",
+                          ignore_index=True)
+        boundary = g["user_id"].ne(g["user_id"].shift())
+        new_s = boundary | (g["ts"].diff() > gap)
+        out = g.assign(ns=new_s).groupby("user_id", sort=False,
+                                         as_index=False) \
+               .agg(n_sessions=("ns", "sum"), n_events=("ns", "size"))
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", nparts, sessions_part)
 
 
 # -- semi join: events of customers who placed an urgent order -------------

@@ -118,8 +118,8 @@ def apply_changes_dataset(ds: ray.data.Dataset, num_buckets: int = 16,
             return target.empty_table().to_pandas()
         return resolve_final(g, payload)[final_cols]
 
-    return ds.groupby(BUCKET_COL, num_partitions=num_buckets) \
-        .map_groups(resolve, batch_format="pandas")
+    from ..stages.exchange import exchange_map_groups
+    return exchange_map_groups(ds, BUCKET_COL, num_buckets, resolve)
 
 
 # -- engine-backed flagship ------------------------------------------------
