@@ -712,6 +712,41 @@ def read_snapshot_as_of(cfg: EngineConfig, version: int,
     return read_snapshot(cfg_v, manifest=m, final_only=final_only)
 
 
+def read_delta(cfg: EngineConfig, from_version: int,
+               to_version: int | None = None) -> ray.data.Dataset:
+    """CDC OUT: the collapsed change records committed AFTER manifest
+    `from_version` up to `to_version` (default latest) -- the lake
+    table as a change SOURCE for downstream consumers (the reference's
+    stream-on-table read, S8, re-exported at the snapshot level).
+
+    Each manifest names its run files, so the delta is exactly the run
+    files referenced by (from_version, to_version] manifests and not by
+    `from_version`; rows carry (op, lsn) so a consumer can apply its
+    own fold. Compactions rewrite history (their manifests reference
+    replacement files, not new changes), so the window must not span
+    one -- detected via the `compaction` metric and rejected."""
+    state = TableState(cfg.table_dir)
+    hi = to_version if to_version is not None else state.latest_version()
+    if hi is None or hi < from_version:
+        raise ValueError(f"bad version window ({from_version}, {hi}]")
+    base = set(state.load(from_version).table_run_files()) \
+        if from_version >= 0 else set()
+    new_files: list[str] = []
+    for v in range(from_version + 1, hi + 1):
+        m = state.load(v)
+        if m.metrics.get("compaction"):
+            raise ValueError(
+                f"version window ({from_version}, {hi}] spans compaction "
+                f"v{v}; deltas are only defined between compactions")
+        new_files.extend(f for f in m.table_run_files()
+                         if f not in base and f not in new_files)
+    if not new_files:
+        return ray.data.from_arrow(
+            schemas.table_schema(cfg.schema_version).empty_table())
+    return ray.data.read_parquet(
+        [os.path.join(state.runs_dir, f) for f in new_files])
+
+
 def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
     """Small-scale convenience (tests): full snapshot, stable ordering."""
     df = read_snapshot(cfg).to_pandas()

@@ -16,7 +16,14 @@ downstream stays lazy/streamed.
 Scale notes: object count is blocks x partitions (keep P at O(cores));
 peak object-store footprint equals the exchanged rows, same as any
 shuffle, and spills normally. The same shape reads run FILES instead
-of blocks in `pipelines.ingest._exchange_by_bucket`.
+of blocks in `pipelines.ingest._exchange_by_bucket`. On a cluster the
+object count per exchange stays bounded because the INPUT is bounded:
+compaction folds only the runs accumulated since the previous
+compaction (cadence is the lever), and query reduces exchange
+pre-combined partials, not raw rows. An exchange whose block count
+genuinely explodes (months of uncompacted ingest) should compact in
+waves of buckets instead -- trade G-fold re-reads for a G-fold object
+cut.
 """
 
 from __future__ import annotations

