@@ -494,18 +494,25 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                               payload_cols=payload, salt_factor=cfg.salt_factor,
                               derived_views=tuple(view_names),
                               barriers=barriers)
-        grouped = ds.groupby(SHARD_COL)
         if cfg.apply_concurrency:
-            metrics_ds = grouped.map_groups(BucketApplier, batch_format="pandas",
-                                            fn_constructor_kwargs=applier_kwargs,
-                                            concurrency=cfg.apply_concurrency)
+            # actor-pool applier (explicit ST1 lifecycle) stays on the
+            # Dataset groupby; the exchange below is task-shaped
+            metrics_ds = ds.groupby(SHARD_COL) \
+                .map_groups(BucketApplier, batch_format="pandas",
+                            fn_constructor_kwargs=applier_kwargs,
+                            concurrency=cfg.apply_concurrency)
         else:
+            from ..stages.exchange import exchange_map_groups
+
             applier = BucketApplier(**applier_kwargs)
 
             def apply_shard(group: pd.DataFrame) -> pd.DataFrame:
                 return applier(group)
 
-            metrics_ds = grouped.map_groups(apply_shard, batch_format="pandas")
+            # raw hash exchange instead of the sort-based groupby
+            # shuffle: shards only need co-location, not global order
+            metrics_ds = exchange_map_groups(ds, SHARD_COL, cfg.num_shards,
+                                             apply_shard, keep_part_col=True)
     metrics = metrics_ds.to_pandas()  # one row per shard/task -- tiny
     if metrics.empty:
         return None
