@@ -31,6 +31,11 @@ def _c(x: str) -> str:
     return _CENTS.format(x=x)
 
 
+def _curation_pipeline(sf_dir: str) -> Any:
+    from techtalk_data_pipeline_snowpark_ray.pipelines.curation import curation_pipeline
+    return curation_pipeline(sf_dir)
+
+
 def _profile_documents(sf_dir: str) -> Any:
     from techtalk_data_pipeline_snowpark_ray.functions.profile import profile_table
     return profile_table(sf_dir, "documents")
@@ -60,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_conditional_crud": cdc_queries.cdc_conditional_crud,
         "cdc_prefix_merge": cdc_queries.cdc_prefix_merge,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
+        "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "dq_overpaid_orders": analytics.dq_overpaid_orders,
@@ -564,6 +570,47 @@ def oracle_sql() -> dict[str, str]:
                             THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER)
                             ELSE 0 END) >> 1 AS BIGINT) AS simhash
             FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
+        # the composite curation pipeline: quality gate + lang gate +
+        # exact dedup representative + deterministic split, one SQL
+        "curation_pipeline": r"""
+            WITH s AS (
+              SELECT doc_id, text,
+                CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+                  AS n_tokens,
+                len(regexp_extract_all(coalesce(text, ''), '[一-鿿぀-ヿ]')) * 1.0
+                  / GREATEST(length(coalesce(text, '')), 1) AS cjk,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                    '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS c_en,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                    '\b(le|la|les|et|des|une|est|dans|pour|que)\b')) AS c_fr,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                    '\b(el|los|las|una|es|que|por|con|para|como)\b')) AS c_es,
+                len(regexp_extract_all(lower(coalesce(text, '')),
+                    '\b(der|die|das|und|ist|ein|nicht|mit|auf|von)\b')) AS c_de
+              FROM documents),
+            l AS (
+              SELECT doc_id, text, n_tokens,
+                CASE WHEN cjk > 0.2 THEN 'zh'
+                     WHEN GREATEST(c_en, c_fr, c_es, c_de) = 0 THEN 'unknown'
+                     WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+                     WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+                     WHEN c_es >= c_de THEN 'es'
+                     ELSE 'de' END AS lang_pred
+              FROM s),
+            f AS (SELECT doc_id, text, n_tokens FROM l
+                  WHERE lang_pred = 'en' AND n_tokens BETWEEN 20 AND 80),
+            r AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+            b AS (
+              SELECT f.doc_id, f.n_tokens,
+                     CAST(md5_number_lower(CAST(f.doc_id AS VARCHAR)) % 100
+                          AS BIGINT) AS bucket
+              FROM f JOIN r ON f.doc_id = r.doc_id)
+            SELECT doc_id, n_tokens, bucket,
+                   CASE WHEN bucket < 90 THEN 'train'
+                        WHEN bucket < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         "doc_split_stratified": """
             WITH b AS (
