@@ -168,6 +168,10 @@ class MinHasher:
         })
 
 
+#: per-worker-process SimHasher cache keyed by token-hash mode
+_SIMHASHERS: dict = {}
+
+
 def _empty_pairs() -> pd.DataFrame:
     return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                          "id_b": pd.Series(dtype="int64")})
@@ -451,6 +455,14 @@ def simhash_documents(sf_dir: str, token_hash: str = "md5") -> ray.data.Dataset:
     (token unnest -> 64 bit-votes -> bit assembly); pass "xx64" for the
     faster engine-internal hash (rows-only checkable)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return ds.map_batches(SimHasher, fn_constructor_args=(token_hash,),
-                          concurrency=2, batch_format="pandas",
+
+    def hash_batch(batch: pd.DataFrame, _th: str = token_hash) -> pd.DataFrame:
+        # process-level singleton: the md5 token-vocab memo persists
+        # across tasks AND queries (the worker process outlives both)
+        h = _SIMHASHERS.get(_th)
+        if h is None:
+            h = _SIMHASHERS.setdefault(_th, SimHasher(_th))
+        return h(batch)
+
+    return ds.map_batches(hash_batch, batch_format="pandas",
                           batch_size=4096).sort("doc_id")

@@ -91,9 +91,15 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 
 def ann_topk_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     q_ref = ray.put(_query_matrix(sf_dir))
+
+    # task-based: ray.get of the broadcast matrix is a zero-copy mmap
+    # of the plasma buffer, so per-batch construction costs nothing and
+    # the warm worker pool is reused without actor-spawn latency
+    def topk_batch(batch: pa.Table) -> pd.DataFrame:
+        return BatchTopK(q_ref, k)(batch)
+
     parts = _emb(sf_dir).map_batches(
-        BatchTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
-        fn_constructor_kwargs=dict(q_ref=q_ref, k=k),
+        topk_batch, batch_format="pyarrow", batch_size=8192,
         zero_copy_batch=True).to_pandas()
     out = []
     for qid, g in parts.groupby("query_id"):
