@@ -537,3 +537,55 @@ def test_read_delta_between_versions(tmp_engine):
     with pytest.raises(ValueError, match="compaction"):
         ingest.read_delta(tmp_engine, r1.manifest.version,
                           state.latest_version())
+
+
+def test_live_writer_concurrent_with_run_loop(tmp_path):
+    """A WAL writer publishing segments WHILE run_loop ticks must not
+    lose or double-count anything: the final table matches the oracle
+    and the additive conv_stats sink counts every event exactly once
+    (the segment-listing race would double-count here)."""
+    import threading
+    import time as _time
+
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"),
+                       num_buckets=4, apply_mode="direct",
+                       derived_views=("conv_stats",))
+    cfg.ensure_dirs()
+    chunks = list(generate_chunks(TINY))
+
+    def writer():
+        w = WalWriter(cfg.wal_dir, segment_rows=150, reorder_slack=64)
+        for t, v in chunks:
+            w.append(t, v)
+            w.flush()
+            _time.sleep(0.05)      # interleave with ticks
+        w.close()
+
+    th = threading.Thread(target=writer)
+    th.start()
+    results = []
+    while th.is_alive() or True:
+        res = ingest.apply_tick(cfg)
+        if res is not None:
+            results.append(res)
+        elif not th.is_alive():
+            break
+        else:
+            _time.sleep(0.02)
+    th.join()
+    assert len(results) >= 2          # genuinely interleaved ticks
+    assert_matches_oracle(cfg)
+    # additive sink: exactly-once counting across racing ticks
+    stats = ingest.read_derived(cfg).to_pandas()
+    events = pa.concat_tables(
+        [normalize_batch(pq.read_table(p), schemas.table_schema(3),
+                         keep_extra=("lsn", "op"))
+         for p in sorted(glob.glob(os.path.join(cfg.wal_dir, "*.parquet")))])
+    expect = (events.to_pandas().groupby("conv_id", as_index=False)
+              .agg(n_events=("lsn", "size"), max_lsn=("lsn", "max")))
+    pd.testing.assert_frame_equal(
+        stats.sort_values("conv_id", ignore_index=True),
+        expect.sort_values("conv_id", ignore_index=True), check_dtype=False)
