@@ -1,10 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
 ``entry()`` runs the flagship CDC replay on sf0.001; ``queries()`` maps
-every implemented operator/pipeline from SURVEY.md §2 to a callable
-over an sf_dir; ``oracle_sql()`` gives the DuckDB-equivalent SQL for
-the value-hash correctness gate (rows-only for non-SQL-expressible
-ops: near-dup sketches, heuristic language id, fingerprints).
+every implemented operator/pipeline from SURVEY.md §2 (plus the
+training-data extensions) to a callable over an sf_dir;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the value-hash
+correctness gate. Only three entries are rows-only (genuinely
+non-SQL-expressible): the approximate ANN variants (LSH/IVF, gated by
+recall pytests against the oracle-checked brute force) and the
+stubbed-codec multimodal features. Everything else -- including the
+sketches (portable md5 fingerprint/SimHash), splits, packing,
+curation, and all CDC paths -- is value-hash-checked.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or in the library.
