@@ -176,7 +176,12 @@ class TableState:
                 v = m.parent
         removed = []
         for name in os.listdir(self.runs_dir):
-            if name.endswith(".parquet") and name not in referenced:
+            # stale tmp files (crashed/retried writers that never reached
+            # their os.replace) are safe to sweep here: GC only runs from
+            # the single writer's loop, never concurrently with a write
+            stale_tmp = ".tmp" in name
+            if (name.endswith(".parquet") or stale_tmp) \
+                    and name not in referenced:
                 os.remove(os.path.join(self.runs_dir, name))
                 removed.append(name)
         return removed

@@ -589,3 +589,16 @@ def test_live_writer_concurrent_with_run_loop(tmp_path):
     pd.testing.assert_frame_equal(
         stats.sort_values("conv_id", ignore_index=True),
         expect.sort_values("conv_id", ignore_index=True), check_dtype=False)
+
+
+def test_gc_sweeps_stale_tmp_files(tmp_engine):
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    state = TableState(tmp_engine.table_dir)
+    stale = os.path.join(state.runs_dir, "delta-xdead.parquet.tmp-beef1234")
+    with open(stale, "w") as f:
+        f.write("partial write from a crashed task")
+    removed = state.gc_orphan_runs(keep_versions=2)
+    assert os.path.basename(stale) in removed
+    assert not os.path.exists(stale)
+    assert_matches_oracle(tmp_engine)
