@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": packing.pack_documents,
         "exact_dedup_documents": dedup.exact_dedup_documents,
         "minhash_near_dup": dedup.minhash_near_dup,
+        "minhash_dedup_clusters": dedup.minhash_dedup_clusters,
         "simhash_documents": dedup.simhash_documents,      # portable md5 mode
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_topk_cosine": similarity.ann_topk_cosine,
@@ -545,6 +546,23 @@ def oracle_sql() -> dict[str, str]:
         # the minhash permutations are seed-fixed, so the outcome is
         # deterministic. The oracle is the brute-force definition.
         "minhash_near_dup": _JACCARD_PAIRS_SQL.format(where="TRUE"),
+        # connected components over the (verified) near-dup pairs:
+        # recursive min-label reachability, rep = component min doc_id
+        "minhash_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.format(where="TRUE")}),
+            n0 AS (SELECT DISTINCT x AS node FROM
+                   (SELECT id_a AS x FROM pairs
+                    UNION ALL SELECT id_b FROM pairs)),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, r) AS (
+              SELECT node, node FROM n0
+              UNION
+              SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+            )
+            SELECT node AS doc_id, MIN(r) AS cluster_rep
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL.format(
             where="doc_id % 2 = 0"),
         "lang_id": _LANG_ID_SQL,

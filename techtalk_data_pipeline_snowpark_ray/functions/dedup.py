@@ -402,6 +402,58 @@ def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+# -- near-dup clustering (the step that completes a dedup pipeline) --------
+
+def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Connected components over near-dup pairs -> (doc_id,
+    cluster_rep) with rep = the component's min doc_id (the canonical
+    survivor; every other member is droppable).
+
+    Runs union-find with path compression over the PAIR set, which is
+    candidate-proportional by LSH construction -- the same size class
+    the pair materialization itself already is. If the pair graph ever
+    outgrows one machine, the scale path is alternating large-star /
+    small-star min-label propagation on the hash exchange (each round
+    routes edges by node and takes per-node min labels until fixpoint);
+    the union-find here is its fixpoint on one node."""
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_rep": pd.Series(dtype="int64")})
+    ids = np.unique(np.concatenate([pairs["id_a"].to_numpy(dtype=np.int64),
+                                    pairs["id_b"].to_numpy(dtype=np.int64)]))
+    a = np.searchsorted(ids, pairs["id_a"].to_numpy(dtype=np.int64))
+    b = np.searchsorted(ids, pairs["id_b"].to_numpy(dtype=np.int64))
+    parent = np.arange(len(ids))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in zip(a, b):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            # union by min index: ids are sorted, so the smaller index
+            # IS the smaller doc_id -> roots stay the component minimum
+            if ri < rj:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.fromiter((find(i) for i in range(len(ids))),
+                        dtype=np.int64, count=len(ids))
+    return pd.DataFrame({"doc_id": ids, "cluster_rep": ids[roots]}) \
+        .sort_values("doc_id", ignore_index=True)
+
+
+def minhash_dedup_clusters(sf_dir: str,
+                           threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS: minhash pairs -> connected components
+    -> (doc_id, cluster_rep) for every document in at least one pair.
+    Dropping rows where doc_id != cluster_rep is the dedup action."""
+    return cluster_pairs(minhash_near_dup(sf_dir, threshold))
+
+
 # -- simhash ---------------------------------------------------------------
 
 class SimHasher:

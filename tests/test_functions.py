@@ -424,3 +424,13 @@ def test_exchange_map_groups_equals_dataset_groupby():
         reduce_fn(small.drop(columns=["part"]))[cols]
             .sort_values(cols, ignore_index=True),
         check_dtype=False)
+
+
+def test_cluster_pairs_union_find():
+    pairs = pd.DataFrame({"id_a": [1, 2, 5, 8, 9],
+                          "id_b": [2, 3, 6, 9, 1]})
+    got = dedup.cluster_pairs(pairs)
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 1, 9: 1}
+    assert dict(zip(got["doc_id"], got["cluster_rep"])) == want
+    # empty graph
+    assert dedup.cluster_pairs(pd.DataFrame({"id_a": [], "id_b": []})).empty
