@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_documents": dedup.simhash_documents,      # portable md5 mode
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "ann_topk_cosine": similarity.ann_topk_cosine,
+        "label_centroids": similarity.label_centroids,
         "embedding_near_dup": similarity.embedding_near_dup,
         "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
         "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
@@ -531,6 +532,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id FROM sims WHERE rk <= 10
             ORDER BY query_id, vec_id
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, d.d AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(embedding[d.d + 1] AS DOUBLE)
+                                       * 1048576 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_c,
+                   COUNT(*) AS n
+            FROM embeddings
+            CROSS JOIN (SELECT unnest(range(64)) AS d) d
+            GROUP BY label, d.d ORDER BY label, dim
         """,
         "embedding_near_dup": """
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

@@ -110,6 +110,45 @@ def ann_topk_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
               .sort_values(["query_id", "vec_id"], ignore_index=True))
 
 
+#: fixed-point scale for exact distributed vector aggregates: float32
+#: inputs widened to float64 then scaled -> int64 sums are
+#: order-independent, so Ray partials equal the SQL oracle bit-for-bit
+CENTROID_SCALE = 1 << 20
+
+
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Grouped VECTOR aggregate: per-label embedding centroid as exact
+    fixed-point sums. Each batch folds to one partial row per (label)
+    -- bounded cardinality, so partials merge on the driver like any
+    dimension aggregate -- and the output is long-form (label, dim,
+    sum_c, n): mean = sum_c / (n * CENTROID_SCALE), reconstructable
+    and exactly comparable across engines."""
+    from ..sources.tables import read_table
+    ds = read_table(sf_dir, "embeddings", ["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = batch["embedding"].combine_chunks()
+        X = np.asarray(flat.values, dtype=np.float64).reshape(len(labels), -1)
+        S = np.floor(X * CENTROID_SCALE + 0.5).astype(np.int64)
+        codes, uniq = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(codes), S.shape[1]), dtype=np.int64)
+        np.add.at(sums, uniq, S)
+        n = np.bincount(uniq, minlength=len(codes)).astype(np.int64)
+        dim = S.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(codes, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(codes)),
+            "sum_c": sums.ravel(),
+            "n": np.repeat(n, dim)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = parts.groupby(["label", "dim"], sort=True, as_index=False) \
+               .agg(sum_c=("sum_c", "sum"), n=("n", "sum"))
+    return out.sort_values(["label", "dim"], ignore_index=True)
+
+
 class LshTopK(BatchTopK):
     """Approximate variant: random-hyperplane signatures; a candidate is
     scored only when it shares its bucket with the query (multi-probe =
