@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_extract": analytics.props_json_extract,
         "events_semi_join": analytics.events_semi_join,
         "events_anti_join": analytics.events_anti_join,
+        "events_funnel": analytics.events_funnel,
         "events_asof_latest_order": analytics.events_asof_latest_order,
         "top_events_per_user": analytics.top_events_per_user,
         "user_running_total": analytics.user_running_total,
@@ -415,6 +416,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id NOT IN (SELECT o_custkey FROM orders
                                   WHERE o_orderpriority = '1-URGENT')
             GROUP BY event_type ORDER BY event_type
+        """,
+        "events_funnel": """
+            WITH v AS (
+              SELECT user_id, ts, event_id,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events WHERE event_type = 'view'),
+            s1 AS (SELECT user_id, ts AS t, event_id AS e FROM v WHERE rn = 1),
+            c AS (
+              SELECT e.user_id, e.ts, e.event_id,
+                     ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts, e.event_id) AS rn
+              FROM events e JOIN s1 ON s1.user_id = e.user_id
+              WHERE e.event_type = 'click'
+                AND (e.ts, e.event_id) > (s1.t, s1.e)),
+            s2 AS (SELECT user_id, ts AS t, event_id AS e FROM c WHERE rn = 1),
+            p AS (
+              SELECT e.user_id, e.ts, e.event_id,
+                     ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                        ORDER BY e.ts, e.event_id) AS rn
+              FROM events e JOIN s2 ON s2.user_id = e.user_id
+              WHERE e.event_type = 'purchase'
+                AND (e.ts, e.event_id) > (s2.t, s2.e)),
+            s3 AS (SELECT user_id FROM p WHERE rn = 1)
+            SELECT CAST(1 AS BIGINT) AS step, COUNT(*) AS n_users FROM s1
+            UNION ALL SELECT CAST(2 AS BIGINT), COUNT(*) FROM s2
+            UNION ALL SELECT CAST(3 AS BIGINT), COUNT(*) FROM s3
+            ORDER BY step
         """,
         "events_asof_latest_order": """
             WITH j AS (

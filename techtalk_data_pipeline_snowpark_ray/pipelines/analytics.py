@@ -690,6 +690,63 @@ def user_running_total(sf_dir: str) -> ray.data.Dataset:
         .sort("event_id")
 
 
+# -- funnel: ordered step-sequence match per user ---------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> pd.DataFrame:
+    """Funnel analysis: how many users have a view -> click -> purchase
+    SUBSEQUENCE (each step strictly after the previous, ties broken by
+    event_id). Vectorized by iterating over STEPS, not rows: per
+    partition, step k is one groupby-first of k's candidate events
+    after the user's step-(k-1) anchor -- len(steps) vectorized passes,
+    no per-user Python. Users are hash-co-located so anchors never
+    cross partitions; per-partition step counts sum on the driver
+    (len(steps) x P rows)."""
+    nparts = agg_partitions()
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas(),
+            "ts": t["ts"].to_pandas().astype("datetime64[us]")})
+        df = df[df["event_type"].isin(steps)]
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def funnel_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable",
+                          ignore_index=True)
+        anchor = None        # per-user (ts, event_id) of the last step hit
+        counts = []
+        for step in steps:
+            cand = g[g["event_type"] == step]
+            if anchor is not None:
+                cand = cand.merge(anchor, on="user_id", how="inner")
+                after = (cand["ts"] > cand["a_ts"]) | (
+                    (cand["ts"] == cand["a_ts"])
+                    & (cand["event_id"] > cand["a_eid"]))
+                cand = cand[after]
+            first = cand.groupby("user_id", sort=False).head(1)
+            anchor = pd.DataFrame({"user_id": first["user_id"],
+                                   "a_ts": first["ts"],
+                                   "a_eid": first["event_id"]})
+            counts.append(len(first))
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1,
+                                               dtype=np.int64),
+                             "n_users": np.asarray(counts, dtype=np.int64)})
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(routed, "part", nparts,
+                                funnel_part).to_pandas()
+    out = parts.groupby("step", sort=True, as_index=False)["n_users"].sum()
+    return out.sort_values("step", ignore_index=True)
+
+
 # -- anti join: events of users who never placed an urgent order -----------
 
 def events_anti_join(sf_dir: str) -> ray.data.Dataset:
