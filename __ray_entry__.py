@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- training-data ops (dedup / text / similarity) ---
         "token_counts": textstats.token_counts,
         "doc_quality": textstats.doc_quality,
+        "clean_text": textstats.clean_text,
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,      # portable md5 mode
         "doc_split": sampling.doc_split,
@@ -541,6 +542,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
                    CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
             FROM documents ORDER BY doc_id
+        """,
+        # NFC + ASCII-lower + ASCII-whitespace canon (unicode CASEFOLD
+        # is deliberately avoided: it differs across engines)
+        "clean_text": r"""
+            WITH c AS (
+              SELECT doc_id,
+                regexp_replace(
+                  trim(translate(nfc_normalize(coalesce(text, '')),
+                                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                 'abcdefghijklmnopqrstuvwxyz'),
+                       ' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)),
+                  '[ ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11) || ']+',
+                  ' ', 'g') AS clean
+              FROM documents)
+            SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
+            FROM c ORDER BY doc_id
         """,
         "exact_dedup_documents": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -145,6 +145,46 @@ def md5_hash64_series(text: pd.Series) -> np.ndarray:
                        count=len(vals))
 
 
+#: ASCII-only case map: unicode lowercasing is ENGINE-DEPENDENT
+#: (final sigma, Turkish dotted I, locale tailoring), so a cleaning
+#: stage whose output keys dedup/splits must avoid it -- determinism
+#: across engines beats linguistic completeness for content keys.
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_LOWER = str.maketrans(_UPPER, _LOWER)
+_WS_RE = None  # compiled per process
+
+
+def clean_text_value(s: str) -> str:
+    """NFC unicode normalization -> ASCII lowercase -> collapse ASCII
+    whitespace runs -> strip. Bit-reproducible in SQL (nfc_normalize +
+    translate + regexp_replace), unlike unicode casefolding."""
+    import re
+    import unicodedata
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
+    s = unicodedata.normalize("NFC", s).translate(_ASCII_LOWER)
+    return _WS_RE.sub(" ", s).strip(" \t\r\n\f\v")
+
+
+def clean_text(sf_dir: str) -> ray.data.Dataset:
+    """Canonicalized text per document (the content-key input for
+    dedup / fingerprints): (doc_id, clean, n_chars)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        vals = batch["text"].fillna("").to_numpy()
+        clean = np.array([clean_text_value(s) for s in vals], dtype=object)
+        n = np.fromiter((len(c) for c in clean), dtype=np.int64,
+                        count=len(clean))
+        return pd.DataFrame({"doc_id": batch["doc_id"], "clean": clean,
+                             "n_chars": n})
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192) \
+             .sort("doc_id")
+
+
 def vocab_top_terms(sf_dir: str, k: int = 50,
                     num_partitions: int = 16) -> pd.DataFrame:
     """Top-k tokens by DOCUMENT frequency (vocabulary building /

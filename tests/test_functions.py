@@ -434,3 +434,23 @@ def test_cluster_pairs_union_find():
     assert dict(zip(got["doc_id"], got["cluster_rep"])) == want
     # empty graph
     assert dedup.cluster_pairs(pd.DataFrame({"id_a": [], "id_b": []})).empty
+
+
+def test_clean_text_value_matches_duckdb_on_unicode_edges():
+    import duckdb
+    from techtalk_data_pipeline_snowpark_ray.functions.textstats import (
+        clean_text_value)
+    con = duckdb.connect()
+    sql = r"""SELECT regexp_replace(
+        trim(translate(nfc_normalize(?),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz'),
+             ' ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11)),
+        '[ ' || chr(9) || chr(13) || chr(10) || chr(12) || chr(11) || ']+',
+        ' ', 'g')"""
+    cases = ["Héllo   Wörld\t!", "  á b  ", "ＡＢＣ ﬁn",
+             "Ligne insécable", "İstanbul STRASSE ẞ", "ΣΙΣΥΦΟΣ σ",
+             "x\r\ny \f z\v", "", "   ", "á vs á"]
+    for s in cases:
+        want = con.sql(sql, params=[s]).fetchone()[0]
+        assert clean_text_value(s) == want, repr(s)
