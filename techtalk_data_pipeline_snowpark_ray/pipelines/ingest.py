@@ -754,6 +754,58 @@ def read_delta(cfg: EngineConfig, from_version: int,
         [os.path.join(state.runs_dir, f) for f in new_files])
 
 
+def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,
+                  num_partitions: int = 16) -> ray.data.Dataset:
+    """Semantic diff of two committed snapshots: one row per key whose
+    visible state differs, labeled added / removed / changed. Works
+    across compactions (it compares RESOLVED states, not file lineage
+    -- the complement of :func:`read_delta`). Both snapshots hash-route
+    by key and each partition diffs its keys in one vectorized merge."""
+    from ..stages.exchange import exchange_map_groups
+
+    state = TableState(cfg.table_dir)
+    v_hi = v_to if v_to is not None else state.latest_version()
+    if v_hi is None:
+        raise ValueError("no committed snapshot")
+    payload = schemas.payload_cols(cfg.schema_version)
+    keys = list(schemas.KEY_COLS)
+
+    def side(tag: int):
+        def f(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            df["side"] = np.int8(tag)
+            kh = hash_strings_arrow(batch["conv_id"]) \
+                + df["turn_idx"].to_numpy().astype(np.uint64)
+            df["part"] = (kh % np.uint64(num_partitions)).astype(np.int32)
+            return df
+        return f
+
+    a = read_snapshot_as_of(cfg, v_from).map_batches(
+        side(0), batch_format="pyarrow", zero_copy_batch=True)
+    b = read_snapshot_as_of(cfg, v_hi).map_batches(
+        side(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def diff_part(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["side"] == 0]
+        new = g[g["side"] == 1]
+        m = old.merge(new, on=keys, how="outer", suffixes=("_a", "_b"),
+                      indicator=True)
+        change = np.where(m["_merge"] == "left_only", "removed",
+                          np.where(m["_merge"] == "right_only", "added",
+                                   "changed"))
+        same = np.ones(len(m), dtype=bool)
+        both = (m["_merge"] == "both").to_numpy()
+        for c in payload:
+            ca, cb = m[f"{c}_a"], m[f"{c}_b"]
+            same &= (ca.eq(cb) | (ca.isna() & cb.isna())).to_numpy()
+        keep = ~(both & same)
+        out = m.loc[keep, keys].copy()
+        out["change"] = change[keep]
+        return out
+
+    return exchange_map_groups(a.union(b), "part", num_partitions, diff_part)
+
+
 def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
     """Small-scale convenience (tests): full snapshot, stable ordering."""
     df = read_snapshot(cfg).to_pandas()

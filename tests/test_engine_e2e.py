@@ -602,3 +602,45 @@ def test_gc_sweeps_stale_tmp_files(tmp_engine):
     assert os.path.basename(stale) in removed
     assert not os.path.exists(stale)
     assert_matches_oracle(tmp_engine)
+
+
+def test_snapshot_diff_across_compaction(tmp_engine):
+    """snapshot_diff labels added/removed/changed keys between two
+    versions, comparing RESOLVED states (valid across compaction)."""
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(tmp_engine.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    r1 = ingest.apply_tick(tmp_engine)
+    v1 = r1.manifest.version
+    s1 = ingest.snapshot_to_pandas(tmp_engine)
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    ingest.apply_tick(tmp_engine)
+    ingest.compact(tmp_engine)            # diff must survive compaction
+    s2 = ingest.snapshot_to_pandas(tmp_engine)
+    got = ingest.snapshot_diff(tmp_engine, v1).to_pandas()
+    keys = ["conv_id", "turn_idx"]
+    payload = [c for c in s2.columns if c not in keys]
+    m = s1.merge(s2, on=keys, how="outer", suffixes=("_a", "_b"),
+                 indicator="mflag")
+    want = {}
+    for r in m.itertuples():
+        k = (r.conv_id, r.turn_idx)
+        if r.mflag == "left_only":
+            want[k] = "removed"
+        elif r.mflag == "right_only":
+            want[k] = "added"
+        else:
+            same = all(
+                (getattr(r, f"{c}_a") == getattr(r, f"{c}_b"))
+                or (pd.isna(getattr(r, f"{c}_a")) and pd.isna(getattr(r, f"{c}_b")))
+                for c in payload)
+            if not same:
+                want[k] = "changed"
+    got_map = {(r.conv_id, r.turn_idx): r.change for r in got.itertuples()}
+    assert got_map == want
+    assert set(got["change"]) <= {"added", "removed", "changed"}
