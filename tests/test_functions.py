@@ -454,3 +454,34 @@ def test_clean_text_value_matches_duckdb_on_unicode_edges():
     for s in cases:
         want = con.sql(sql, params=[s]).fetchone()[0]
         assert clean_text_value(s) == want, repr(s)
+
+
+def test_quantile_digest_rank_error_bound():
+    """Mergeable sketch: any-order merges give quantiles within ~2%
+    RANK error of exact on 100k lognormal values (the unbounded-domain
+    alternative to the exact histogram quantiles)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.functions.sketches import (
+        QuantileDigest, sketch_column)
+
+    rng = np.random.default_rng(7)
+    vals = rng.lognormal(0, 1.5, size=100_000)
+    exact = np.sort(vals)
+
+    # pure merge associativity on raw digests
+    chunks = np.array_split(vals, 37)
+    d = QuantileDigest.from_values(chunks[0])
+    for c in chunks[1:]:
+        d = d.merge(QuantileDigest.from_values(c))
+    for p in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = d.quantile(p)
+        rank = np.searchsorted(exact, est) / len(exact)
+        assert abs(rank - p) < 0.02, (p, rank)
+
+    # through the Dataset path
+    ds = ray.data.from_pandas([pd.DataFrame({"v": c}) for c in chunks[:8]])
+    d2 = sketch_column(ds, "v")
+    sub = np.sort(np.concatenate(chunks[:8]))
+    for p in (0.5, 0.9):
+        rank = np.searchsorted(sub, d2.quantile(p)) / len(sub)
+        assert abs(rank - p) < 0.02, (p, rank)
