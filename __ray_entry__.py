@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_semi_join": analytics.events_semi_join,
         "events_anti_join": analytics.events_anti_join,
         "events_funnel": analytics.events_funnel,
+        "events_retention": analytics.events_retention,
         "events_asof_latest_order": analytics.events_asof_latest_order,
         "top_events_per_user": analytics.top_events_per_user,
         "user_running_total": analytics.user_running_total,
@@ -417,6 +418,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE user_id NOT IN (SELECT o_custkey FROM orders
                                   WHERE o_orderpriority = '1-URGENT')
             GROUP BY event_type ORDER BY event_type
+        """,
+        "events_retention": """
+            WITH w AS (SELECT user_id, date_trunc('week', ts) AS week
+                       FROM events),
+            c AS (SELECT user_id, week,
+                         MIN(week) OVER (PARTITION BY user_id) AS cohort
+                  FROM w),
+            d AS (SELECT DISTINCT user_id, cohort,
+                         CAST(date_diff('day', cohort, week) // 7 AS BIGINT)
+                           AS weeks_since
+                  FROM c)
+            SELECT CAST(cohort AS TIMESTAMP) AS cohort_week, weeks_since,
+                   COUNT(*) AS n_users
+            FROM d GROUP BY cohort, weeks_since
+            ORDER BY cohort_week, weeks_since
         """,
         "events_funnel": """
             WITH v AS (

@@ -747,6 +747,50 @@ def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> pd.DataFrame:
     return out.sort_values("step", ignore_index=True)
 
 
+# -- retention cohorts: weekly cohort x activity-week distinct users -------
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-event week
+    (the cohort), counted distinct per weeks-elapsed-since-cohort.
+    One exchange: users hash-co-locate, each partition derives its
+    users' cohorts and their distinct (cohort, weeks_since) activity in
+    one vectorized pass -- per-user distinct never crosses partitions,
+    so the partial counts sum exactly on the driver (bounded
+    cohort x offset cells)."""
+    nparts = agg_partitions()
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "ts": t["ts"].to_pandas().astype("datetime64[us]")})
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def cohort_part(g: pd.DataFrame) -> pd.DataFrame:
+        # ISO-week-start (Monday) bucketing, vectorized
+        week = (g["ts"] - pd.to_timedelta(
+            g["ts"].dt.dayofweek, unit="D")).dt.normalize()
+        g = pd.DataFrame({"user_id": g["user_id"], "week": week})
+        first = g.groupby("user_id", sort=False)["week"].transform("min")
+        g["cohort_week"] = first
+        g["weeks_since"] = ((g["week"] - first).dt.days // 7).astype("int64")
+        d = g[["user_id", "cohort_week", "weeks_since"]].drop_duplicates()
+        out = d.groupby(["cohort_week", "weeks_since"], sort=False,
+                        as_index=False).size()
+        return out.rename(columns={"size": "n_users"})
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(routed, "part", nparts,
+                                cohort_part).to_pandas()
+    out = parts.groupby(["cohort_week", "weeks_since"], sort=True,
+                        as_index=False)["n_users"].sum()
+    out["cohort_week"] = out["cohort_week"].astype("datetime64[us]")
+    return out.sort_values(["cohort_week", "weeks_since"],
+                           ignore_index=True)
+
+
 # -- anti join: events of users who never placed an urgent order -----------
 
 def events_anti_join(sf_dir: str) -> ray.data.Dataset:
