@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": analytics.events_funnel,
         "events_retention": analytics.events_retention,
         "events_asof_latest_order": analytics.events_asof_latest_order,
+        "events_window_join": analytics.events_window_join,
         "top_events_per_user": analytics.top_events_per_user,
         "user_running_total": analytics.user_running_total,
         "events_weekday_pivot": analytics.events_weekday_pivot,
@@ -474,6 +475,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, o_orderkey FROM j WHERE rn = 1
             ORDER BY event_id
+        """,
+        "events_window_join": """
+            SELECT v.user_id, COUNT(*) AS n_pairs
+            FROM events v JOIN events p
+              ON p.user_id = v.user_id
+             AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 24 HOUR
+            WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+            GROUP BY v.user_id ORDER BY v.user_id
         """,
         "top_events_per_user": f"""
             WITH r AS (

@@ -747,6 +747,47 @@ def events_funnel(sf_dir: str, steps: tuple = FUNNEL_STEPS) -> pd.DataFrame:
     return out.sort_values("step", ignore_index=True)
 
 
+# -- interval (time-window) join --------------------------------------------
+
+def events_window_join(sf_dir: str, window_hours: int = 24) -> pd.DataFrame:
+    """Stream-stream INTERVAL join (attribution): pairs of (view,
+    purchase) by the same user with the purchase inside
+    [view.ts, view.ts + window) -- the windowed-join shape of streaming
+    engines (as-of join is its nearest-1 specialization). Both event
+    roles hash-co-locate by user; each partition joins equi-key first
+    (user) then applies the interval predicate vectorized, so the pair
+    blowup is bounded per user per window, never global.
+    Output: per user, the number of attributed (view, purchase) pairs."""
+    nparts = agg_partitions()
+    win = pd.Timedelta(hours=window_hours)
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas(),
+            "ats": t["ts"].to_pandas().astype("datetime64[us]")})
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        views = g[g["event_type"] == "view"]
+        buys = g[g["event_type"] == "purchase"]
+        m = views.merge(buys[["user_id", "ats"]], on="user_id",
+                        suffixes=("", "_p"))
+        hit = (m["ats_p"] >= m["ats"]) & (m["ats_p"] < m["ats"] + win)
+        out = m.loc[hit].groupby("user_id", sort=False,
+                                 as_index=False).size()
+        return out.rename(columns={"size": "n_pairs"})
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(routed, "part", nparts,
+                                join_part).to_pandas()
+    return parts.sort_values("user_id", ignore_index=True)
+
+
 # -- retention cohorts: weekly cohort x activity-week distinct users -------
 
 def events_retention(sf_dir: str) -> pd.DataFrame:
