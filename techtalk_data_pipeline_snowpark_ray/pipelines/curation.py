@@ -60,3 +60,15 @@ def curation_pipeline(sf_dir: str) -> ray.data.Dataset:
                             batch_size=8192)
     return exchange_map_groups(routed, "part", CURATION_PARTITIONS,
                                dedup_and_split).sort("doc_id")
+
+
+def export_training_set(sf_dir: str, out_dir: str,
+                        num_buckets: int = 16) -> dict[int, int]:
+    """The full curation -> resumable export composition: run the
+    curation pipeline and write the surviving manifest under
+    ``out_dir`` as atomic key-hash bucket directories. Killing the
+    export mid-run and re-invoking writes only the missing buckets
+    (see pipelines/sinks.py); re-invoking after success is a no-op."""
+    from .sinks import write_partitioned
+    return write_partitioned(curation_pipeline(sf_dir), out_dir,
+                             key="doc_id", num_buckets=num_buckets)

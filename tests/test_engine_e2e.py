@@ -644,3 +644,27 @@ def test_snapshot_diff_across_compaction(tmp_engine):
     got_map = {(r.conv_id, r.turn_idx): r.change for r in got.itertuples()}
     assert got_map == want
     assert set(got["change"]) <= {"added", "removed", "changed"}
+
+
+def test_export_training_set_resumable(tmp_path):
+    """curation -> resumable sink composition: export, kill a bucket,
+    resume writes only it, readback matches a fresh curation run."""
+    import shutil
+
+    from techtalk_data_pipeline_snowpark_ray.pipelines import curation, sinks
+
+    out = str(tmp_path / "train")
+    first = curation.export_training_set("/root/testdata/sf0.001", out,
+                                         num_buckets=4)
+    assert len(first) == 4 and sum(first.values()) > 0
+    shutil.rmtree(out + "/bucket=00002")
+    second = curation.export_training_set("/root/testdata/sf0.001", out,
+                                          num_buckets=4)
+    assert set(second) == {2}
+    back = sinks.read_partitioned(out).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    fresh = curation.curation_pipeline("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(back[fresh.columns], fresh)
+    assert curation.export_training_set("/root/testdata/sf0.001", out,
+                                        num_buckets=4) == {}
