@@ -668,3 +668,52 @@ def test_export_training_set_resumable(tmp_path):
     pd.testing.assert_frame_equal(back[fresh.columns], fresh)
     assert curation.export_training_set("/root/testdata/sf0.001", out,
                                         num_buckets=4) == {}
+
+
+def test_sigkill_mid_replay_resumes_exactly_once(tmp_path):
+    """REAL process death (SIGKILL) in the middle of a replay: the
+    committed state stays consistent, and resuming in a fresh session
+    replays to exactly the oracle state (no loss, no double-apply).
+    Stronger than the monkeypatched crash test: nothing gets a chance
+    to clean up."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4)
+    cfg.ensure_dirs()
+    spec = GenSpec(n_events=60_000, n_conversations=300, ooo_window=64,
+                   dup_fraction=0.02, partial_update_fraction=0.2,
+                   schema_add_at=20_000, schema_widen_at=45_000, seed=9)
+    write_wal(spec, cfg.wal_dir, segment_rows=2_000)  # 30 segments
+
+    helper = os.path.join(os.path.dirname(__file__), "kill_replay_helper.py")
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    proc = subprocess.Popen(
+        [sys.executable, helper, cfg.table_dir, cfg.wal_dir],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd="/root/repo")
+    # wait for the replay to actually start, then kill it mid-flight
+    line = proc.stdout.readline()
+    assert "STARTING" in line
+    _time.sleep(3.0)          # inside the first tick's apply work
+    proc.send_signal(signal.SIGKILL)
+    proc.wait(timeout=30)
+    # prove the kill landed MID-REPLAY, not after completion
+    rest = proc.stdout.read()
+    assert "FINISHED" not in rest, "replay finished before the kill"
+    # resume in THIS session: whatever was (or wasn't) committed, the
+    # tail must complete the table to exactly the oracle state
+    ingest.run_loop(cfg, stop_when_idle=True)
+    snap = ingest.snapshot_to_pandas(cfg)
+    oracle = wal_oracle(cfg.wal_dir)
+    assert len(snap) == len(oracle)
+    pd.testing.assert_frame_equal(
+        snap.reset_index(drop=True),
+        oracle.astype({c: snap[c].dtype for c in snap.columns}),
+        check_dtype=False)
