@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": analytics.user_running_total,
         "events_weekday_pivot": analytics.events_weekday_pivot,
         "vocab_top_terms": textstats.vocab_top_terms,
+        "tfidf_top_terms": textstats.tfidf_top_terms,
         "profile_documents": _profile_documents,
         "value_quantiles": analytics.value_quantiles,
         "top10_expensive_orders": analytics.top10_expensive_orders,
@@ -517,6 +518,27 @@ def oracle_sql() -> dict[str, str]:
                   f"SELECT '{c}', 'min', CAST(MIN({c}) AS BIGINT) FROM documents"]
                  if is_int else []))
         ) + " ORDER BY col, stat",
+        # exact-integer tf-idf ranking: score = tf*N*1e6 // df (float
+        # idf logs avoided -- ln() is not bit-portable; ordering is)
+        "tfidf_top_terms": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(coalesce(text, '')),
+                                                  '\s+')) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t
+                   WHERE term <> '' GROUP BY doc_id, term),
+            df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+            s AS (SELECT tf.doc_id, tf.term,
+                         tf.tf * (SELECT COUNT(*) FROM documents)
+                           * 1000000 // df.df AS score_q
+                  FROM tf JOIN df USING (term)),
+            r AS (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY doc_id
+                      ORDER BY score_q DESC, term) AS rn FROM s)
+            SELECT doc_id, term, CAST(score_q AS BIGINT) AS score_q
+            FROM r WHERE rn <= 3 ORDER BY doc_id, term
+        """,
         "vocab_top_terms": r"""
             WITH t AS (
               SELECT DISTINCT doc_id,

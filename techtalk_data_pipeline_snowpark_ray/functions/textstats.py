@@ -226,6 +226,67 @@ def vocab_top_terms(sf_dir: str, k: int = 50,
                             kind="stable", ignore_index=True).head(k)
 
 
+def tfidf_top_terms(sf_dir: str, k: int = 3,
+                    num_partitions: int = 16) -> ray.data.Dataset:
+    """Top-k terms per document by an exact-integer tf-idf ranking:
+    score_q = tf * N * 1e6 // df (tf, N, df are ints, so the score is
+    the same integer on every engine -- float idf logs are deliberately
+    avoided: ln() is not bit-portable and only the ORDERING matters).
+
+    Fully distributed, no vocabulary broadcast -- the textbook
+    two-exchange TF-IDF:
+
+      1. per batch: (doc_id, term, tf) rows (term frequencies are
+         per-doc facts, complete within the doc's batch);
+      2. exchange BY TERM: each partition owns its terms' global df
+         exactly and annotates its (doc, term, tf) rows with it;
+      3. exchange BY DOC: each partition ranks its docs' terms and
+         keeps top-k (ties -> term ascending).
+
+    Driver traffic: none until the k-per-doc result."""
+    from ..stages.exchange import exchange_map_groups
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def tf_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame({"doc_id": batch["doc_id"],
+                             "term": batch["text"].fillna("").str.split()}) \
+                 .explode("term", ignore_index=True).dropna()
+        toks = toks[toks["term"] != ""]
+        out = toks.groupby(["doc_id", "term"], sort=False,
+                           as_index=False).size() \
+                  .rename(columns={"size": "tf"})
+        out["part"] = (fingerprint_series(out["term"]).astype(np.uint64)
+                       % np.uint64(num_partitions)).astype(np.int32)
+        return out
+
+    def annotate_df(g: pd.DataFrame) -> pd.DataFrame:
+        # this partition owns its terms completely -> exact df
+        df = g.groupby("term", sort=False, as_index=False)["doc_id"] \
+              .nunique().rename(columns={"doc_id": "df"})
+        out = g.merge(df, on="term")
+        out["score_q"] = (out["tf"].to_numpy(dtype=np.int64)
+                          * np.int64(n_docs) * np.int64(1_000_000)
+                          // out["df"].to_numpy(dtype=np.int64))
+        out["part"] = (out["doc_id"].to_numpy().astype(np.uint64)
+                       % np.uint64(num_partitions)).astype(np.int32)
+        return out[["doc_id", "term", "score_q", "part"]]
+
+    def topk_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_q", "term"], ascending=[False, True],
+                          kind="stable")
+        return g.groupby("doc_id", sort=False).head(k)
+
+    by_term = ds.map_batches(tf_rows, batch_format="pandas", batch_size=8192)
+    annotated = exchange_map_groups(by_term, "part", num_partitions,
+                                    annotate_df)
+    return exchange_map_groups(annotated, "part", num_partitions,
+                               topk_per_doc).sort(["doc_id", "term"])
+
+
 def doc_fingerprint(sf_dir: str, portable: bool = True) -> ray.data.Dataset:
     """Content fingerprint per document (the content-key for dedup /
     lineage). Default is the PORTABLE md5-derived 64-bit fingerprint
