@@ -698,15 +698,25 @@ def test_sigkill_mid_replay_resumes_exactly_once(tmp_path):
         [sys.executable, helper, cfg.table_dir, cfg.wal_dir],
         stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         env=env, cwd="/root/repo")
-    # wait for the replay to actually start, then kill it mid-flight
+    # wait for the replay to actually start, then kill the moment the
+    # first run file lands -- that is mid-tick by construction (run
+    # files are written BEFORE the single manifest publish of the tick)
     line = proc.stdout.readline()
     assert "STARTING" in line
-    _time.sleep(3.0)          # inside the first tick's apply work
+    runs_dir = os.path.join(cfg.table_dir, "runs")
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if any(f.endswith(".parquet") for f in os.listdir(runs_dir)):
+            break
+        _time.sleep(0.01)
+    else:
+        raise AssertionError("no run file appeared within 60s")
     proc.send_signal(signal.SIGKILL)
     proc.wait(timeout=30)
-    # prove the kill landed MID-REPLAY, not after completion
+    # prove the kill landed MID-REPLAY: nothing was committed yet
     rest = proc.stdout.read()
     assert "FINISHED" not in rest, "replay finished before the kill"
+    assert TableState(cfg.table_dir).latest_version() is None
     # resume in THIS session: whatever was (or wasn't) committed, the
     # tail must complete the table to exactly the oracle state
     ingest.run_loop(cfg, stop_when_idle=True)
