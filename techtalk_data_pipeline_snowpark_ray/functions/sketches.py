@@ -75,6 +75,73 @@ class QuantileDigest:
         return pd.DataFrame({"mean": self.means, "weight": self.weights})
 
 
+class HyperLogLog:
+    """HLL distinct-count sketch over 64-bit keys: 2^p one-byte
+    registers, vectorized numpy update, OR-merge (associative,
+    idempotent -- re-adding a key is free, which also makes it safe
+    under task retries). Standard error ~1.04/sqrt(2^p): p=12 -> 4 KB
+    per sketch, ~1.6% error. The EXACT routed distinct
+    (`analytics.events_distinct_users`) stays the default; this is the
+    bounded-memory path when even the routed exchange of distinct keys
+    is too much (e.g. distinct tokens at corpus scale)."""
+
+    _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+    _MIX2 = np.uint64(0x94D049BB133111EB)
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add(self, keys: np.ndarray) -> None:
+        h = np.asarray(keys).astype(np.uint64)
+        h = (h ^ (h >> np.uint64(30))) * self._MIX1
+        h = (h ^ (h >> np.uint64(27))) * self._MIX2
+        h = h ^ (h >> np.uint64(31))
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rank = leading zeros of the remaining bits + 1 (cap 64-p+1)
+        nbits = 64 - self.p
+        rank = np.full(len(h), nbits + 1, dtype=np.uint8)
+        found = np.zeros(len(h), dtype=bool)
+        for b in range(nbits):
+            hit = ~found & ((rest >> np.uint64(63 - b)) & np.uint64(1) == 1)
+            rank[hit] = b + 1
+            found |= hit
+        np.maximum.at(self.registers, idx, rank)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def count(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)       # small-range correction
+        return float(est)
+
+
+def hll_column(ds: ray.data.Dataset, col: str, p: int = 12) -> HyperLogLog:
+    """Distributed approximate distinct of an int64 column: one 2^p-
+    byte sketch per batch leaves the batch, OR-merged on the driver."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        h = HyperLogLog(p)
+        h.add(b[col].dropna().to_numpy(dtype=np.int64))
+        return pd.DataFrame({"regs": [h.registers.tobytes()]})
+
+    merged = HyperLogLog(p)
+    for row in ds.map_batches(partial, batch_format="pandas").take_all():
+        np.maximum(merged.registers,
+                   np.frombuffer(row["regs"], dtype=np.uint8),
+                   out=merged.registers)
+    return merged
+
+
 def sketch_column(ds: ray.data.Dataset, col: str,
                   compression: int = COMPRESSION) -> QuantileDigest:
     """Distributed sketch of a Dataset column: one digest per batch

@@ -485,3 +485,30 @@ def test_quantile_digest_rank_error_bound():
     for p in (0.5, 0.9):
         rank = np.searchsorted(sub, d2.quantile(p)) / len(sub)
         assert abs(rank - p) < 0.02, (p, rank)
+
+
+def test_hyperloglog_accuracy_and_merge():
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.functions.sketches import (
+        HyperLogLog, hll_column)
+
+    keys = np.arange(200_000, dtype=np.int64) * 7919 + 13
+    h = HyperLogLog(p=12)
+    h.add(keys)
+    est = h.count()
+    assert abs(est - 200_000) / 200_000 < 0.05, est
+    # merge associativity + retry idempotency (re-adding is free)
+    parts = np.array_split(keys, 9)
+    m = HyperLogLog(p=12)
+    for c in parts:
+        hh = HyperLogLog(p=12)
+        hh.add(c)
+        hh.add(c[: len(c) // 2])          # duplicate re-delivery
+        m.merge(hh)
+    assert m.count() == est
+    # Dataset path
+    ds = ray.data.from_pandas(
+        [pd.DataFrame({"k": c}) for c in parts[:4]])
+    d = hll_column(ds, "k")
+    sub = sum(len(c) for c in parts[:4])
+    assert abs(d.count() - sub) / sub < 0.05
