@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": analytics.top_events_per_user,
         "user_running_total": analytics.user_running_total,
         "events_weekday_pivot": analytics.events_weekday_pivot,
+        "customer_event_counts": analytics.customer_event_counts,
         "vocab_top_terms": textstats.vocab_top_terms,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "profile_documents": _profile_documents,
@@ -502,6 +503,17 @@ def oracle_sql() -> dict[str, str]:
                        f"ELSE 0 END) AS BIGINT) AS n_d{d}"
                        for d in range(7)) + """
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "customer_event_counts": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers,
+                   CAST(SUM(CASE WHEN e.n_events IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_zero_event
+            FROM customer c
+            LEFT JOIN (SELECT user_id, COUNT(*) AS n_events
+                       FROM events GROUP BY user_id) e
+              ON c.c_custkey = e.user_id
+            GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
         """,
         "profile_documents": " UNION ALL ".join(
             part for c, is_int in [("doc_id", True), ("lang", False),

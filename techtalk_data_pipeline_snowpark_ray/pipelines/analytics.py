@@ -636,6 +636,64 @@ def value_quantiles(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+# -- left join: keep unmatched left rows (zero-activity entities) ----------
+
+def customer_event_counts(sf_dir: str) -> pd.DataFrame:
+    """LEFT join shape: every customer with their event count,
+    INCLUDING zero-event customers (the rows an inner join silently
+    drops -- the usual activity-report bug). Both sides are
+    sf-proportional (per-user counts, customer table), so neither may
+    be broadcast or reduced on the driver: both hash-route by the user
+    key into K coarse partitions (one exchange) and each partition does
+    the count + LEFT merge + per-segment partial in one vectorized
+    pandas call. Only n_segments x K partial rows reach the driver.
+    Output: per market segment, total customers and how many of them
+    have zero events."""
+    nparts = agg_partitions()
+
+    def ev_side(t: pa.Table) -> pd.DataFrame:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        # within-batch combiner: pre-count per user before the shuffle
+        df = pd.DataFrame({"uid": uid}).groupby(
+            "uid", sort=False, as_index=False).size() \
+            .rename(columns={"size": "n_ev"})
+        df["side"] = np.int8(0)
+        df["part"] = (df["uid"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def cust_side(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "uid": t["c_custkey"].to_numpy(zero_copy_only=False),
+            "seg": t["c_mktsegment"].to_numpy(zero_copy_only=False)})
+        df["n_ev"] = np.int64(0)
+        df["side"] = np.int8(1)
+        df["part"] = (df["uid"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        counts = g[g["side"] == 0].groupby(
+            "uid", sort=False, as_index=False)["n_ev"].sum()
+        cust = g.loc[g["side"] == 1, ["uid", "seg"]]
+        m = cust.merge(counts, on="uid", how="left")
+        zero = m["n_ev"].isna().astype("int64")
+        return m.assign(zero=zero).groupby(
+            "seg", sort=False, as_index=False).agg(
+            n_customers=("zero", "size"), n_zero_event=("zero", "sum"))
+
+    ev = _read(sf_dir, "events", ["user_id"]) \
+        .map_batches(ev_side, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(cust_side, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(ev.union(cust), "part", nparts,
+                                merge_part).to_pandas()
+    out = parts.groupby("seg", sort=True, as_index=False).agg(
+        n_customers=("n_customers", "sum"), n_zero_event=("n_zero_event", "sum"))
+    out = out.rename(columns={"seg": "c_mktsegment"})
+    return out.sort_values("c_mktsegment", ignore_index=True)
+
+
 # -- pivot: event counts per type across weekday columns -------------------
 
 def events_weekday_pivot(sf_dir: str) -> pd.DataFrame:

@@ -99,7 +99,9 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset,
     on_r = on_l if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     nparts = max(1, min(num_partitions, right.count() // 64 or 1))
-    return left.join(right, join_type=how, num_partitions=nparts,
+    # Dataset.join spells outer joins "left_outer"/"right_outer"
+    join_type = {"left": "left_outer", "right": "right_outer"}.get(how, how)
+    return left.join(right, join_type=join_type, num_partitions=nparts,
                      on=tuple(on_l),
                      right_on=tuple(on_r) if on_r != on_l else None)
 

@@ -3,6 +3,8 @@ stats, similarity search, multimodal plumbing. Controlled fixtures are
 written as tmp parquet 'sf dirs' so every op runs through its real
 Ray path."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -227,6 +229,44 @@ def test_auto_join_partitioned_path_equals_broadcast():
     a2 = a[cols].sort_values(cols, ignore_index=True)
     b2 = b[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a2, b2, check_dtype=False)
+
+
+def test_auto_join_left_both_paths():
+    """how='left' keeps unmatched left rows on BOTH strategies (the
+    partitioned path must translate to Dataset.join's 'left_outer')."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import auto_join
+    import pandas as pd
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": list(range(600)), "v": range(600)}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"rk": range(0, 600, 2), "w": range(300)}))   # evens only
+    for thresh, nparts in [(1 << 30, 4), (0, 4)]:     # broadcast, partitioned
+        out = auto_join(left, right, on="k", right_on="rk", how="left",
+                        broadcast_threshold_bytes=thresh,
+                        num_partitions=nparts).to_pandas()
+        assert len(out) == 600
+        matched = out["w"].notna()
+        assert matched.sum() == 300
+        assert (out.loc[matched, "k"] % 2 == 0).all()
+
+
+def test_customer_event_counts_left_semantics():
+    """Segment totals must count zero-event customers (LEFT join)."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
+    out = analytics.customer_event_counts(SF_TINY)
+    cust = pd.read_parquet(os.path.join(SF_TINY, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    ev = pd.read_parquet(os.path.join(SF_TINY, "events.parquet"),
+                         columns=["user_id"])
+    active = set(ev["user_id"].unique())
+    want_total = cust.groupby("c_mktsegment").size()
+    want_zero = cust[~cust["c_custkey"].isin(active)] \
+        .groupby("c_mktsegment").size()
+    for _, r in out.iterrows():
+        assert r["n_customers"] == want_total.get(r["c_mktsegment"], 0)
+        assert r["n_zero_event"] == want_zero.get(r["c_mktsegment"], 0)
+    assert out["n_customers"].sum() == len(cust)
 
 
 def test_bloom_filter_and_bloom_semi_join():
