@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": analytics.user_running_total,
         "events_weekday_pivot": analytics.events_weekday_pivot,
         "customer_event_counts": analytics.customer_event_counts,
+        "orders_rollup": analytics.orders_rollup,
         "vocab_top_terms": textstats.vocab_top_terms,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "profile_documents": _profile_documents,
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top10_expensive_orders": analytics.top10_expensive_orders,
         # --- training-data ops (dedup / text / similarity) ---
         "token_counts": textstats.token_counts,
+        "bpe_token_counts": textstats.bpe_token_counts,
         "doc_quality": textstats.doc_quality,
         "clean_text": textstats.clean_text,
         "lang_id": textstats.lang_id,
@@ -504,6 +506,15 @@ def oracle_sql() -> dict[str, str]:
                        for d in range(7)) + """
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "orders_rollup": f"""
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM({_CENTS.format(x='o_totalprice')}) AS BIGINT)
+                     AS sum_total_c
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
         "customer_event_counts": """
             SELECT c.c_mktsegment,
                    CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -593,6 +604,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": r"""
             SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        # same RE2 pattern as functions.textstats.BPE_RE (bit-portable)
+        "bpe_token_counts": r"""
+            SELECT doc_id,
+                   CAST(length(regexp_extract_all(text,
+                     '''(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))
+                     AS BIGINT) AS n_pretokens
             FROM documents ORDER BY doc_id
         """,
         "doc_quality": r"""

@@ -285,7 +285,10 @@ def _train_centroids(sf_dir: str, n_cells: int, sample_rows: int = 4096,
 
     t = _emb(sf_dir).map_batches(sample, batch_format="pyarrow",
                                  zero_copy_batch=True).take_all()
-    X = np.stack(pd.DataFrame(t)["embedding"].to_numpy()).astype(np.float64)
+    # take_all's block order is nondeterministic across runs; canonical
+    # vec_id order makes the seeded init (and float mean order) stable
+    df = pd.DataFrame(t).sort_values("vec_id", ignore_index=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)]
     for _ in range(iters):

@@ -23,6 +23,13 @@ import ray.data
 
 TOKEN_RE = r"\S+"
 PUNCT_RE = r"[.,!?;:]"
+#: BPE-ish pre-tokenizer (GPT-2-style, lookaheads dropped -- RE2 has
+#: none, and RE2 is what both pyarrow and DuckDB run, so the count is
+#: bit-portable): contractions | space?+letters | space?+digits |
+#: space?+punct-run. No whitespace alternative: runs not absorbed as a
+#: token's single leading space are skipped by non-overlapping match
+#: counting, which is exactly "model tokens only".
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
 
 
 def _docs(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
@@ -40,6 +47,25 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
+
+
+def bpe_token_counts(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish pre-tokenization counts per document: the unit a GPT-2
+    family byte-pair tokenizer would merge within. Same vectorized
+    shape as :func:`token_counts`, different regex (BPE merges only
+    ever split pre-tokens further, so this count is the standard cheap
+    upper-bound proxy for 'tokens' when the real vocab isn't loaded).
+    Whitespace runs are excluded from the count (they pre-tokenize but
+    never surface as model tokens)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], BPE_RE)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_pretokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(f, batch_format="pyarrow",
+                          zero_copy_batch=True).sort("doc_id")
 
 
 def doc_quality(sf_dir: str) -> ray.data.Dataset:

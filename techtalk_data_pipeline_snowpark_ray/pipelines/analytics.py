@@ -694,6 +694,43 @@ def customer_event_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_mktsegment", ignore_index=True)
 
 
+# -- rollup: hierarchical subtotals over bounded dimension keys ------------
+
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP (status, priority): detail rows + per-status
+    subtotals + grand total, NULL marking each rolled-up level. The
+    distributed part is ONE pass of bounded-cardinality partials
+    (<= 15 detail groups per batch, exact cents); every coarser level
+    is a driver-side re-sum of those 15 rows -- rollups over bounded
+    dims never need a second scan or shuffle."""
+    orders = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority",
+                                      "o_totalprice"])
+
+    def pre(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderstatus": t["o_orderstatus"].to_numpy(zero_copy_only=False),
+            "o_orderpriority": t["o_orderpriority"].to_numpy(zero_copy_only=False),
+            "tot_c": cents_arrow(t["o_totalprice"]).to_numpy(zero_copy_only=False)})
+
+    detail = small_groupby(
+        orders.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": ("tot_c", "count"), "sum_total_c": ("tot_c", "sum")})
+    per_status = detail.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_total_c=("sum_total_c", "sum"))
+    per_status["o_orderpriority"] = None
+    grand = pd.DataFrame([{
+        "o_orderstatus": None, "o_orderpriority": None,
+        "n_orders": detail["n_orders"].sum(),
+        "sum_total_c": detail["sum_total_c"].sum()}])
+    out = pd.concat([detail, per_status, grand], ignore_index=True)
+    out = out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_total_c"]]
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_total_c"] = out["sum_total_c"].astype("int64")
+    return out.sort_values(["o_orderstatus", "o_orderpriority"],
+                           na_position="first", ignore_index=True)
+
+
 # -- pivot: event counts per type across weekday columns -------------------
 
 def events_weekday_pivot(sf_dir: str) -> pd.DataFrame:
