@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
         # --- multimodal plumbing (decode stubbed; Ray side real) ---
         "multimodal_features": multimodal.multimodal_features,   # rows-only
+        "media_resized": multimodal.media_resized,               # rows-only
         "video_frame_samples": multimodal.video_frame_samples,
     }
 

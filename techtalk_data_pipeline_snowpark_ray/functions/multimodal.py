@@ -115,6 +115,60 @@ class MediaDecoder:
         })
 
 
+class MediaResizer(MediaDecoder):
+    """Actor-pool resize stage: decode -> nearest-neighbor resample to
+    a fixed target grid -> re-emit as a binary column (the standard
+    normalize-dimensions step before batched model inference). Reuses
+    the decoder lifecycle (codec probe once per actor); the resample
+    itself is one vectorized fancy-index per item, no Python pixel
+    loops. Output payloads are target_w*target_h bytes, so downstream
+    batches are uniformly sized -- the property batched inference
+    needs."""
+
+    def __init__(self, target_w: int = 16, target_h: int = 12,
+                 use_real_codec: bool = False):
+        super().__init__(use_real_codec=use_real_codec)
+        self.tw, self.th = int(target_w), int(target_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.decoded_batches += 1
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        out = []
+        checks = np.empty(len(payloads), dtype=np.int64)
+        for i, p in enumerate(payloads):
+            img = self._fake_decode(p, int(widths[i]), int(heights[i]))
+            # nearest-neighbor index grids (vectorized resample)
+            yi = (np.arange(self.th) * img.shape[0]) // self.th
+            xi = (np.arange(self.tw) * img.shape[1]) // self.tw
+            r = img[np.ix_(yi, xi)]
+            out.append(r.tobytes())
+            checks[i] = int(r.sum())
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "payload": pa.array(out, pa.binary()),
+            "width": pa.array(np.full(len(out), self.tw, dtype=np.int32)),
+            "height": pa.array(np.full(len(out), self.th, dtype=np.int32)),
+            "pixel_sum": pa.array(checks),
+        })
+
+
+def media_resized(sf_dir: str, target_w: int = 16,
+                  target_h: int = 12) -> ray.data.Dataset:
+    """End-to-end resize pipeline: synth media -> actor-pool decode +
+    nearest-neighbor resize to (target_w x target_h). Deterministic
+    (payload-digest-seeded fake decode); rows-only oracle, exactness
+    pinned by pytest."""
+    media = media_dataset(sf_dir)
+    return media.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=512,
+        concurrency=2, zero_copy_batch=True,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h,
+                                   use_real_codec=False)).sort("media_id")
+
+
 def frame_sample_batch(t: pa.Table, every_k: int = 5) -> pa.Table:
     """Video frame sampling: one output row per sampled frame index
     (flat_map shape, vectorized via repeat/arange)."""

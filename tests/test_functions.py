@@ -200,6 +200,29 @@ def test_multimodal_real_codec_stub_raises():
         multimodal.MediaDecoder(use_real_codec=True)
 
 
+def test_media_resize_exact_and_deterministic():
+    """Resize: target dims, payload = tw*th bytes, pixel_sum matches a
+    brute nearest-neighbor recompute, identical across runs."""
+    out = multimodal.media_resized(SF_TINY, target_w=16, target_h=12) \
+        .to_pandas()
+    media = multimodal.media_dataset(SF_TINY).to_pandas()
+    assert (out["width"] == 16).all() and (out["height"] == 12).all()
+    assert out["payload"].map(len).eq(16 * 12).all()
+    assert (out["pixel_sum"] ==
+            out["payload"].map(lambda b: int(np.frombuffer(b, np.uint8).sum()))).all()
+    for _, r in media.head(5).iterrows():
+        img = multimodal.MediaDecoder._fake_decode(
+            r["payload"], int(r["width"]), int(r["height"]))
+        yi = (np.arange(12) * img.shape[0]) // 12
+        xi = (np.arange(16) * img.shape[1]) // 16
+        want = img[np.ix_(yi, xi)].tobytes()
+        got = out.loc[out["media_id"] == r["media_id"], "payload"].iloc[0]
+        assert got == want
+    again = multimodal.media_resized(SF_TINY, target_w=16, target_h=12) \
+        .to_pandas()
+    pd.testing.assert_frame_equal(out, again)
+
+
 def test_video_frame_sampling_counts():
     out = multimodal.video_frame_samples(SF_TINY).to_pandas()
     media = multimodal.media_dataset(SF_TINY).to_pandas()
