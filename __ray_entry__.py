@@ -619,7 +619,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
-                   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct
+                   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+                   CAST(length(regexp_extract_all(text,
+                     '\b(the|and|of|to|in|is|that|for|with|was)\b')) AS BIGINT) AS n_stopwords
             FROM documents ORDER BY doc_id
         """,
         # NFC + ASCII-lower + ASCII-whitespace canon (unicode CASEFOLD

@@ -79,6 +79,11 @@ def doc_quality(sf_dir: str) -> ray.data.Dataset:
             "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
             "n_tokens": pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64()),
             "n_punct": pc.cast(pc.count_substring_regex(t["text"], PUNCT_RE), pa.int64()),
+            # stopword hits (en), the third classic ratio numerator;
+            # ratios themselves stay integer-pair exact (n_stop/n_tokens)
+            "n_stopwords": pc.cast(
+                pc.count_substring_regex(t["text"], _STOPWORDS["en"]),
+                pa.int64()),
         })
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True).sort("doc_id")
