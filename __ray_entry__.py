@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_derived_role_stats": cdc_queries.cdc_derived_role_stats,
         "cdc_conditional_crud": cdc_queries.cdc_conditional_crud,
         "cdc_prefix_merge": cdc_queries.cdc_prefix_merge,
+        "cdc_render_transcripts": cdc_queries.cdc_render_transcripts,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_total": analytics.user_running_total,
         "events_weekday_pivot": analytics.events_weekday_pivot,
         "customer_event_counts": analytics.customer_event_counts,
+        "user_journeys": analytics.user_journeys,
         "orders_rollup": analytics.orders_rollup,
         "vocab_top_terms": textstats.vocab_top_terms,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -303,6 +305,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY role ORDER BY role
         """,
         "cdc_conditional_crud": _CDC_CONDITIONAL,
+        "cdc_render_transcripts": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx) AS transcript
+            FROM fin GROUP BY conv_id ORDER BY conv_id
+        """,
         "cdc_prefix_merge": _CDC_PREFIX,
         "cdc_derived_conv_stats": f"""
             WITH ch AS ({_CDC_CH})
@@ -498,6 +516,17 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id, value_c FROM r WHERE rn <= 3
             ORDER BY user_id, event_id
+        """,
+        "user_journeys": """
+            WITH r AS (
+              SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   string_agg(event_type, '>' ORDER BY rn) AS journey
+            FROM r WHERE rn <= 20
+            GROUP BY user_id ORDER BY user_id
         """,
         "events_weekday_pivot": """
             SELECT event_type,

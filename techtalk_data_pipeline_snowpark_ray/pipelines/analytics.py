@@ -950,3 +950,46 @@ def events_anti_join(sf_dir: str) -> ray.data.Dataset:
     j = broadcast_semi_join(ev, key_set, on="user_id", anti=True)
     agg = small_groupby(j, "event_type", {"n": ("user_id", "count")})
     return agg.sort_values("event_type", ignore_index=True)
+
+
+# -- grouped ordered string-agg: per-user event-type journey ----------------
+
+def user_journeys(sf_dir: str, max_steps: int = 20) -> ray.data.Dataset:
+    """Per-user ordered event-type path ("view>click>purchase>..."),
+    capped at the first `max_steps` events in (ts, event_id) order --
+    the grouped ordered string-agg shape used to render per-entity
+    histories (and, on the transcript table, training examples; see
+    cdc_render_transcripts for that variant). No global sort: each
+    batch first prunes itself to its own first-`max_steps` rows per
+    user (the global first-K of a user is a subset of the union of
+    per-batch first-Ks, so the exchange only carries candidates), the
+    survivors hash-route by user, and each partition takes the exact
+    first-K and renders every user's path in one pandas string-agg
+    pass (C-level join per group)."""
+    nparts = agg_partitions()
+
+    def prune(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas(),
+            "ts": t["ts"].to_pandas().astype("datetime64[us]")})
+        df = df.sort_values(["ts", "event_id"], kind="stable")
+        df = df.groupby("user_id", sort=False).head(max_steps)
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def render_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        g = g.groupby("user_id", sort=False).head(max_steps)
+        out = g.groupby("user_id", sort=False).agg(
+            n_steps=("event_type", "size"),
+            journey=("event_type", ">".join)).reset_index()
+        out["n_steps"] = out["n_steps"].astype("int64")
+        return out[["user_id", "n_steps", "journey"]]
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+    routed = ev.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", nparts, render_part) \
+        .sort("user_id")

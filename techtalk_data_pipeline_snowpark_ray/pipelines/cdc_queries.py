@@ -300,6 +300,43 @@ def ingest_json_staged(sf_dir: str) -> ray.data.Dataset:
                           zero_copy_batch=True).sort("event_id")
 
 
+def cdc_render_transcripts(sf_dir: str) -> ray.data.Dataset:
+    """Transcript rendering: fold the change stream to its LWW final
+    state and emit ONE training text per conversation -- turns in
+    turn_idx order, each line "role: text", newline-joined. This is the
+    export every LLM-training pipeline runs over the transcript table,
+    fused INTO the fold's own exchange: the partition that resolves a
+    conversation's final state renders it in the same task (zero extra
+    shuffle -- conv_id routing already co-locates whole conversations),
+    and only (conv_id, n_turns, transcript) rows leave."""
+    payload = schemas.payload_cols(3)
+    target = schemas.table_schema(3)
+    norm = ingest.SchemaNormalizer(target, keep_extra=(schemas.LSN_COL, schemas.OP_COL))
+    num_buckets = 16
+    ds = changes_dataset(sf_dir)
+    ds = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(Partitioner(num_buckets), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def resolve_and_render(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                                 "n_turns": pd.Series(dtype="int64"),
+                                 "transcript": pd.Series(dtype=object)})
+        fin = resolve_final(g, payload)
+        fin = fin.sort_values(["conv_id", "turn_idx"], kind="stable")
+        fin["line"] = fin["role"] + ": " + fin["text"]
+        out = fin.groupby("conv_id", sort=False).agg(
+            n_turns=("line", "size"),
+            transcript=("line", "\n".join)).reset_index()
+        out["n_turns"] = out["n_turns"].astype("int64")
+        return out[["conv_id", "n_turns", "transcript"]]
+
+    from ..stages.exchange import exchange_map_groups
+    return exchange_map_groups(ds, BUCKET_COL, num_buckets,
+                               resolve_and_render).sort("conv_id")
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -15,7 +15,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "dq_overpaid_orders", "top_segments_last7d", "events_sessionize",
           "token_counts", "exact_dedup_documents", "ann_topk_cosine",
-          "union_tag"]
+          "union_tag", "user_journeys", "cdc_render_transcripts"]
 
 
 @pytest.fixture(scope="module")
