@@ -4,10 +4,10 @@
 every implemented operator/pipeline from SURVEY.md §2 (plus the
 training-data extensions) to a callable over an sf_dir;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the value-hash
-correctness gate. Only three entries are rows-only (genuinely
+correctness gate. Only four entries are rows-only (genuinely
 non-SQL-expressible): the approximate ANN variants (LSH/IVF, gated by
 recall pytests against the oracle-checked brute force) and the
-stubbed-codec multimodal features. Everything else -- including the
+stubbed-codec multimodal features/resize. Everything else -- including the
 sketches (portable md5 fingerprint/SimHash), splits, packing,
 curation, and all CDC paths -- is value-hash-checked.
 
