@@ -607,10 +607,19 @@ class _CountingCollapser(BatchCollapser):
 
 
 @ray.remote
-def _split_run_files(file_chunk: list[str], num_buckets: int):
+def _split_run_files(file_chunk: list[str], num_buckets: int,
+                     columns: list[str] | None = None):
     """Read a chunk of run files and return one Arrow table per bucket
-    (num_returns=num_buckets at the call site)."""
-    tbl = pa.concat_tables([pq.read_table(p) for p in file_chunk],
+    (num_returns=num_buckets at the call site). `columns` prunes the
+    parquet scan; it is intersected per file with that file's schema
+    (runs written before a column-add evolution lack the new column --
+    concat's promote null-fills it, same as the unpruned path)."""
+    def _read(p: str) -> pa.Table:
+        if columns is None:
+            return pq.read_table(p)
+        have = set(pq.read_schema(p).names)
+        return pq.read_table(p, columns=[c for c in columns if c in have])
+    tbl = pa.concat_tables([_read(p) for p in file_chunk],
                            promote_options="default")
     b = tbl[BUCKET_COL].to_numpy()
     order = np.argsort(b, kind="stable")
@@ -631,7 +640,8 @@ def _fold_bucket_refs(fn, *parts):
 
 
 def _exchange_by_bucket(paths: list[str], num_buckets: int,
-                        target_chunk_bytes: int = 256 << 20) -> list[list]:
+                        target_chunk_bytes: int = 256 << 20,
+                        columns: list[str] | None = None) -> list[list]:
     """Launch the split stage; returns per-bucket lists of table refs.
 
     Chunk size targets ~2 chunks per core (bounded above so a chunk's
@@ -653,18 +663,28 @@ def _exchange_by_bucket(paths: list[str], num_buckets: int,
     if cur:
         chunks.append(cur)
     outs = [_split_run_files.options(num_returns=num_buckets)
-            .remote(c, num_buckets) for c in chunks]
+            .remote(c, num_buckets, columns) for c in chunks]
     if num_buckets == 1:
         outs = [[o] for o in outs]
     return [list(refs) for refs in zip(*outs)]
 
 
 def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
-                  final_only: bool = True) -> ray.data.Dataset:
+                  final_only: bool = True,
+                  columns: list[str] | None = None) -> ray.data.Dataset:
     """Dataset of the committed table state (LWW-resolved across runs).
 
     Grouping is by `bucket` (the stored layout key), which is stable
     across ticks even when the hot-key salt set changes.
+
+    `columns` (payload subset) pushes projection down to the run-file
+    parquet scan: only key cols, lsn/op/bucket and the requested
+    payload columns are read and exchanged. Sound because the LWW fold
+    resolves each payload column independently (a partial update's
+    per-column ffill never looks at sibling columns). Unresolved
+    control ops disable pruning for any column their predicates or
+    assignments read, so a 2-of-7-column query over a wide transcript
+    table scans ~2/7 of the bytes.
     """
     from ..stages.controls import resolve_with_controls, sorted_controls
 
@@ -674,15 +694,35 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     payload = schemas.payload_cols(cfg.schema_version)
     if not paths:
         empty = schemas.table_schema(cfg.schema_version).empty_table()
+        if columns is not None:
+            empty = empty.select([*schemas.KEY_COLS, *columns])
         return ray.data.from_arrow(empty)
     controls = sorted_controls(m.control_ops)
 
-    final_cols = [*schemas.KEY_COLS, *payload]
+    scan_cols = None
+    if columns is not None:
+        unknown = [c for c in columns if c not in payload]
+        if unknown:
+            raise ValueError(f"unknown payload columns {unknown}")
+        need = set(columns)
+        for c in controls:
+            need.add(c.predicate["col"])
+            for out_col, spec in c.assignments.items():
+                need.add(out_col)
+                if "col" in spec:
+                    need.add(spec["col"])
+        payload = [c for c in payload if c in need]
+        scan_cols = [*schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL,
+                     BUCKET_COL, "_n", *payload]
+
+    final_cols = [*schemas.KEY_COLS,
+                  *(payload if columns is None else columns)]
     target = schemas.table_schema(cfg.schema_version)
 
     def resolve(group: "pa.Table | None") -> pa.Table:
         if group is None or group.num_rows == 0:
-            return target.empty_table()
+            empty = target.empty_table()
+            return empty.select(final_cols) if final_only else empty
         g = group.to_pandas()
         out = resolve_with_controls(g, payload, controls) if controls \
             else resolve_final(g, payload)
@@ -691,7 +731,8 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    per_bucket = _exchange_by_bucket(paths, cfg.num_buckets)
+    per_bucket = _exchange_by_bucket(paths, cfg.num_buckets,
+                                     columns=scan_cols)
     refs = [_fold_bucket_refs.remote(resolve, *bucket_refs)
             for bucket_refs in per_bucket]
     return ray.data.from_arrow_refs(refs)

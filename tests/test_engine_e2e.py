@@ -727,3 +727,26 @@ def test_sigkill_mid_replay_resumes_exactly_once(tmp_path):
         snap.reset_index(drop=True),
         oracle.astype({c: snap[c].dtype for c in snap.columns}),
         check_dtype=False)
+
+
+def test_read_snapshot_column_pushdown(tmp_engine):
+    """columns= prunes the run-file scan but must resolve identically:
+    partial updates ffill per column, evolution null-fills, and control
+    ops pull in the columns their predicates/assignments read."""
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine, control_ops=_tiny_controls())
+    full = ingest.snapshot_to_pandas(tmp_engine)
+    pruned = ingest.read_snapshot(tmp_engine, columns=["text"]).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert list(pruned.columns) == ["conv_id", "turn_idx", "text"]
+    pd.testing.assert_frame_equal(
+        pruned, full[["conv_id", "turn_idx", "text"]].reset_index(drop=True),
+        check_dtype=False)
+    # evolution-added column requested alone: old rows null-filled
+    m = ingest.read_snapshot(tmp_engine, columns=["model"]).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        m, full[["conv_id", "turn_idx", "model"]].reset_index(drop=True),
+        check_dtype=False)
+    with pytest.raises(ValueError):
+        ingest.read_snapshot(tmp_engine, columns=["nope"])
