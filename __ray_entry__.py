@@ -96,6 +96,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekday_pivot": analytics.events_weekday_pivot,
         "customer_event_counts": analytics.customer_event_counts,
         "user_journeys": analytics.user_journeys,
+        "user_moving_sum": analytics.user_moving_sum,
+        "nation_customer_supplier_counts": analytics.nation_customer_supplier_counts,
+        "users_view_purchase_setops": analytics.users_view_purchase_setops,
         "orders_rollup": analytics.orders_rollup,
         "vocab_top_terms": textstats.vocab_top_terms,
         "tfidf_top_terms": textstats.tfidf_top_terms,
@@ -527,6 +530,38 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(event_type, '>' ORDER BY rn) AS journey
             FROM r WHERE rn <= 20
             GROUP BY user_id ORDER BY user_id
+        """,
+        "user_moving_sum": f"""
+            SELECT user_id, event_id,
+                   CAST(SUM({val_c}) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS moving_c
+            FROM events ORDER BY event_id
+        """,
+        "nation_customer_supplier_counts": """
+            WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                       FROM customer WHERE c_acctbal < -900 GROUP BY 1),
+                 s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                       FROM supplier WHERE s_acctbal < 0 GROUP BY 1)
+            SELECT CAST(COALESCE(c.nk, s.nk) AS BIGINT) AS n_nationkey,
+                   CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+                   CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp
+            FROM c FULL OUTER JOIN s ON c.nk = s.nk
+            ORDER BY n_nationkey
+        """,
+        "users_view_purchase_setops": """
+            WITH v AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'view'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT 'both' AS set_op, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM (SELECT user_id FROM v INTERSECT SELECT user_id FROM p)
+            UNION ALL SELECT 'purchase_only', COUNT(*)
+            FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM v)
+            UNION ALL SELECT 'view_only', COUNT(*)
+            FROM (SELECT user_id FROM v EXCEPT SELECT user_id FROM p)
+            ORDER BY set_op
         """,
         "events_weekday_pivot": """
             SELECT event_type,

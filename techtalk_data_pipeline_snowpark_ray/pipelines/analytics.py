@@ -993,3 +993,144 @@ def user_journeys(sf_dir: str, max_steps: int = 20) -> ray.data.Dataset:
     routed = ev.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     return exchange_map_groups(routed, "part", nparts, render_part) \
         .sort("user_id")
+
+
+# -- rolling window per key: moving sum over the last w events --------------
+
+def user_moving_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
+    """Per-user moving sum of value over the trailing `window` events in
+    (ts, event_id) order (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW) --
+    the bounded-lookback window family (moving avg/min/max reduce to
+    it). Same single exchange as the running total; inside a partition
+    the window is pure numpy: one global cumsum, trailing difference
+    against position-(i-w) guarded by each user's segment start, no
+    per-group pandas rolling loop."""
+    nparts = agg_partitions()
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+            "value_c": cents_arrow(t["value"]).to_numpy(zero_copy_only=False),
+            "ts": t["ts"].to_pandas().astype("datetime64[us]")})
+        df["part"] = (df["user_id"].to_numpy().astype(np.uint64)
+                      % np.uint64(nparts)).astype(np.int32)
+        return df
+
+    def window_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable",
+                          ignore_index=True)
+        val = g["value_c"].to_numpy()
+        uid = g["user_id"].to_numpy()
+        cum = np.cumsum(val)
+        # index of each row's user-segment start
+        starts = np.zeros(len(g), dtype=np.int64)
+        new_seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        starts[new_seg] = new_seg
+        starts = np.maximum.accumulate(starts)
+        pos = np.arange(len(g)) - starts
+        idx = np.arange(len(g)) - window
+        base = np.where(pos >= window,
+                        cum[np.maximum(idx, 0)],
+                        np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0))
+        base[(pos < window) & (starts == 0)] = 0
+        g["moving_c"] = cum - base
+        return g[["user_id", "event_id", "moving_c"]]
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "value", "ts"])
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", nparts, window_part) \
+        .sort("event_id")
+
+
+# -- full outer join: union of matched + both unmatched sides ---------------
+
+def nation_customer_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of per-nation deep-debit customer counts
+    (c_acctbal < -900) with negative-balance supplier counts
+    (s_acctbal < 0): nations with only such customers, only such
+    suppliers, or both all appear (missing side = 0; the asymmetric
+    filters make all three cases non-empty at sf0.01). Both sides
+    pre-aggregate inside their own batches (bounded nation
+    cardinality), so the exchange carries partials; each partition
+    outer-merges its nations. Closes the join-shape family
+    (inner/left/semi/anti/asof/interval already covered)."""
+    nparts = 4
+
+    def cust_side(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.less(t["c_acctbal"], -900.0))
+        df = pd.DataFrame({"nk": t["c_nationkey"].to_numpy(zero_copy_only=False)})
+        out = df.groupby("nk", as_index=False).size() \
+            .rename(columns={"size": "n_cust"})
+        out["n_supp"] = np.int64(0)
+        out["part"] = (out["nk"].to_numpy().astype(np.uint64)
+                       % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def supp_side(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.less(t["s_acctbal"], 0.0))
+        df = pd.DataFrame({"nk": t["s_nationkey"].to_numpy(zero_copy_only=False)})
+        out = df.groupby("nk", as_index=False).size() \
+            .rename(columns={"size": "n_supp"})
+        out["n_cust"] = np.int64(0)
+        out["part"] = (out["nk"].to_numpy().astype(np.uint64)
+                       % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def outer_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("nk", as_index=False).agg(
+            n_cust=("n_cust", "sum"), n_supp=("n_supp", "sum"))
+
+    cust = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"]) \
+        .map_batches(cust_side, batch_format="pyarrow", zero_copy_batch=True)
+    supp = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]) \
+        .map_batches(supp_side, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(cust.union(supp), "part", nparts,
+                                outer_part).to_pandas()
+    out = parts.groupby("nk", as_index=False).agg(
+        n_cust=("n_cust", "sum"), n_supp=("n_supp", "sum"))
+    out = out.rename(columns={"nk": "n_nationkey"})
+    out = out.astype({"n_cust": "int64", "n_supp": "int64",
+                      "n_nationkey": "int64"})
+    return out.sort_values("n_nationkey", ignore_index=True)
+
+
+# -- set ops: INTERSECT / EXCEPT over distributed key sets ------------------
+
+def users_view_purchase_setops(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT / EXCEPT (the set-op family the reference lacks): how
+    many users viewed AND purchased, viewed only, purchased only.
+    Each batch reduces to its distinct (user, which-side-bits), one
+    exchange co-locates users, each partition ORs its users' bitmasks
+    -- counts come from the bit patterns, only 3 numbers per partition
+    reach the driver."""
+    nparts = agg_partitions()
+
+    def route(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": t["event_type"].to_pandas()})
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        df["v"] = df["event_type"] == "view"
+        df["p"] = ~df["v"]
+        out = df.groupby("user_id", as_index=False).agg(
+            v=("v", "max"), p=("p", "max"))
+        out["part"] = (out["user_id"].to_numpy().astype(np.uint64)
+                       % np.uint64(nparts)).astype(np.int32)
+        return out
+
+    def setop_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("user_id", sort=False).agg(v=("v", "max"),
+                                                 p=("p", "max"))
+        v, p = m["v"].to_numpy(), m["p"].to_numpy()
+        return pd.DataFrame({
+            "set_op": ["both", "purchase_only", "view_only"],
+            "n_users": np.array([(v & p).sum(), (p & ~v).sum(),
+                                 (v & ~p).sum()], dtype=np.int64)})
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    routed = ev.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
+    parts = exchange_map_groups(routed, "part", nparts,
+                                setop_part).to_pandas()
+    out = parts.groupby("set_op", as_index=False)["n_users"].sum()
+    return out.sort_values("set_op", ignore_index=True)
