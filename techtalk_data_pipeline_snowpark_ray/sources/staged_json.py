@@ -126,18 +126,46 @@ STAGED_EVENT_SCHEMA = pa.schema([
 ])
 
 
+#: dead-letter subdirectory inside the stage ("_"-prefixed so the
+#: staged-file lister never picks it up)
+QUARANTINE_SUBDIR = "_quarantine"
+
+
 def read_staged_json(stage_dir: str, after: str = "",
+                     quarantine: bool = True,
                      ) -> tuple[ray.data.Dataset | None, str]:
     """One stage-stream read: discover files after the marker, read the
     raw NDJSON (S10: ray.data.read_json), parse + explode + project the
     payloads to typed rows. Returns (dataset, new_marker); dataset is
-    None when no new files exist (marker unchanged)."""
+    None when no new files exist (marker unchanged).
+
+    With `quarantine` (default), malformed payloads divert to
+    ``<stage>/_quarantine/`` as dead-letter records instead of failing
+    the pipeline (each read task writes its own file; see
+    stages/jsonops.py). Consumed stage files are never re-read, so a
+    payload is quarantined at most once. `quarantine=False` = strict
+    mode: any malformed payload raises."""
     from ..stages.jsonops import JsonArrayExploder
 
     files = list_staged_files(stage_dir, after)
     if not files:
         return None, after
+    qdir = os.path.join(stage_dir, QUARANTINE_SUBDIR) if quarantine else None
     raw = ray.data.read_json([f.path for f in files])
-    ds = raw.map_batches(JsonArrayExploder("payload", STAGED_EVENT_SCHEMA),
+    ds = raw.map_batches(JsonArrayExploder("payload", STAGED_EVENT_SCHEMA,
+                                           quarantine_dir=qdir),
                          batch_format="pyarrow", zero_copy_batch=True)
     return ds, files[-1].key
+
+
+def read_quarantine(stage_dir: str) -> ray.data.Dataset | None:
+    """Dataset over the stage's dead-letter records ({payload, error}
+    rows), or None when nothing was quarantined."""
+    qdir = os.path.join(stage_dir, QUARANTINE_SUBDIR)
+    if not os.path.isdir(qdir):
+        return None
+    paths = [os.path.join(qdir, n) for n in sorted(os.listdir(qdir))
+             if n.startswith("dead-")]
+    if not paths:
+        return None
+    return ray.data.read_json(paths)

@@ -1,5 +1,5 @@
 """Semi-structured JSON operators: parse_json + array explode + typed
-projection.
+projection, with dead-letter routing for malformed payloads.
 
 Reference parity:
   * ``parse_json`` of a raw response string column
@@ -16,50 +16,111 @@ array of many records, so the per-record cost is amortized); the
 exploded records become one Arrow table per batch via
 ``pa.Table.from_pylist`` and every downstream cast is an Arrow kernel.
 A per-record Python loop never touches individual fields.
+
+Dead letters: with a ``quarantine_dir``, a payload that fails to parse
+(bad JSON, non-array shape) or to project (uncastable field values) is
+atomically appended to the quarantine as ``{"payload", "error"}``
+NDJSON instead of failing the whole pipeline -- each task writes its
+own quarantine file, nothing funnels through the driver. The typed
+fast path is unchanged: the batch projects as ONE table, and only a
+failing batch is re-projected per payload to isolate the offenders.
+Without a quarantine_dir errors raise (strict mode).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import uuid
 
 import pyarrow as pa
 
 from .normalize import normalize_batch
 
+_PARSE_ERRORS = (ValueError, AttributeError, TypeError)
+_CAST_ERRORS = (pa.ArrowInvalid, pa.ArrowTypeError)
 
-def explode_json_array(batch: pa.Table, column: str,
-                       target: pa.Schema) -> pa.Table:
+
+def _quarantine_write(bad: list[tuple[str, str]], quarantine_dir: str) -> str:
+    """Atomically publish one dead-letter NDJSON file (tmp + rename,
+    same visibility contract as a stage PUT)."""
+    os.makedirs(quarantine_dir, exist_ok=True)
+    final = os.path.join(quarantine_dir, f"dead-{uuid.uuid4().hex}.json")
+    tmp = os.path.join(quarantine_dir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        for payload, err in bad:
+            f.write(json.dumps({"payload": payload, "error": err}) + "\n")
+    os.replace(tmp, final)
+    return final
+
+
+def explode_json_array(batch: pa.Table, column: str, target: pa.Schema,
+                       quarantine_dir: str | None = None) -> pa.Table:
     """Parse a string column of JSON arrays-of-objects and explode to
     one typed row per element, projected onto `target` (case-insensitive
-    field match, cast, null-fill -- T1+T3+T2 in one stage).
+    field match, cast, null-fill -- T1+T3+T2 in one stage). Malformed
+    payloads raise, or divert to `quarantine_dir` when given.
 
     Usable directly inside ``map_batches(..., batch_format="pyarrow")``
     via :class:`JsonArrayExploder`.
     """
     records: list[dict] = []
+    slices: list[tuple[int, int, str]] = []   # per-payload [lo, hi) + raw
+    bad: list[tuple[str, str]] = []
     for payload in batch[column].to_pylist():
         if not payload:
             continue
-        parsed = json.loads(payload)
-        if isinstance(parsed, dict):      # a single object is a 1-array
-            parsed = [parsed]
-        # fold case variants of a key into ONE column here (from_pylist
-        # would otherwise keep `a` and `A` as distinct columns and the
-        # case-insensitive projection could only pick one of them)
-        records.extend({k.lower(): v for k, v in r.items()} for r in parsed)
-    if not records:
-        return target.empty_table()
-    tbl = pa.Table.from_pylist(records)
-    return normalize_batch(tbl, target)
+        try:
+            parsed = json.loads(payload)
+            if isinstance(parsed, dict):  # a single object is a 1-array
+                parsed = [parsed]
+            if not isinstance(parsed, list):
+                raise ValueError(
+                    f"payload is {type(parsed).__name__}, not an array")
+            # fold case variants of a key into ONE column here (from_pylist
+            # would otherwise keep `a` and `A` as distinct columns and the
+            # case-insensitive projection could only pick one of them)
+            recs = [{k.lower(): v for k, v in r.items()} for r in parsed]
+        except _PARSE_ERRORS as e:
+            if quarantine_dir is None:
+                raise
+            bad.append((payload, f"{type(e).__name__}: {e}"))
+            continue
+        slices.append((len(records), len(records) + len(recs), payload))
+        records.extend(recs)
+
+    if records:
+        try:
+            tbl = normalize_batch(pa.Table.from_pylist(records), target)
+        except _CAST_ERRORS:
+            if quarantine_dir is None:
+                raise
+            # isolate offenders: re-project payload by payload
+            parts = []
+            for lo, hi, payload in slices:
+                try:
+                    parts.append(normalize_batch(
+                        pa.Table.from_pylist(records[lo:hi]), target))
+                except _CAST_ERRORS as pe:
+                    bad.append((payload, f"{type(pe).__name__}: {pe}"))
+            tbl = pa.concat_tables(parts) if parts else target.empty_table()
+    else:
+        tbl = target.empty_table()
+    if bad and quarantine_dir is not None:
+        _quarantine_write(bad, quarantine_dir)
+    return tbl
 
 
 class JsonArrayExploder:
     """map_batches callable: raw JSON-array column -> exploded typed
     rows. Stateless; a class so the target schema resolves once."""
 
-    def __init__(self, column: str, target: pa.Schema):
+    def __init__(self, column: str, target: pa.Schema,
+                 quarantine_dir: str | None = None):
         self.column = column
         self.target = target
+        self.quarantine_dir = quarantine_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return explode_json_array(batch, self.column, self.target)
+        return explode_json_array(batch, self.column, self.target,
+                                  self.quarantine_dir)

@@ -164,3 +164,40 @@ def test_staged_json_roundtrip_matches_source(tmp_path, ray_session):
     # stream semantics: nothing new after consuming the marker
     ds2, marker2 = sj.read_staged_json(d, after=marker)
     assert ds2 is None and marker2 == marker
+
+
+def test_staged_json_dead_letter_quarantine(tmp_path, ray_session):
+    """Malformed payloads (bad JSON, non-array shape, uncastable field)
+    divert to the stage's _quarantine dead-letter dir; good records in
+    the SAME file still land typed; strict mode raises instead."""
+    import json as _json
+    from techtalk_data_pipeline_snowpark_ray.sources import staged_json as sj
+    d = str(tmp_path / "stage")
+    good = _json.dumps([{"event_id": 1, "user_id": 7, "event_type": "view",
+                         "value": 1.5, "ts": "2024-01-01T00:00:00.000000"}])
+    uncastable = _json.dumps([{"event_id": 2, "user_id": 8,
+                               "event_type": "view", "value": "not-a-float",
+                               "ts": "2024-01-01T00:00:00.000000"}])
+    lines = [
+        _json.dumps({"n": 1, "payload": good}),
+        _json.dumps({"n": 1, "payload": "{broken json"}),
+        _json.dumps({"n": 1, "payload": _json.dumps("just a string")}),
+        _json.dumps({"n": 1, "payload": uncastable}),
+    ]
+    sj.stage_put(lines, d, "000001")
+    ds, marker = sj.read_staged_json(d)
+    got = ds.to_pandas()
+    assert got["event_id"].tolist() == [1]        # only the good record
+    dead = sj.read_quarantine(d).to_pandas()
+    assert len(dead) == 3
+    assert dead["error"].str.len().gt(0).all()
+    assert set(dead["payload"]) == {"{broken json",
+                                    _json.dumps("just a string"), uncastable}
+    # quarantined lines never recycle: stream is drained after the marker
+    ds2, _ = sj.read_staged_json(d, after=marker)
+    assert ds2 is None
+    # strict mode: same file raises
+    sj.stage_put([lines[1]], str(tmp_path / "strict"), "000001")
+    with pytest.raises(Exception):
+        s, _ = sj.read_staged_json(str(tmp_path / "strict"), quarantine=False)
+        s.materialize()
