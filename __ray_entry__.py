@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_view_purchase_setops": analytics.users_view_purchase_setops,
         "orders_rollup": analytics.orders_rollup,
         "vocab_top_terms": textstats.vocab_top_terms,
+        "bigram_counts": textstats.bigram_counts,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "profile_documents": _profile_documents,
         "value_quantiles": analytics.value_quantiles,
@@ -636,6 +637,18 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT tok, COUNT(*) AS df FROM t
                    WHERE tok <> '' GROUP BY tok)
             SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 50
+        """,
+        "bigram_counts": r"""
+            WITH d AS (
+              SELECT regexp_split_to_array(trim(coalesce(text, '')),
+                                           '\s+') AS ws
+              FROM documents),
+            g AS (
+              SELECT unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+              FROM d WHERE len(ws) >= 2)
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+            FROM g GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
         """,
         "user_running_total": f"""
             SELECT user_id, event_id, {val_c} AS value_c,

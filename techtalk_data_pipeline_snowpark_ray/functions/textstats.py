@@ -336,3 +336,43 @@ def doc_fingerprint(sf_dir: str, portable: bool = True) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": batch["doc_id"], "fp": fp})
 
     return ds.map_batches(f, batch_format="pandas", batch_size=8192).sort("doc_id")
+
+
+def bigram_counts(sf_dir: str, k: int = 50,
+                  num_partitions: int = 16) -> pd.DataFrame:
+    """Top-k word bigrams by total OCCURRENCE count (language-model
+    n-gram counting; unigram/trigram are the same shape). Same exact
+    three-step scheme as vocab_top_terms (per-batch combiner ->
+    hash-route by bigram -> per-partition sum + top-k -> O(P*k) driver
+    merge), but counting occurrences, not document frequency. The
+    bigram build is one vectorized shift-compare over the exploded
+    token frame (no per-doc Python loop). Whitespace tokenization
+    matches dedup.shingle_frame / the DuckDB list_transform oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame({"i": batch.index,
+                             "tok": batch["text"].fillna("").str.split()}) \
+                 .explode("tok", ignore_index=True).dropna()
+        nxt = toks["tok"].shift(-1)
+        same_doc = toks["i"].eq(toks["i"].shift(-1))
+        grams = (toks["tok"] + " " + nxt)[same_doc]
+        out = grams.to_frame("bigram").groupby(
+            "bigram", sort=False, as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["part"] = (fingerprint_series(out["bigram"]).astype(np.uint64)
+                       % np.uint64(num_partitions)).astype(np.int32)
+        return out
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("bigram", sort=False, as_index=False)["n"].sum()
+        return out.sort_values(["n", "bigram"], ascending=[False, True],
+                               kind="stable").head(k)
+
+    from ..stages.exchange import exchange_map_groups
+    routed = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    cand = exchange_map_groups(routed, "part", num_partitions,
+                               topk_part).to_pandas()
+    cand["n"] = cand["n"].astype("int64")
+    return cand.sort_values(["n", "bigram"], ascending=[False, True],
+                            kind="stable", ignore_index=True).head(k)
