@@ -608,12 +608,16 @@ class _CountingCollapser(BatchCollapser):
 
 @ray.remote
 def _split_run_files(file_chunk: list[str], num_buckets: int,
-                     columns: list[str] | None = None):
+                     columns: list[str] | None = None,
+                     bucket_subset: list[int] | None = None):
     """Read a chunk of run files and return one Arrow table per bucket
-    (num_returns=num_buckets at the call site). `columns` prunes the
-    parquet scan; it is intersected per file with that file's schema
-    (runs written before a column-add evolution lack the new column --
-    concat's promote null-fills it, same as the unpruned path)."""
+    (num_returns = len(bucket_subset) or num_buckets at the call site).
+    `columns` prunes the parquet scan; it is intersected per file with
+    that file's schema (runs written before a column-add evolution lack
+    the new column -- concat's promote null-fills it, same as the
+    unpruned path). `bucket_subset` emits only those buckets' slices
+    (wave compaction: rows outside the subset are dropped here, so the
+    object count shrinks by the wave factor)."""
     def _read(p: str) -> pa.Table:
         if columns is None:
             return pq.read_table(p)
@@ -624,10 +628,12 @@ def _split_run_files(file_chunk: list[str], num_buckets: int,
     b = tbl[BUCKET_COL].to_numpy()
     order = np.argsort(b, kind="stable")
     tbl = tbl.take(pa.array(order))
-    bounds = np.searchsorted(b[order], np.arange(num_buckets + 1))
-    parts = tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
-                  for i in range(num_buckets))
-    return parts if num_buckets > 1 else parts[0]
+    targets = np.arange(num_buckets, dtype=np.int64) \
+        if bucket_subset is None else np.asarray(bucket_subset, dtype=np.int64)
+    lo = np.searchsorted(b[order], targets, side="left")
+    hi = np.searchsorted(b[order], targets + 1, side="left")
+    parts = tuple(tbl.slice(l, h - l) for l, h in zip(lo, hi))
+    return parts if len(targets) > 1 else parts[0]
 
 
 @ray.remote
@@ -641,7 +647,8 @@ def _fold_bucket_refs(fn, *parts):
 
 def _exchange_by_bucket(paths: list[str], num_buckets: int,
                         target_chunk_bytes: int = 256 << 20,
-                        columns: list[str] | None = None) -> list[list]:
+                        columns: list[str] | None = None,
+                        bucket_subset: list[int] | None = None) -> list[list]:
     """Launch the split stage; returns per-bucket lists of table refs.
 
     Chunk size targets ~2 chunks per core (bounded above so a chunk's
@@ -662,9 +669,10 @@ def _exchange_by_bucket(paths: list[str], num_buckets: int,
             cur, size = [], 0
     if cur:
         chunks.append(cur)
-    outs = [_split_run_files.options(num_returns=num_buckets)
-            .remote(c, num_buckets, columns) for c in chunks]
-    if num_buckets == 1:
+    n_out = num_buckets if bucket_subset is None else len(bucket_subset)
+    outs = [_split_run_files.options(num_returns=n_out)
+            .remote(c, num_buckets, columns, bucket_subset) for c in chunks]
+    if n_out == 1:
         outs = [[o] for o in outs]
     return [list(refs) for refs in zip(*outs)]
 
@@ -894,13 +902,22 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
     return out
 
 
-def compact(cfg: EngineConfig) -> Manifest | None:
+def compact(cfg: EngineConfig, waves: int = 1) -> Manifest | None:
     """Fold every bucket's runs into a single base run (one file per
     bucket, sorted by (conv_id, turn_idx) -- the reference's 'stable
     turn ordering' invariant), drop tombstones, publish a new manifest.
 
     Safe because compaction folds a bucket's COMPLETE run list and no
     event at lsn <= committed can ever be re-applied (checkpoint rule).
+
+    `waves` > 1 compacts the buckets in that many sequential waves:
+    each wave re-reads the run files but emits only its own buckets'
+    slices, cutting the exchange's peak object count (and in-flight
+    bytes) by the wave factor at the cost of waves-fold re-reads --
+    the lever for a pathological backlog (months of uncompacted runs)
+    whose full exchange would flood the object store. All waves'
+    bases publish in ONE manifest, so atomicity/exactly-once are
+    untouched (a crash mid-waves leaves only GC-sweepable orphans).
     """
     from ..stages.controls import resolve_with_controls, sorted_controls
 
@@ -945,9 +962,16 @@ def compact(cfg: EngineConfig) -> Manifest | None:
         os.replace(tmp, os.path.join(runs_dir, fname))
         return {"bucket": int(bucket), "file": fname, "rows": out.num_rows}
 
-    per_bucket = _exchange_by_bucket(state.run_paths(prev), cfg.num_buckets)
-    metas = [m for m in ray.get([_fold_bucket_refs.remote(compact_bucket, *refs)
-                                 for refs in per_bucket]) if m]
+    paths = state.run_paths(prev)
+    waves = max(1, min(int(waves), cfg.num_buckets))
+    metas = []
+    for w in range(waves):
+        subset = None if waves == 1 else list(range(w, cfg.num_buckets, waves))
+        per_bucket = _exchange_by_bucket(paths, cfg.num_buckets,
+                                         bucket_subset=subset)
+        metas += [m for m in ray.get(
+            [_fold_bucket_refs.remote(compact_bucket, *refs)
+             for refs in per_bucket]) if m]
 
     buckets = {str(m["bucket"]): [m["file"]] for m in metas}
     manifest = state.publish(Manifest(

@@ -750,3 +750,19 @@ def test_read_snapshot_column_pushdown(tmp_engine):
         check_dtype=False)
     with pytest.raises(ValueError):
         ingest.read_snapshot(tmp_engine, columns=["nope"])
+
+
+def test_wave_compaction_equals_single_wave(tmp_engine):
+    """compact(waves=3) over 4 buckets: same resolved state, same
+    one-base-per-bucket layout, one manifest publish."""
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    before = ingest.snapshot_to_pandas(tmp_engine)
+    v0 = TableState(tmp_engine.table_dir).load_latest().version
+    m = ingest.compact(tmp_engine, waves=3)
+    assert m is not None and m.version == v0 + 1     # exactly one publish
+    assert all(len(files) == 1 for files in m.buckets.values())
+    assert len(m.buckets) == tmp_engine.num_buckets
+    after = ingest.snapshot_to_pandas(tmp_engine)
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+    assert_matches_oracle(tmp_engine)
