@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": sampling.doc_split,
         "doc_split_stratified": sampling.doc_split_stratified,
         "pack_documents": packing.pack_documents,
+        "doc_repetition": textstats.doc_repetition,
+        "redact_pii": textstats.redact_pii,
+        "decontaminate": dedup.decontaminate,
         "exact_dedup_documents": dedup.exact_dedup_documents,
         "minhash_near_dup": dedup.minhash_near_dup,
         "minhash_dedup_clusters": dedup.minhash_dedup_clusters,
@@ -716,6 +719,81 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_chars
             FROM c ORDER BY doc_id
+        """,
+        # Gopher-style repetition signals: exact integer numerator/
+        # denominator pairs of the classic repetition-filter ratios
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+              FROM documents),
+            base AS (
+              SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens
+              FROM toks),
+            g AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+              FROM toks WHERE len(ws) >= 2),
+            bg AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     CAST(MAX(c) AS BIGINT) AS top_bigram_n
+              FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM g
+                    GROUP BY doc_id, bigram)
+              GROUP BY doc_id)
+            SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+                   coalesce(bg.n_bigrams, 0) AS n_bigrams,
+                   coalesce(bg.top_bigram_n, 0) AS top_bigram_n
+            FROM base b LEFT JOIN bg USING (doc_id) ORDER BY b.doc_id
+        """,
+        # planted-PII redaction: the synthetic corpus has no organic
+        # PII, so both sides derive one email + one phone from doc_id
+        # before redacting -- the redacted string is compared byte-exact
+        "redact_pii": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     coalesce(text, '') || ' contact user'
+                       || CAST(doc_id AS VARCHAR) || '@example.com call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+                   CAST(length(regexp_extract_all(t,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                        + length(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+                        AS BIGINT) AS n_redacted
+            FROM aug ORDER BY doc_id
+        """,
+        # benchmark decontamination: docs with doc_id % 10 == 0 are the
+        # held-out set; training docs count DISTINCT 5-gram overlap
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+              FROM documents),
+            g AS (
+              SELECT DISTINCT doc_id, gram FROM (
+                SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4])) AS gram
+                FROM toks WHERE len(ws) >= 5)),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+            hits AS (
+              SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+                     CAST(SUM(CASE WHEN b.gram IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+              FROM g LEFT JOIN bench b USING (gram)
+              WHERE g.doc_id % 10 <> 0 GROUP BY g.doc_id)
+            SELECT d.doc_id, coalesce(h.n_grams, 0) AS n_grams,
+                   coalesce(h.n_hit, 0) AS n_hit,
+                   CAST(coalesce(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id
         """,
         "exact_dedup_documents": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -518,3 +518,80 @@ def simhash_documents(sf_dir: str, token_hash: str = "md5") -> ray.data.Dataset:
 
     return ds.map_batches(hash_batch, batch_format="pandas",
                           batch_size=4096).sort("doc_id")
+
+
+def _strict_ngrams(batch: pd.DataFrame, n: int) -> pd.DataFrame:
+    """(doc_id, gram) rows of STRICT word n-grams: a doc with fewer than
+    n tokens emits none (unlike :func:`shingle_frame`, which pads short
+    docs with a whole-doc shingle for MinHash stability). One vectorized
+    shift-concat over the exploded token frame, no per-doc loop."""
+    toks = pd.DataFrame({"doc_id": batch["doc_id"],
+                         "tok": batch["text"].fillna("").str.split()}) \
+             .explode("tok", ignore_index=True).dropna() \
+             .reset_index(drop=True)
+    gram = toks["tok"].copy()
+    same = pd.Series(True, index=toks.index)
+    for j in range(1, n):
+        gram = gram + " " + toks["tok"].shift(-j)
+        same &= toks["doc_id"].eq(toks["doc_id"].shift(-j))
+    return pd.DataFrame({"doc_id": toks["doc_id"][same],
+                         "gram": gram[same]})
+
+
+#: decontamination n-gram width. The GPT-3 procedure uses 13-gram
+#: overlap; the synthetic docs average ~40 tokens over a ~25-word
+#: vocabulary, so 5 keeps the check non-vacuous at every sf while the
+#: shape (and every constant) is a parameter.
+DECONTAM_N = 5
+
+
+def decontaminate(sf_dir: str, n: int = DECONTAM_N,
+                  bench_mod: int = 10) -> ray.data.Dataset:
+    """Benchmark decontamination (the GPT-3 appendix-C shape): docs with
+    ``doc_id % bench_mod == 0`` act as the held-out benchmark/eval set;
+    every other (training) doc reports how many of its DISTINCT word
+    n-grams appear anywhere in the benchmark set, plus a contaminated
+    flag (any overlap).
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval sets are a fixed size; the training corpus is the 100-TB
+    side), so its distinct n-gram HASHES are collected once (per-batch
+    distinct combiner -> one uint64 column to the driver -> np.unique)
+    and broadcast via ray.put; the training pass is a single streamed
+    map_batches doing a vectorized np.isin per batch -- no shuffle, no
+    join, text never leaves its batch. If the benchmark set ever
+    outgrows a broadcast, swap the exact set for the Bloom summary
+    (`stages/joins.py:bloom_semi_join`) -- same stage shape.
+    Hashing is the portable md5-64 (`textstats.md5_hash64_series`);
+    membership-by-hash equals membership-by-string up to md5-64
+    collisions (~2^-64 per pair, negligible)."""
+    from ..stages.joins import fetch_broadcast
+    from .textstats import md5_hash64_series
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        sub = batch[batch["doc_id"] % bench_mod == 0]
+        g = _strict_ngrams(sub, n).drop_duplicates("gram")
+        return pd.DataFrame({"h": md5_hash64_series(g["gram"])})
+
+    part = docs.map_batches(bench_hashes, batch_format="pandas",
+                            batch_size=8192).to_pandas()
+    bench = np.unique(part["h"].to_numpy().astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        b = fetch_broadcast(bench_ref)
+        train = batch[batch["doc_id"] % bench_mod != 0]
+        g = _strict_ngrams(train, n).drop_duplicates()
+        hit = np.isin(md5_hash64_series(g["gram"]), b)
+        per = g.assign(hit=hit).groupby("doc_id", sort=False)["hit"]
+        n_grams, n_hit = per.size(), per.sum()
+        out = pd.DataFrame({"doc_id": train["doc_id"].to_numpy()})
+        out["n_grams"] = out["doc_id"].map(n_grams).fillna(0).astype(np.int64)
+        out["n_hit"] = out["doc_id"].map(n_hit).fillna(0).astype(np.int64)
+        out["contaminated"] = (out["n_hit"] > 0).astype(np.int64)
+        return out
+
+    return docs.map_batches(score, batch_format="pandas",
+                            batch_size=8192).sort("doc_id")

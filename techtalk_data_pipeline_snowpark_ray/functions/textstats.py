@@ -338,6 +338,79 @@ def doc_fingerprint(sf_dir: str, portable: bool = True) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pandas", batch_size=8192).sort("doc_id")
 
 
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition signals per document: token count,
+    distinct-token count, bigram count, and the occurrence count of the
+    doc's MOST FREQUENT bigram. The classic repetition filters are the
+    ratios (1 - distinct/total tokens; top_bigram_n/n_bigrams) -- kept
+    as exact integer numerator/denominator pairs so the oracle check is
+    bit-exact (same policy as :func:`doc_quality`).
+
+    Per-doc facts are complete within the doc's batch, so this is a
+    single streamed `map_batches` pass -- no shuffle, no driver reduce;
+    the bigram build is the same vectorized shift-compare as
+    :func:`bigram_counts`."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame({"doc_id": batch["doc_id"],
+                             "tok": batch["text"].fillna("").str.split()}) \
+                 .explode("tok", ignore_index=True).dropna() \
+                 .reset_index(drop=True)
+        per = toks.groupby("doc_id", sort=False)["tok"]
+        n_tok, n_dis = per.size(), per.nunique()
+        nxt = toks["tok"].shift(-1)
+        same = toks["doc_id"].eq(toks["doc_id"].shift(-1))
+        bg = pd.DataFrame({"doc_id": toks["doc_id"][same],
+                           "bigram": (toks["tok"] + " " + nxt)[same]})
+        cnt = bg.groupby(["doc_id", "bigram"], sort=False).size()
+        top = cnt.groupby(level="doc_id").max()
+        nbg = cnt.groupby(level="doc_id").sum()
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        for col, src in [("n_tokens", n_tok), ("n_distinct_tokens", n_dis),
+                         ("n_bigrams", nbg), ("top_bigram_n", top)]:
+            out[col] = out["doc_id"].map(src).fillna(0).astype(np.int64)
+        return out
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192) \
+             .sort("doc_id")
+
+
+#: PII patterns kept to syntax valid AND equivalent in both Python re
+#: and RE2 (DuckDB): character classes + bounded quantifiers only, no
+#: lookaround, no backrefs -- the redacted string is oracle-compared
+#: byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def redact_pii(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over the documents table: emails -> <EMAIL>,
+    phone numbers -> <PHONE>, plus an exact count of redactions per
+    doc. The testdata text is synthetic word-soup carrying no organic
+    PII, so to keep the oracle check non-vacuous the query PLANTS one
+    email and one phone per row, derived from doc_id -- the SQL oracle
+    performs the identical derivation, so the planted strings are part
+    of the checked computation, not a fixture. The redaction kernels
+    themselves are generic (vectorized pandas str.replace; a real
+    corpus runs the same stage unchanged)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(batch: pd.DataFrame) -> pd.DataFrame:
+        did = batch["doc_id"].astype(np.int64)
+        text = (batch["text"].fillna("") + " contact user"
+                + did.astype(str) + "@example.com call +1-555-"
+                + (did % 10000).astype(str).str.zfill(4))
+        n = text.str.count(EMAIL_RE) + text.str.count(PHONE_RE)
+        red = text.str.replace(EMAIL_RE, "<EMAIL>", regex=True) \
+                  .str.replace(PHONE_RE, "<PHONE>", regex=True)
+        return pd.DataFrame({"doc_id": did, "redacted": red,
+                             "n_redacted": n.astype(np.int64)})
+
+    return ds.map_batches(f, batch_format="pandas", batch_size=8192) \
+             .sort("doc_id")
+
+
 def bigram_counts(sf_dir: str, k: int = 50,
                   num_partitions: int = 16) -> pd.DataFrame:
     """Top-k word bigrams by total OCCURRENCE count (language-model

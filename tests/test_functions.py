@@ -575,3 +575,50 @@ def test_hyperloglog_accuracy_and_merge():
     d = hll_column(ds, "k")
     sub = sum(len(c) for c in parts[:4])
     assert abs(d.count() - sub) / sub < 0.05
+
+
+# -- repetition / redaction / decontamination -------------------------------
+
+def test_doc_repetition_brute_force(tmp_path):
+    texts = ["a b a b a b", "x y z", "", "solo", "q q q q"]
+    sf = make_doc_dir(tmp_path, texts)
+    got = textstats.doc_repetition(sf).to_pandas()
+    assert got["doc_id"].tolist() == [0, 1, 2, 3, 4]
+    assert got["n_tokens"].tolist() == [6, 3, 0, 1, 4]
+    assert got["n_distinct_tokens"].tolist() == [2, 3, 0, 1, 1]
+    assert got["n_bigrams"].tolist() == [5, 2, 0, 0, 3]
+    # "a b" x3 vs "b a" x2; all "q q"
+    assert got["top_bigram_n"].tolist() == [3, 1, 0, 0, 3]
+    assert (got["top_bigram_n"] <= got["n_bigrams"]).all()
+    assert (got["n_distinct_tokens"] <= got["n_tokens"]).all()
+
+
+def test_redact_pii_scrubs_planted_and_organic(tmp_path):
+    texts = ["mail me at alice.smith+x@corp.example.org now", "clean text"]
+    sf = make_doc_dir(tmp_path, texts)
+    got = textstats.redact_pii(sf).to_pandas()
+    # organic email in doc 0 + planted email/phone in every doc
+    assert got["n_redacted"].tolist() == [3, 2]
+    assert not got["redacted"].str.contains("@").any()
+    assert not got["redacted"].str.contains(r"\+1-555-[0-9]", regex=True).any()
+    assert got["redacted"].str.count("<EMAIL>").tolist() == [2, 1]
+    assert got["redacted"].str.count("<PHONE>").tolist() == [1, 1]
+
+
+def test_decontaminate_planted_overlap(tmp_path):
+    # doc 0 (bench, doc_id % 10 == 0) shares its full 5-gram window with
+    # doc 11; docs 12/13 are clean; doc 1 too short for any 5-gram
+    bench = "alpha beta gamma delta epsilon zeta"
+    texts = [bench, "tiny doc"] + ["f" + str(i) for i in range(2, 11)]
+    texts += [""] * 0
+    sf_texts = list(texts)
+    sf_texts += ["prefix alpha beta gamma delta epsilon suffix",  # doc 11: hit
+                 "one two three four five six seven",              # doc 12
+                 "eight nine ten eleven twelve"]                   # doc 13
+    sf = make_doc_dir(tmp_path, sf_texts)
+    got = dedup.decontaminate(sf).to_pandas().set_index("doc_id")
+    assert 0 not in got.index and 10 not in got.index   # bench excluded
+    assert got.loc[11, "n_hit"] == 1 and got.loc[11, "contaminated"] == 1
+    assert got.loc[11, "n_grams"] == 3                   # 7 tokens -> 3 grams
+    assert got.loc[12, "n_hit"] == 0 and got.loc[12, "contaminated"] == 0
+    assert got.loc[1, "n_grams"] == 0 and got.loc[1, "contaminated"] == 0
