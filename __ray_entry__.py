@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,      # portable md5 mode
         "doc_split": sampling.doc_split,
         "doc_split_stratified": sampling.doc_split_stratified,
+        "mixture_weights": sampling.mixture_weights,
+        "resample_epochs": sampling.resample_epochs,
         "pack_documents": packing.pack_documents,
         "doc_repetition": textstats.doc_repetition,
         "redact_pii": textstats.redact_pii,
@@ -940,6 +942,51 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bucket < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+        # corpus-mixture composition: exact integer counts + fixed-point
+        # (ppm) weights; T=2 flattening via IEEE sqrt + floor, both
+        # exactly specified so the comparison is bit-exact
+        "mixture_weights": r"""
+            WITH t AS (
+              SELECT source, lang,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                          AS BIGINT) AS n
+              FROM documents),
+            g AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n) AS BIGINT) AS n_tokens
+              FROM t GROUP BY source, lang),
+            s AS (
+              SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)))
+                             AS BIGINT) AS sqrt_tokens
+              FROM g)
+            SELECT source, lang, n_docs, n_tokens,
+                   CAST(n_tokens * 1000000 //
+                        (SELECT SUM(n_tokens) FROM s) AS BIGINT) AS share_ppm,
+                   sqrt_tokens,
+                   CAST(sqrt_tokens * 1000000 //
+                        (SELECT SUM(sqrt_tokens) FROM s) AS BIGINT) AS w_t2_ppm
+            FROM s ORDER BY source, lang
+        """,
+        # deterministic per-language epoch up-sampling plan:
+        # n_epochs = clamp(1..4, max_lang_tokens // lang_tokens)
+        "resample_epochs": r"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                          AS BIGINT) AS n
+              FROM documents),
+            lt AS (SELECT lang, SUM(n) AS tot FROM t GROUP BY lang),
+            r AS (
+              SELECT lang,
+                     CAST(least(4, greatest(1,
+                          (SELECT MAX(tot) FROM lt) // tot)) AS BIGINT)
+                       AS n_epochs
+              FROM lt)
+            SELECT t.doc_id, t.lang, CAST(u.e AS BIGINT) AS epoch
+            FROM t JOIN r USING (lang)
+            CROSS JOIN UNNEST(range(r.n_epochs)) AS u(e)
+            ORDER BY t.doc_id, epoch
         """,
         "pack_documents": r"""
             WITH t AS (

@@ -94,3 +94,99 @@ def doc_sample(ds: ray.data.Dataset, key_col: str, pct: int,
         return batch[b < pct]
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+# -- corpus composition: mixture weights + deterministic up-sampling --------
+
+#: fixed-point scale for mixture shares (parts per million)
+PPM = 1_000_000
+
+
+def _group_token_partials(sf_dir: str) -> pd.DataFrame:
+    """(source, lang, n_docs, n_tokens) -- the bounded-cardinality
+    combiner shape: each batch reduces to <= n_sources x n_langs partial
+    rows, the driver merges the tiny partials. Token = whitespace run
+    (same TOKEN_RE unit as textstats.token_counts)."""
+    from ..sources.tables import read_table
+    ds = read_table(sf_dir, "documents", ["text", "lang", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = b["text"].fillna("").str.count(r"\S+").astype(np.int64)
+        g = pd.DataFrame({"source": b["source"], "lang": b["lang"],
+                          "n_tokens": n}) \
+            .groupby(["source", "lang"], sort=False)
+        out = g.agg(n_docs=("n_tokens", "size"),
+                    n_tokens=("n_tokens", "sum")).reset_index()
+        return out.astype({"n_docs": np.int64, "n_tokens": np.int64})
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    return parts.groupby(["source", "lang"], as_index=False)[
+        ["n_docs", "n_tokens"]].sum()
+
+
+def mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Corpus-mixture sampling weights per (source, lang) group -- the
+    composition table every multi-source training run starts from.
+    Emits exact token/doc counts plus two fixed-point weight columns:
+
+      * ``share_ppm``  -- proportional-to-tokens share (temperature 1),
+      * ``w_t2_ppm``   -- temperature-2 flattened share, the standard
+        rare-source up-weighting (multilingual-T5 style w_g propto
+        count_g^(1/T)); T=2 keeps the whole computation bit-exact
+        across engines: IEEE sqrt and a single integer floor-divide are
+        both exactly specified, so the DuckDB oracle reproduces every
+        value (general T is the same stage with pow(count, 1/T) and a
+        tolerance check instead).
+
+    Scale shape: one streamed combiner pass (O(sources x langs) rows per
+    batch to the driver; group cardinality is bounded by construction),
+    then arithmetic on the tiny composition table. Text never leaves
+    its batch; no shuffle."""
+    g = _group_token_partials(sf_dir)
+    g["share_ppm"] = g["n_tokens"] * PPM // g["n_tokens"].sum()
+    g["sqrt_tokens"] = np.floor(
+        np.sqrt(g["n_tokens"].to_numpy(np.float64))).astype(np.int64)
+    g["w_t2_ppm"] = g["sqrt_tokens"] * PPM // g["sqrt_tokens"].sum()
+    return g.sort_values(["source", "lang"], ignore_index=True)
+
+
+#: cap on the per-language epoch multiplier (repeating any slice too
+#: many times degrades models faster than it balances them)
+EPOCH_CAP = 4
+
+
+def resample_epochs(sf_dir: str, cap: int = EPOCH_CAP) -> ray.data.Dataset:
+    """Deterministic up-sampling plan: every document of an
+    under-represented language is repeated ``n_epochs`` times (epoch =
+    0..n-1), where n = clamp(1..cap, max_lang_tokens // lang_tokens) --
+    the integer-epoch equalization used when a run wants roughly equal
+    token budgets per language without fractional sampling RNG.
+
+    Two passes, no shuffle: (1) the bounded per-lang token combiner
+    (O(langs) rows to the driver) fixes the epoch table; (2) a streamed
+    map_batches repeats rows vectorized (np.repeat + arange) -- the
+    flat-map shape. The epoch table is a plain closure constant (a few
+    langs), not even worth a ray.put. Deterministic: no RNG anywhere,
+    re-runs and resumes emit identical plans."""
+    from ..sources.tables import read_table
+
+    lt = _group_token_partials(sf_dir).groupby("lang")["n_tokens"].sum()
+    epochs = {lang: int(min(cap, max(1, int(lt.max()) // int(t))))
+              if t > 0 else 1  # zero-token lang: nothing to balance
+              for lang, t in lt.items()}
+
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def repeat(b: pd.DataFrame) -> pd.DataFrame:
+        r = b["lang"].map(epochs).fillna(1).astype(np.int64).to_numpy()
+        idx = np.repeat(np.arange(len(b)), r)
+        ends = np.cumsum(r)
+        epoch = np.arange(ends[-1]) - np.repeat(ends - r, r) \
+            if len(b) else np.empty(0, np.int64)
+        out = b.iloc[idx].reset_index(drop=True)
+        out["epoch"] = epoch.astype(np.int64)
+        return out
+
+    return ds.map_batches(repeat, batch_format="pandas",
+                          batch_size=8192).sort(["doc_id", "epoch"])

@@ -373,6 +373,62 @@ def test_doc_split_deterministic_disjoint_and_sampled_subset():
     assert s20 <= set(a.loc[a["bucket"] < 20, "doc_id"])
 
 
+def _mixture_dir(tmp_path):
+    d = tmp_path / "sfm"
+    d.mkdir(exist_ok=True)
+    rows = [  # (lang, source, text)
+        ("en", "web", "a b c d e f g h"),      # en: 12 tokens
+        ("en", "web", "a b c"),
+        ("en", "code", "x"),
+        ("de", "web", "ein zwei drei"),        # de: 3 tokens
+        ("fr", "web", ""),                     # fr: 0 tokens
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array([r[0] for r in rows]),
+        "source": pa.array([r[1] for r in rows]),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+    }), d / "documents.parquet")
+    return str(d)
+
+
+def test_mixture_weights_exact_composition(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.functions import sampling
+    got = sampling.mixture_weights(_mixture_dir(tmp_path))
+    got = got.set_index(["source", "lang"])
+    assert got.loc[("web", "en"), "n_docs"] == 2
+    assert got.loc[("web", "en"), "n_tokens"] == 11
+    assert got.loc[("code", "en"), "n_tokens"] == 1
+    assert got.loc[("web", "fr"), "n_tokens"] == 0
+    # shares: fixed-point floor-divide of exact integers (total 15)
+    assert got.loc[("web", "en"), "share_ppm"] == 11 * 1_000_000 // 15
+    assert got["share_ppm"].sum() <= 1_000_000
+    # T=2 flattening raises the rare group's relative weight
+    rel_t1 = got.loc[("web", "de"), "share_ppm"] / \
+        max(got.loc[("web", "en"), "share_ppm"], 1)
+    rel_t2 = got.loc[("web", "de"), "w_t2_ppm"] / \
+        max(got.loc[("web", "en"), "w_t2_ppm"], 1)
+    assert rel_t2 > rel_t1
+
+
+def test_resample_epochs_plan(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.functions import sampling
+    sf = _mixture_dir(tmp_path)
+    got = sampling.resample_epochs(sf).to_pandas()
+    # en = 12 tokens (max); de = 3 -> 12//3 = 4 epochs; fr = 0 tokens
+    # -> 1 epoch (zero-token langs are never multiplied)
+    per = got.groupby("doc_id")["epoch"].agg(["size", "max"])
+    assert per.loc[0, "size"] == 1 and per.loc[3, "size"] == 4
+    assert per.loc[3, "max"] == 3
+    assert per.loc[4, "size"] == 1
+    assert (got.groupby("doc_id")["epoch"].apply(
+        lambda s: list(s) == list(range(len(s))))).all()
+    # deterministic across runs
+    again = sampling.resample_epochs(sf).to_pandas()
+    pd.testing.assert_frame_equal(got, again)
+
+
 # -- as-of join / top-k per group / quantiles vs local brute force ---------
 
 def test_asof_join_matches_bruteforce():
