@@ -609,7 +609,8 @@ class _CountingCollapser(BatchCollapser):
 @ray.remote
 def _split_run_files(file_chunk: list[str], num_buckets: int,
                      columns: list[str] | None = None,
-                     bucket_subset: list[int] | None = None):
+                     bucket_subset: list[int] | None = None,
+                     rebucket: bool = False):
     """Read a chunk of run files and return one Arrow table per bucket
     (num_returns = len(bucket_subset) or num_buckets at the call site).
     `columns` prunes the parquet scan; it is intersected per file with
@@ -617,7 +618,11 @@ def _split_run_files(file_chunk: list[str], num_buckets: int,
     the new column -- concat's promote null-fills it, same as the
     unpruned path). `bucket_subset` emits only those buckets' slices
     (wave compaction: rows outside the subset are dropped here, so the
-    object count shrinks by the wave factor)."""
+    object count shrinks by the wave factor). `rebucket` recomputes the
+    bucket column from the key hash under THIS `num_buckets` (the
+    re-bucketing migration path) instead of trusting the stored one."""
+    from ..stages.partition import hash_strings_arrow
+
     def _read(p: str) -> pa.Table:
         if columns is None:
             return pq.read_table(p)
@@ -625,6 +630,11 @@ def _split_run_files(file_chunk: list[str], num_buckets: int,
         return pq.read_table(p, columns=[c for c in columns if c in have])
     tbl = pa.concat_tables([_read(p) for p in file_chunk],
                            promote_options="default")
+    if rebucket:
+        nb = (hash_strings_arrow(tbl["conv_id"]) % np.uint64(num_buckets)) \
+            .astype(np.int32)
+        tbl = tbl.set_column(tbl.schema.get_field_index(BUCKET_COL),
+                             BUCKET_COL, pa.array(nb, type=pa.int32()))
     b = tbl[BUCKET_COL].to_numpy()
     order = np.argsort(b, kind="stable")
     tbl = tbl.take(pa.array(order))
@@ -648,7 +658,8 @@ def _fold_bucket_refs(fn, *parts):
 def _exchange_by_bucket(paths: list[str], num_buckets: int,
                         target_chunk_bytes: int = 256 << 20,
                         columns: list[str] | None = None,
-                        bucket_subset: list[int] | None = None) -> list[list]:
+                        bucket_subset: list[int] | None = None,
+                        rebucket: bool = False) -> list[list]:
     """Launch the split stage; returns per-bucket lists of table refs.
 
     Chunk size targets ~2 chunks per core (bounded above so a chunk's
@@ -671,7 +682,8 @@ def _exchange_by_bucket(paths: list[str], num_buckets: int,
         chunks.append(cur)
     n_out = num_buckets if bucket_subset is None else len(bucket_subset)
     outs = [_split_run_files.options(num_returns=n_out)
-            .remote(c, num_buckets, columns, bucket_subset) for c in chunks]
+            .remote(c, num_buckets, columns, bucket_subset, rebucket)
+            for c in chunks]
     if n_out == 1:
         outs = [[o] for o in outs]
     return [list(refs) for refs in zip(*outs)]
@@ -902,7 +914,8 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
     return out
 
 
-def compact(cfg: EngineConfig, waves: int = 1) -> Manifest | None:
+def compact(cfg: EngineConfig, waves: int = 1,
+            rebucket: bool = False) -> Manifest | None:
     """Fold every bucket's runs into a single base run (one file per
     bucket, sorted by (conv_id, turn_idx) -- the reference's 'stable
     turn ordering' invariant), drop tombstones, publish a new manifest.
@@ -918,6 +931,15 @@ def compact(cfg: EngineConfig, waves: int = 1) -> Manifest | None:
     whose full exchange would flood the object store. All waves'
     bases publish in ONE manifest, so atomicity/exactly-once are
     untouched (a crash mid-waves leaves only GC-sweepable orphans).
+
+    `rebucket` is the bucket-count MIGRATION path: rows are re-routed
+    by H(conv_id) % cfg.num_buckets during the exchange (stored bucket
+    values are recomputed, not trusted) and the manifest commits the
+    new count, so a table laid out under an old num_buckets moves to
+    the config's value in one atomic compaction -- the explicit
+    operation the layout guard (`_check_bucket_layout`) points at.
+    LWW safety is preserved because the fold still sees every record
+    of a key in exactly one (new) bucket group.
     """
     from ..stages.controls import resolve_with_controls, sorted_controls
 
@@ -925,7 +947,8 @@ def compact(cfg: EngineConfig, waves: int = 1) -> Manifest | None:
     prev = state.load_latest()
     if not prev.buckets and not prev.global_runs:
         return None
-    _check_bucket_layout(prev, cfg)
+    if not rebucket:
+        _check_bucket_layout(prev, cfg)
     payload = schemas.payload_cols(cfg.schema_version)
     txn = state.new_txn()
     runs_dir = state.runs_dir
@@ -968,7 +991,8 @@ def compact(cfg: EngineConfig, waves: int = 1) -> Manifest | None:
     for w in range(waves):
         subset = None if waves == 1 else list(range(w, cfg.num_buckets, waves))
         per_bucket = _exchange_by_bucket(paths, cfg.num_buckets,
-                                         bucket_subset=subset)
+                                         bucket_subset=subset,
+                                         rebucket=rebucket)
         metas += [m for m in ray.get(
             [_fold_bucket_refs.remote(compact_bucket, *refs)
              for refs in per_bucket]) if m]

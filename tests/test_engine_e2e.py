@@ -766,3 +766,44 @@ def test_wave_compaction_equals_single_wave(tmp_engine):
     after = ingest.snapshot_to_pandas(tmp_engine)
     pd.testing.assert_frame_equal(before, after, check_dtype=False)
     assert_matches_oracle(tmp_engine)
+
+
+def test_rebucket_compaction_migrates_layout(tmp_path):
+    """compact(rebucket=True) moves a live table from num_buckets=4 to
+    7: same resolved state, new layout committed, layout guard then
+    accepts the new count and rejects the old one; post-migration ticks
+    keep matching the oracle."""
+    from dataclasses import replace
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4)
+    cfg.ensure_dirs()
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(cfg.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    ingest.apply_tick(cfg)
+    before = ingest.snapshot_to_pandas(cfg)
+
+    cfg7 = replace(cfg, num_buckets=7)
+    with pytest.raises(ValueError, match="num_buckets"):
+        ingest.apply_tick(cfg7)                    # guard still fires
+    m = ingest.compact(cfg7, rebucket=True)        # explicit migration
+    assert m.num_buckets == 7
+    assert set(int(b) for b in m.buckets) <= set(range(7))
+    after = ingest.snapshot_to_pandas(cfg7)
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
+
+    # old count now rejected, new count accepted for further ticks
+    with pytest.raises(ValueError, match="num_buckets"):
+        ingest.apply_tick(cfg)
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    assert ingest.apply_tick(cfg7) is not None
+    assert_matches_oracle(cfg7)
+    # and a normal compaction under the new layout stays consistent
+    ingest.compact(cfg7)
+    assert_matches_oracle(cfg7)
