@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_weights": sampling.mixture_weights,
         "resample_epochs": sampling.resample_epochs,
         "pack_documents": packing.pack_documents,
+        "chunk_documents": packing.chunk_documents,
         "doc_repetition": textstats.doc_repetition,
         "redact_pii": textstats.redact_pii,
         "decontaminate": dedup.decontaminate,
@@ -1005,6 +1006,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, part, n_tokens,
                    CAST(prefix // 2048 AS BIGINT) AS bin
             FROM c ORDER BY doc_id
+        """,
+        # overlapping context-window chunking: windows start every
+        # stride=48 tokens; trailing windows only while they add
+        # uncovered tokens; chunk_text = tokens joined by one space
+        "chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ws,
+                     CAST(len(regexp_extract_all(coalesce(text, ''), '\S+'))
+                          AS BIGINT) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, ws, n,
+                     greatest(1, CAST(ceil(CAST(n - 16 AS DOUBLE) / 48)
+                                      AS BIGINT)) AS n_chunks
+              FROM t WHERE n > 0)
+            SELECT doc_id, CAST(u.k AS BIGINT) AS chunk_idx,
+                   CAST(u.k * 48 AS BIGINT) AS tok_start,
+                   CAST(least(u.k * 48 + 64, n) AS BIGINT) AS tok_end,
+                   array_to_string(ws[u.k * 48 + 1 : least(u.k * 48 + 64, n)],
+                                   ' ') AS chunk_text
+            FROM c CROSS JOIN UNNEST(range(c.n_chunks)) AS u(k)
+            ORDER BY doc_id, chunk_idx
         """,
         "doc_split": """
             WITH b AS (

@@ -505,6 +505,29 @@ def test_pack_documents_invariants():
         assert ((prefix // 512) == g["bin"]).all()
 
 
+def test_chunk_documents_windows(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.functions import packing
+    toks = [f"w{i}" for i in range(10)]
+    texts = [" ".join(toks),       # 10 tokens: chunks [0,6) and [4,10)
+             "a b c",              # 3 tokens: one chunk
+             "",                   # empty: no chunks
+             " ".join(f"x{i}" for i in range(7))]  # 7: [0,6), [4,7)
+    sf = make_doc_dir(tmp_path, texts)
+    got = packing.chunk_documents(sf, chunk=6, overlap=2).to_pandas()
+    g0 = got[got["doc_id"] == 0]
+    assert g0["chunk_idx"].tolist() == [0, 1]
+    assert g0["chunk_text"].tolist() == [" ".join(toks[0:6]),
+                                         " ".join(toks[4:10])]
+    assert g0["tok_start"].tolist() == [0, 4]
+    assert g0["tok_end"].tolist() == [6, 10]
+    assert got[got["doc_id"] == 1]["chunk_text"].tolist() == ["a b c"]
+    assert 2 not in set(got["doc_id"])            # empty doc drops out
+    g3 = got[got["doc_id"] == 3]
+    assert g3["tok_end"].tolist() == [6, 7]       # trailing partial window
+    # every token index covered; consecutive windows overlap by 2
+    assert (g3["tok_start"].iloc[1] == g3["tok_end"].iloc[0] - 2)
+
+
 def test_exchange_map_groups_equals_dataset_groupby():
     """The raw hash exchange must be semantically identical to
     groupby(part).map_groups for any reduce (modulo row order)."""
