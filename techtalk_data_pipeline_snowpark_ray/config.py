@@ -73,6 +73,12 @@ class EngineConfig:
     #: delta, all committed in the same manifest publish.
     derived_views: tuple = ()
 
+    #: compact automatically when the committed table's run-file count
+    #: exceeds this (0 disables). The production trigger: backlog-based,
+    #: so compaction cost tracks ingest volume instead of tick count
+    #: (run_loop's `compact_every` remains the simpler cadence knob).
+    auto_compact_runs: int = 0
+
     #: manifest versions whose run files the post-compaction GC keeps
     #: (time-travel / in-flight-reader retention window). Orphans from
     #: aborted txns and superseded compactions older than this are

@@ -1039,7 +1039,9 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
             continue
         results.append(res)
         ticks += 1
-        if compact_every and ticks % compact_every == 0:
+        backlog = (cfg.auto_compact_runs and
+                   len(res.manifest.table_run_files()) > cfg.auto_compact_runs)
+        if backlog or (compact_every and ticks % compact_every == 0):
             compact(cfg)
             # sweep run files no manifest in the retention window
             # references (aborted txns, superseded compactions) -- a
@@ -1047,3 +1049,32 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
             TableState(cfg.table_dir).gc_orphan_runs(
                 keep_versions=cfg.gc_keep_versions)
     return results
+
+
+def metrics_history(cfg: EngineConfig) -> pd.DataFrame:
+    """Per-version metrics time series from the manifest lineage (the
+    north-star's throughput/lag observable surface, U3 MergeResult
+    parity as a queryable table instead of printouts): one row per
+    committed version, oldest first -- events applied, records written,
+    replication lag (max WAL lsn - committed lsn at commit time),
+    segments consumed, run-file count, and whether the version was a
+    compaction. Driver-side by construction: manifests are O(versions)
+    small JSON, never data files."""
+    state = TableState(cfg.table_dir)
+    rows = []
+    for m in reversed(state.lineage()):
+        met = m.metrics or {}
+        rows.append({
+            "version": m.version,
+            "txn_id": m.txn_id,
+            "committed_seq": m.committed_seq,
+            "committed_lsn": m.committed_lsn,
+            "schema_version": m.schema_version,
+            "is_compaction": bool(met.get("compaction")),
+            "events_applied": int(met.get("events_applied", 0)),
+            "records_written": int(met.get("records_written", 0)),
+            "lag": int(met.get("lag", 0)),
+            "segments_consumed": len(m.wal_consumed),
+            "table_run_files": len(m.table_run_files()),
+        })
+    return pd.DataFrame(rows)

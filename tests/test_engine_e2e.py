@@ -807,3 +807,39 @@ def test_rebucket_compaction_migrates_layout(tmp_path):
     # and a normal compaction under the new layout stays consistent
     ingest.compact(cfg7)
     assert_matches_oracle(cfg7)
+
+
+def test_auto_compaction_and_metrics_history(tmp_path):
+    """Backlog-triggered compaction: with auto_compact_runs=2 a
+    multi-tick replay compacts whenever the committed run-file count
+    exceeds the threshold; metrics_history exposes the per-version
+    throughput/lag series and records the compactions."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4,
+                       apply_mode="direct", auto_compact_runs=1)
+    cfg.ensure_dirs()
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(cfg.wal_dir, segment_rows=200, reorder_slack=64)
+    # three staged loads -> three ticks, so the run backlog crosses the
+    # threshold between ticks (a single run_loop drains all-at-once)
+    res = []
+    third = max(1, len(chunks) // 3)
+    for i in range(3):
+        for t, v in chunks[i * third: None if i == 2 else (i + 1) * third]:
+            w.append(t, v)
+        w.flush() if i < 2 else w.close()
+        res += ingest.run_loop(cfg, stop_when_idle=True)
+    assert len(res) >= 3
+    hist = ingest.metrics_history(cfg)
+    assert hist["is_compaction"].any()            # trigger fired
+    # every non-compaction version left at most threshold+1 run sets
+    # before its following compaction; final state is oracle-exact
+    assert hist["version"].is_monotonic_increasing
+    assert int(hist["events_applied"].sum()) == sum(r.events_applied
+                                                    for r in res)
+    assert hist.iloc[-1]["lag"] == 0 or not hist.iloc[-1]["is_compaction"]
+    assert_matches_oracle(cfg)
+    # history survives and extends across compaction + further idle load
+    last = TableState(cfg.table_dir).load_latest()
+    assert len(hist) == last.version + 1 - hist["version"].iloc[0]
