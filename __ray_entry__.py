@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": dedup.decontaminate,
         "exact_dedup_documents": dedup.exact_dedup_documents,
         "minhash_near_dup": dedup.minhash_near_dup,
+        "winnow_fingerprints": dedup.winnow_fingerprints,
         "minhash_dedup_clusters": dedup.minhash_dedup_clusters,
         "simhash_documents": dedup.simhash_documents,      # portable md5 mode
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -797,6 +798,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_hit, 0) > 0 AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id
+        """,
+        # MOSS-style winnowing: per-window MIN over word-3-gram md5
+        # hashes (window=4), distinct selected values per doc, then the
+        # cross-doc document frequency of each fingerprint
+        "winnow_fingerprints": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+                     md5_number_lower(ws[t.i] || ' ' || ws[t.i + 1]
+                                      || ' ' || ws[t.i + 2]) AS h,
+                     CAST(len(ws) - 2 AS BIGINT) AS n_grams
+              FROM toks
+              CROSS JOIN UNNEST(range(1, len(ws) - 1)) AS t(i)
+              WHERE len(ws) >= 3),
+            wm AS (
+              SELECT doc_id, pos, n_grams,
+                     MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN CURRENT ROW
+                                  AND 3 FOLLOWING) AS fp
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, fp FROM wm
+              WHERE pos <= greatest(n_grams - 4, 0) + 1),
+            fpc AS (SELECT fp, COUNT(*) AS nd FROM sel GROUP BY fp),
+            per AS (
+              SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+                     CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_shared_fp
+              FROM sel s JOIN fpc f USING (fp) GROUP BY s.doc_id)
+            SELECT doc_id, n_fp, n_shared_fp,
+                   CAST(n_shared_fp > 0 AS BIGINT) AS shared
+            FROM per ORDER BY doc_id
         """,
         "exact_dedup_documents": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -538,6 +538,87 @@ def _strict_ngrams(batch: pd.DataFrame, n: int) -> pd.DataFrame:
                          "gram": gram[same]})
 
 
+#: winnowing parameters: word-k-gram width and window of consecutive
+#: gram hashes per selected fingerprint
+WINNOW_K = 3
+WINNOW_W = 4
+
+
+def winnow_fingerprints(sf_dir: str, k: int = WINNOW_K,
+                        w: int = WINNOW_W,
+                        num_partitions: int = 16) -> ray.data.Dataset:
+    """Robust winnowing fingerprints (the MOSS local-fingerprinting
+    scheme): hash every word k-gram, slide a window of w consecutive
+    gram hashes, select each window's MINIMUM -- the selected set is
+    guaranteed to detect any shared substring of >= k+w-1 tokens while
+    storing ~1/w of the grams. Reports, per document: n_fp (distinct
+    selected fingerprints), n_shared_fp (selected fingerprints that
+    also occur in at least one OTHER document), and a shared flag --
+    the substring-overlap dedup signal that is orthogonal to MinHash
+    (set resemblance) and SimHash (distribution similarity). Docs with
+    fewer than k tokens emit nothing.
+
+    Scale shape: the window-min is computed with w shifted vectorized
+    minima (steps-not-rows; windows never cross doc boundaries because
+    shifted lanes from another doc contribute +inf), then the classic
+    two-exchange: fingerprints hash-route so each partition counts its
+    fingerprints' document frequency exactly, annotated rows re-route
+    by doc for the per-doc rollup. Only (doc_id, fp) pairs are ever
+    exchanged -- text and gram strings stay in their batch. Dedup of
+    selected values per doc makes the min-selection tie rule
+    irrelevant, so the SQL oracle (window MIN + DISTINCT) reproduces
+    the set bit-exactly."""
+    from ..stages.exchange import exchange_map_groups
+    from .textstats import md5_hash64_series
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    UMAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+    def select(batch: pd.DataFrame) -> pd.DataFrame:
+        g = _strict_ngrams(batch, k).reset_index(drop=True)
+        if not len(g):
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "fp": np.empty(0, np.uint64),
+                                 "part": np.empty(0, np.int32)})
+        h = md5_hash64_series(g["gram"])
+        did = g["doc_id"].to_numpy()
+        pos = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        n_grams = g.groupby("doc_id", sort=False)["gram"] \
+                   .transform("size").to_numpy()
+        wm = h.copy()
+        for j in range(1, w):
+            lane = np.concatenate([h[j:], np.full(j, UMAX, np.uint64)])
+            same = np.concatenate([did[j:] == did[:-j],
+                                   np.zeros(j, bool)])
+            wm = np.minimum(wm, np.where(same, lane, UMAX))
+        valid = pos <= np.maximum(n_grams - w, 0)
+        sel = pd.DataFrame({"doc_id": did[valid], "fp": wm[valid]}) \
+            .drop_duplicates()
+        sel["part"] = (sel["fp"].to_numpy()
+                       % np.uint64(num_partitions)).astype(np.int32)
+        return sel
+
+    def annotate_nd(g: pd.DataFrame) -> pd.DataFrame:
+        nd = g.groupby("fp", sort=False, as_index=False)["doc_id"] \
+              .size().rename(columns={"size": "nd"})
+        out = g.merge(nd, on="fp")
+        out["part"] = (out["doc_id"].to_numpy().astype(np.uint64)
+                       % np.uint64(num_partitions)).astype(np.int32)
+        return out[["doc_id", "nd", "part"]]
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(sh=(g["nd"] >= 2).astype(np.int64))
+        agg = g.groupby("doc_id", sort=False, as_index=False).agg(
+            n_fp=("nd", "size"), n_shared_fp=("sh", "sum"))
+        agg["shared"] = (agg["n_shared_fp"] > 0).astype(np.int64)
+        return agg.astype({"n_fp": np.int64, "n_shared_fp": np.int64})
+
+    sel = docs.map_batches(select, batch_format="pandas", batch_size=8192)
+    ann = exchange_map_groups(sel, "part", num_partitions, annotate_nd)
+    return exchange_map_groups(ann, "part", num_partitions,
+                               per_doc).sort("doc_id")
+
+
 #: decontamination n-gram width. The GPT-3 procedure uses 13-gram
 #: overlap; the synthetic docs average ~40 tokens over a ~25-word
 #: vocabulary, so 5 keeps the check non-vacuous at every sf while the

@@ -505,6 +505,26 @@ def test_pack_documents_invariants():
         assert ((prefix // 512) == g["bin"]).all()
 
 
+def test_winnow_fingerprints_detects_shared_substring(tmp_path):
+    """Winnowing guarantee: any shared token run of >= k+w-1 (=6)
+    tokens yields at least one shared selected fingerprint; disjoint
+    docs share none."""
+    shared_run = "alpha beta gamma delta epsilon zeta"     # 6 tokens
+    texts = ["intro words here " + shared_run + " tail one",
+             shared_run + " completely different ending part",
+             "unrelated tokens q w e r t y u i o p",
+             "ab"]                                          # < k tokens
+    sf = make_doc_dir(tmp_path, texts)
+    got = dedup.winnow_fingerprints(sf).to_pandas().set_index("doc_id")
+    assert got.loc[0, "shared"] == 1 and got.loc[1, "shared"] == 1
+    assert got.loc[2, "shared"] == 0
+    assert 3 not in got.index                  # too short: no grams
+    assert (got["n_shared_fp"] <= got["n_fp"]).all()
+    # selection actually compresses: fewer fingerprints than grams
+    n_grams0 = len(texts[0].split()) - 2
+    assert got.loc[0, "n_fp"] < n_grams0
+
+
 def test_chunk_documents_windows(tmp_path):
     from techtalk_data_pipeline_snowpark_ray.functions import packing
     toks = [f"w{i}" for i in range(10)]
