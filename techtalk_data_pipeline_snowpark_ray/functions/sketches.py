@@ -159,3 +159,87 @@ def sketch_column(ds: ray.data.Dataset, col: str,
     return out.merge(QuantileDigest(parts["mean"].to_numpy(),
                                     parts["weight"].to_numpy(),
                                     compression))
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary: at most k counters with the
+    classic decrement rule. Guarantees after seeing n items: every item
+    with true count > n/(k+1) IS in the summary, and every reported
+    count underestimates the true count by at most n/(k+1). Merging two
+    summaries (add counters, then subtract the (k+1)-th largest count
+    from all and drop non-positives) preserves the combined bound, so
+    per-batch partials + a driver merge give the exact same guarantee
+    as a sequential pass -- the bounded-memory path beside the exact
+    routed top-k (`analytics.top_events_per_user`,
+    `textstats.vocab_top_terms`), for when even per-partition exact
+    counting is too much state (e.g. heavy URLs/terms at corpus scale).
+    Deterministic: no RNG, merge order changes counts only within the
+    guaranteed error bound and membership of true heavy hitters never.
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self.counts: dict = {}
+        self.n = 0
+
+    def add(self, keys: np.ndarray) -> None:
+        """Batch update: count the batch exactly (vectorized), then
+        merge it in -- equivalent to item-at-a-time MG with the same
+        bound, without a per-item Python loop."""
+        vals, cnts = np.unique(np.asarray(keys), return_counts=True)
+        self.n += int(cnts.sum())
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+        self._trim()
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        cs = np.sort(np.fromiter(self.counts.values(), dtype=np.int64))
+        dec = int(cs[-(self.k + 1)])        # (k+1)-th largest
+        self.counts = {v: c - dec for v, c in self.counts.items()
+                       if c > dec}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self.n += other.n
+        self._trim()
+        return self
+
+    def to_frame(self) -> pd.DataFrame:
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        return pd.DataFrame({"key": [v for v, _ in items],
+                             "count_lo": np.array([c for _, c in items],
+                                                  dtype=np.int64)})
+
+
+def heavy_hitters_column(ds: ray.data.Dataset, col: str,
+                         k: int = 64) -> pd.DataFrame:
+    """Distributed approximate heavy hitters of a column: one <=k-row
+    partial summary per batch leaves the batch, associative driver
+    merge. Returns (key, count_lo) sorted by descending lower-bound
+    count; count_lo <= true count <= count_lo + n/(k+1)."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mg = MisraGries(k)
+        mg.add(b[col].dropna().to_numpy())
+        out = mg.to_frame()
+        # batch item total carried on the first row only, so the driver
+        # recovers n = sum(n_batch) without per-batch identity
+        nb = np.zeros(len(out), dtype=np.int64)
+        if len(nb):
+            nb[0] = mg.n
+        out["n_batch"] = nb
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = MisraGries(k)
+    if len(parts):
+        # summing all partial counters then one trim IS the m-way MG
+        # merge (associative); the bound holds for the combined n
+        summed = parts.groupby("key", sort=False)["count_lo"].sum()
+        merged.counts = {kk: int(c) for kk, c in summed.items()}
+        merged.n = int(parts["n_batch"].sum())
+        merged._trim()
+    return merged.to_frame()

@@ -721,3 +721,53 @@ def test_decontaminate_planted_overlap(tmp_path):
     assert got.loc[11, "n_grams"] == 3                   # 7 tokens -> 3 grams
     assert got.loc[12, "n_hit"] == 0 and got.loc[12, "contaminated"] == 0
     assert got.loc[1, "n_grams"] == 0 and got.loc[1, "contaminated"] == 0
+
+
+def test_misra_gries_guarantee_and_merge():
+    from techtalk_data_pipeline_snowpark_ray.functions.sketches import (
+        MisraGries, heavy_hitters_column)
+    rng = np.random.default_rng(7)
+    # zipf-ish stream: a few heavy keys + long uniform tail
+    heavy = np.repeat(np.arange(5), 4000)              # 4000 each
+    tail = rng.integers(100, 5000, size=30_000)
+    stream = rng.permutation(np.concatenate([heavy, tail]))
+    n, k = len(stream), 64
+    exact = pd.Series(stream).value_counts()
+
+    mg = MisraGries(k)
+    for chunk in np.array_split(stream, 7):
+        mg.add(chunk)
+    got = mg.to_frame().set_index("key")["count_lo"]
+    # guarantee: every key with count > n/(k+1) is present, and
+    # reported counts under-estimate by at most n/(k+1)
+    thresh = n / (k + 1)
+    for key, c in exact.items():
+        if c > thresh:
+            assert key in got.index, key
+        if key in got.index:
+            assert got[key] <= c <= got[key] + thresh
+
+    # split-merge equals the same guarantee (and same n)
+    a, b = MisraGries(k), MisraGries(k)
+    a.add(stream[: n // 2]); b.add(stream[n // 2:])
+    m = a.merge(b)
+    assert m.n == n
+    for key, c in exact.items():
+        if c > 2 * thresh:   # merge pays one extra trim's slack
+            assert key in m.counts
+
+    # distributed path over the documents table (lang column hashes)
+    import ray.data
+    ds = ray.data.read_parquet(SF_TINY + "/documents.parquet",
+                               columns=["doc_id"])
+    hh = heavy_hitters_column(ds.map_batches(
+        lambda t: pd.DataFrame({"m": t["doc_id"].to_pandas() % 7}),
+        batch_format="pyarrow"), "m", k=8)
+    docs = pd.read_parquet(SF_TINY + "/documents.parquet",
+                           columns=["doc_id"])
+    truth = (docs["doc_id"] % 7).value_counts()
+    nn = len(docs)
+    for key, c in truth.items():
+        assert key in set(hh["key"])                  # 7 keys, k=8
+        lo = int(hh.set_index("key").loc[key, "count_lo"])
+        assert lo <= c <= lo + nn / 9 + 1
