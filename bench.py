@@ -44,6 +44,8 @@ QUERY_NAMES = [
     # round-2 operators
     "events_asof_latest_order", "user_running_total", "top_events_per_user",
     "doc_split", "pack_documents", "vocab_top_terms",
+    "decontaminate", "winnow_fingerprints", "chunk_documents",
+    "mixture_weights",
 ]
 
 
