@@ -38,9 +38,10 @@ from ..config import EngineConfig
 from ..sources import wal
 from ..stages.apply import (BatchCollapser, collapse_events, fold_table,
                             resolve_final)
-from ..stages.normalize import SchemaNormalizer
+from ..stages.normalize import SchemaNormalizer, normalize_batch
 from ..stages.partition import (BUCKET_COL, KEY_HASH_COL, SHARD_COL,
-                                Partitioner, hash_strings_arrow)
+                                Partitioner, add_partition_cols,
+                                hash_strings_arrow)
 from ..state.manifest import Manifest, TableState
 
 _BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
@@ -1049,6 +1050,81 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
             TableState(cfg.table_dir).gc_orphan_runs(
                 keep_versions=cfg.gc_keep_versions)
     return results
+
+
+def bootstrap_import(cfg: EngineConfig, source, lsn: int = -1) -> Manifest:
+    """Initial-load backfill: register an EXISTING table (parquet path
+    or Dataset) as the lake table's first committed snapshot without
+    synthesizing per-row WAL events -- the production path for "bulk
+    load history, then tail CDC from here". SHOW_INITIAL_ROWS /
+    overwrite-bootstrap parity (`SnowflakeUtils.scala:51,60`,
+    `IngestAndOverwriteRestaurantWithStage.scala:43`).
+
+    Every imported row becomes a collapsed full record at `lsn`
+    (default -1: strictly before any WAL lsn, so replayed CDC events
+    always win the LWW fold -- exactly the initial-snapshot-then-delta
+    semantic). Source columns go through the schema-registry
+    projection (case-insensitive, cast, null-fill), so an older or
+    differently-cased source lays down cleanly under the current
+    schema version. Streams batch-by-batch: each task writes one
+    sorted global run (direct-mode layout), only metrics rows reach
+    the driver, and nothing is visible until the single manifest
+    publish. Requires an empty table (no committed runs)."""
+    cfg.ensure_dirs()
+    state = TableState(cfg.table_dir)
+    prev = state.load_latest()
+    if prev.buckets or prev.global_runs:
+        raise ValueError(
+            "bootstrap_import requires an empty table; the backfill "
+            "must be the first commit (import into a fresh table_dir, "
+            "or compact+inspect before re-importing)")
+    ds = ray.data.read_parquet(source) if isinstance(source, str) else source
+    target = schemas.table_schema(cfg.schema_version)
+    payload = schemas.payload_cols(cfg.schema_version)
+    txn = state.new_txn()
+    runs_dir = state.runs_dir
+    nb = cfg.num_buckets
+    cols = RUN_COLS_FIXED + payload
+
+    def import_batch(batch: pa.Table) -> pd.DataFrame:
+        t = normalize_batch(batch, target)
+        n = t.num_rows
+        if n == 0:
+            return _empty_metrics()
+        t = t.append_column(schemas.LSN_COL,
+                            pa.array(np.full(n, lsn, np.int64)))
+        t = t.append_column(schemas.OP_COL,
+                            pa.array([schemas.OP_FULL] * n, pa.string()))
+        t = add_partition_cols(t, nb)
+        out = t.select(cols)
+        okh = hash_strings_arrow(out["conv_id"]) * np.uint64(0x100000001B3) \
+            + out["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out = out.take(pa.array(np.lexsort((
+            okh, out[BUCKET_COL].to_numpy(zero_copy_only=False)))))
+        fname = f"delta-x{txn}-{uuid.uuid4().hex[:12]}.parquet"
+        path = os.path.join(runs_dir, fname)
+        tmp = path + ".tmp"
+        pq.write_table(out, tmp, compression="zstd")
+        os.replace(tmp, path)
+        m = _empty_metrics()
+        m.loc[0] = {"bucket": -1, "shard": -1, "file": fname,
+                    "events_in": n, "records_out": n, "n_full": n,
+                    "n_partial": 0, "n_delete": 0, "max_lsn": lsn,
+                    "derived_file": None}
+        return m
+
+    metrics = ds.map_batches(import_batch, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=cfg.direct_batch_rows).to_pandas()
+    return state.publish(Manifest(
+        txn_id=txn, committed_seq=prev.committed_seq, committed_lsn=lsn,
+        schema_version=cfg.schema_version, num_buckets=nb,
+        buckets={}, global_runs=sorted(metrics["file"].dropna()),
+        derived={}, wal_consumed=[],
+        metrics={"bootstrap_import": True,
+                 "events_applied": int(metrics["events_in"].sum()),
+                 "records_written": int(metrics["records_out"].sum()),
+                 "lag": 0}))
 
 
 def metrics_history(cfg: EngineConfig) -> pd.DataFrame:

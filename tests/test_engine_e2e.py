@@ -843,3 +843,66 @@ def test_auto_compaction_and_metrics_history(tmp_path):
     # history survives and extends across compaction + further idle load
     last = TableState(cfg.table_dir).load_latest()
     assert len(hist) == last.version + 1 - hist["version"].iloc[0]
+
+
+def test_bootstrap_import_then_cdc(tmp_path):
+    """Bulk initial load then CDC tail: an existing table (case-variant
+    column names, no `model` column) is registered as the lsn=-1
+    snapshot; WAL replay on top must win by LWW everywhere it touches
+    -- final state equals the oracle over (imported rows as earliest
+    inserts) + (all WAL events)."""
+    import numpy as np
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4,
+                       apply_mode="direct")
+    cfg.ensure_dirs()
+    # source table: keys overlapping the generator's conv space plus
+    # some import-only keys; uppercase column names exercise the
+    # case-insensitive projection
+    n = 300
+    src = pa.table({
+        "CONV_ID": pa.array([f"conv-{i % 60:06d}" for i in range(n)]),
+        "Turn_Idx": pa.array(np.arange(n) % 7, pa.int32()),
+        "role": pa.array(["imported"] * n),
+        "TEXT": pa.array([f"hist-{i}" for i in range(n)]),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([None] * n, pa.timestamp("us")),
+    })
+    src_path = str(tmp_path / "source.parquet")
+    pq.write_table(src, src_path)
+    m0 = ingest.bootstrap_import(cfg, src_path)
+    assert m0.metrics["bootstrap_import"] and m0.global_runs
+    snap0 = ingest.snapshot_to_pandas(cfg)
+    assert len(snap0) == len(set(zip(src["CONV_ID"].to_pylist(),
+                                     src["Turn_Idx"].to_pylist())))
+    assert set(snap0["role"]) == {"imported"}
+    assert snap0["model"].isna().all()          # null-filled evolution col
+
+    # a second import must refuse (non-empty table)
+    with pytest.raises(ValueError, match="empty table"):
+        ingest.bootstrap_import(cfg, src_path)
+
+    # now CDC on top
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    got = ingest.snapshot_to_pandas(cfg)
+
+    # oracle: imported rows as lsn -1 full inserts + the WAL events
+    imported = snap0.copy()
+    imported["lsn"] = np.int64(-1)
+    imported["op"] = "insert"
+    wal_events = pa.concat_tables(
+        [normalize_batch(pq.read_table(p), schemas.table_schema(3),
+                         keep_extra=("lsn", "op"))
+         for p in sorted(glob.glob(os.path.join(cfg.wal_dir,
+                                                "*.parquet")))]).to_pandas()
+    events = pd.concat([imported, wal_events], ignore_index=True)
+    events["ts"] = events["ts"].astype("datetime64[us]")
+    oracle = apply_events_oracle(
+        pa.Table.from_pandas(events, preserve_index=False), PAYLOAD)
+    got = got.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    oracle = oracle.sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    oracle = oracle.astype({c: got[c].dtype for c in oracle.columns})
+    pd.testing.assert_frame_equal(got[oracle.columns], oracle,
+                                  check_dtype=False)
