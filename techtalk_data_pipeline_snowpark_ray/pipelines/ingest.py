@@ -759,6 +759,56 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     return ray.data.from_arrow_refs(refs)
 
 
+def read_conversation(cfg: EngineConfig, conv_id: str,
+                      manifest: Manifest | None = None) -> pd.DataFrame:
+    """Point lookup (the serving path): resolve ONE conversation's
+    final turns by scanning only its hash bucket -- the read-side
+    payoff of the persisted `bucket = H(conv_id) % num_buckets`
+    layout. Touches the bucket's base runs plus the not-yet-compacted
+    global runs, and within those the scan filter (bucket == b AND
+    conv_id == id) prunes parquet row groups via footer statistics
+    (runs are written sorted by bucket/key-hash precisely so point
+    predicates skip row groups). Cost is O(one bucket's bytes)
+    regardless of table size; at 100 TB with thousands of buckets
+    that is the difference between a serving query and a table scan.
+    Resolution (LWW fold + pending control ops + tombstone drop +
+    turn_idx ordering) is identical to `read_snapshot`."""
+    import pyarrow.dataset as pads
+
+    from ..stages.controls import resolve_with_controls, sorted_controls
+
+    state = TableState(cfg.table_dir)
+    m = manifest or state.load_latest()
+    nb = m.num_buckets or cfg.num_buckets
+    bucket = int(hash_strings_arrow(pa.array([conv_id], pa.string()))[0]
+                 % np.uint64(nb))
+    payload = schemas.payload_cols(cfg.schema_version)
+    final_cols = [*schemas.KEY_COLS, *payload]
+    files = list(m.buckets.get(str(bucket), [])) + list(m.global_runs)
+    if not files:
+        return schemas.table_schema(cfg.schema_version).empty_table() \
+            .to_pandas()[final_cols]
+    paths = [os.path.join(state.runs_dir, f) for f in files]
+    scan_schema = pa.schema([
+        pa.field(BUCKET_COL, pa.int32()),
+        *schemas.table_schema(cfg.schema_version),
+        pa.field(schemas.LSN_COL, pa.int64()),
+        pa.field(schemas.OP_COL, pa.string()),
+    ])
+    flt = (pads.field(BUCKET_COL) == bucket) \
+        & (pads.field("conv_id") == conv_id)
+    t = pads.dataset(paths, format="parquet", schema=scan_schema) \
+        .to_table(filter=flt)
+    controls = sorted_controls(m.control_ops)
+    g = t.to_pandas()
+    if not len(g):
+        return schemas.table_schema(cfg.schema_version).empty_table() \
+            .to_pandas()[final_cols]
+    out = resolve_with_controls(g, payload, controls) if controls \
+        else resolve_final(g, payload)
+    return out[final_cols].sort_values("turn_idx", ignore_index=True)
+
+
 def read_snapshot_as_of(cfg: EngineConfig, version: int,
                         final_only: bool = True) -> ray.data.Dataset:
     """TIME TRAVEL: the table exactly as manifest `version` committed it.

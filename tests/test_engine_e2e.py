@@ -906,3 +906,26 @@ def test_bootstrap_import_then_cdc(tmp_path):
     oracle = oracle.astype({c: got[c].dtype for c in oracle.columns})
     pd.testing.assert_frame_equal(got[oracle.columns], oracle,
                                   check_dtype=False)
+
+
+def test_read_conversation_point_lookup(tmp_engine):
+    """Serving-path point lookup equals the full snapshot filtered to
+    the conversation, before and after compaction, plus the miss
+    case."""
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine)
+    snap = ingest.snapshot_to_pandas(tmp_engine)
+    some = snap["conv_id"].drop_duplicates().iloc[[0, 7, 23]].tolist()
+    for cid in some:
+        got = ingest.read_conversation(tmp_engine, cid)
+        want = snap[snap["conv_id"] == cid].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False)
+        assert got["turn_idx"].is_monotonic_increasing
+    assert len(ingest.read_conversation(tmp_engine, "no-such-conv")) == 0
+    ingest.compact(tmp_engine)
+    for cid in some:
+        got = ingest.read_conversation(tmp_engine, cid)
+        want = snap[snap["conv_id"] == cid].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False)
