@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": sampling.doc_split,
         "doc_split_stratified": sampling.doc_split_stratified,
         "mixture_weights": sampling.mixture_weights,
+        "sample_per_stratum": sampling.sample_per_stratum,
         "resample_epochs": sampling.resample_epochs,
         "pack_documents": packing.pack_documents,
         "chunk_documents": packing.chunk_documents,
@@ -1004,6 +1005,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sqrt_tokens * 1000000 //
                         (SELECT SUM(sqrt_tokens) FROM s) AS BIGINT) AS w_t2_ppm
             FROM s ORDER BY source, lang
+        """,
+        # fixed-size balanced subset: k smallest salted-hash docs per
+        # language, rank in hash order (ties -> doc_id, unreachable
+        # for md5-64 but pinned in both engines)
+        "sample_per_stratum": r"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     md5_number_lower(coalesce(lang, '') || ':' ||
+                                      CAST(doc_id AS VARCHAR)) AS hv
+              FROM documents),
+            r AS (
+              SELECT doc_id, lang,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                          ORDER BY hv, doc_id) - 1 AS BIGINT) AS rank
+              FROM h)
+            SELECT doc_id, lang, rank FROM r
+            WHERE rank < 10 ORDER BY lang, rank
         """,
         # deterministic per-language epoch up-sampling plan:
         # n_epochs = clamp(1..4, max_lang_tokens // lang_tokens)

@@ -96,6 +96,45 @@ def doc_sample(ds: ray.data.Dataset, key_col: str, pct: int,
     return ds.map_batches(f, batch_format="pandas")
 
 
+#: fixed-size per-stratum sample: docs kept per language
+STRATUM_K = 10
+
+
+def sample_per_stratum(sf_dir: str, k: int = STRATUM_K) -> pd.DataFrame:
+    """Fixed-size balanced subset: the k documents with the SMALLEST
+    salted key hash per language -- the deterministic stand-in for
+    "uniformly sample k per stratum" that needs no RNG state: the
+    hash order is a fixed random-looking permutation, so the selection
+    is reproducible, engine-portable (DuckDB re-derives it), stable
+    under re-partitioning, and monotone (k=10 is a superset of k=5).
+    This is how balanced eval sets are cut from wildly imbalanced
+    corpora (doc_split keeps proportions; this equalizes counts).
+
+    Scale shape: each batch prunes to <= k rows per stratum
+    (vectorized groupby-head over hash order), so the driver merge
+    sees O(batches x strata x k) tiny partials -- the bounded-
+    cardinality combiner discipline; text never leaves its batch.
+    Output: (doc_id, lang, rank) with rank 0..k-1 in hash order."""
+    from ..sources.tables import read_table
+    ds = read_table(sf_dir, "documents", ["doc_id", "lang"])
+
+    def prune(b: pd.DataFrame) -> pd.DataFrame:
+        h = md5_hash64_series(b["lang"].fillna("") + ":"
+                              + b["doc_id"].astype(str))
+        part = pd.DataFrame({"doc_id": b["doc_id"], "lang": b["lang"],
+                             "h": h})
+        part = part.sort_values(["h", "doc_id"], kind="stable")
+        return part.groupby("lang", sort=False).head(k)
+
+    parts = ds.map_batches(prune, batch_format="pandas",
+                           batch_size=8192).to_pandas()
+    parts = parts.sort_values(["h", "doc_id"], kind="stable")
+    out = parts.groupby("lang", sort=False).head(k).copy()
+    out["rank"] = out.groupby("lang", sort=False).cumcount().astype(np.int64)
+    return out[["doc_id", "lang", "rank"]] \
+        .sort_values(["lang", "rank"], ignore_index=True)
+
+
 # -- corpus composition: mixture weights + deterministic up-sampling --------
 
 #: fixed-point scale for mixture shares (parts per million)

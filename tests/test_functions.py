@@ -771,3 +771,18 @@ def test_misra_gries_guarantee_and_merge():
         assert key in set(hh["key"])                  # 7 keys, k=8
         lo = int(hh.set_index("key").loc[key, "count_lo"])
         assert lo <= c <= lo + nn / 9 + 1
+
+
+def test_sample_per_stratum_balanced_monotone(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.functions import sampling
+    got = sampling.sample_per_stratum(SF_TINY, k=10)
+    # balanced: exactly 10 per language (every lang has >= 10 docs)
+    assert (got.groupby("lang").size() == 10).all()
+    assert (got.groupby("lang")["rank"].max() == 9).all()
+    # monotone: k=5 selection is a prefix of k=10
+    small = sampling.sample_per_stratum(SF_TINY, k=5)
+    big_prefix = got[got["rank"] < 5].reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, big_prefix)
+    # deterministic across runs
+    again = sampling.sample_per_stratum(SF_TINY, k=10)
+    pd.testing.assert_frame_equal(got, again)
