@@ -73,6 +73,13 @@ class EngineConfig:
     #: delta, all committed in the same manifest publish.
     derived_views: tuple = ()
 
+    #: bad-record policy for WAL change records (stages/validate.py):
+    #: "none" trusts the producer (zero hot-path cost; the engine's own
+    #: WalWriter is schema-checked), "fail" raises loudly on the first
+    #: malformed record (tick rolls back, WAL unconsumed), "quarantine"
+    #: diverts malformed rows to <table_dir>/_quarantine and proceeds.
+    bad_record_policy: str = "none"
+
     #: compact automatically when the committed table's run-file count
     #: exceeds this (0 disables). The production trigger: backlog-based,
     #: so compaction cost tracks ingest volume instead of tick count

@@ -443,8 +443,16 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         # rewriting the key columns BEFORE partitioning, so routing,
         # fold and storage all see the extracted key
         key_extractor = cfg.extras.get("key_extractor")
-        pre = (normalizer, key_extractor, partitioner) if key_extractor \
-            else (normalizer, partitioner)
+        pre = [normalizer]
+        if cfg.bad_record_policy != "none":
+            from ..stages.validate import QUARANTINE_SUBDIR, ChangeValidator
+            pre.append(ChangeValidator(
+                cfg.bad_record_policy,
+                os.path.join(cfg.table_dir, QUARANTINE_SUBDIR), txn))
+        if key_extractor:
+            pre.append(key_extractor)
+        pre.append(partitioner)
+        pre = tuple(pre)
         applier = DirectApplier(runs_dir=state.runs_dir, txn_id=txn,
                                 payload_cols=payload,
                                 pre_stages=pre,
@@ -479,6 +487,14 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                         batch_size=cfg.direct_batch_rows,
                                         zero_copy_batch=True)
     else:
+        if cfg.bad_record_policy != "none":
+            from ..stages.validate import QUARANTINE_SUBDIR, ChangeValidator
+            ds = ds.map_batches(
+                ChangeValidator(cfg.bad_record_policy,
+                                os.path.join(cfg.table_dir,
+                                             QUARANTINE_SUBDIR), txn),
+                batch_format="pyarrow", batch_size=cfg.batch_size,
+                zero_copy_batch=True)
         key_extractor = cfg.extras.get("key_extractor")
         if key_extractor is not None:
             ds = ds.map_batches(key_extractor, batch_format="pyarrow",
@@ -536,6 +552,14 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
 
     committed = max(int(metrics["max_lsn"].max()), max(s.hi for s in segments),
                     prev.committed_lsn)
+    n_rejected = 0
+    if cfg.bad_record_policy == "quarantine":
+        import glob as _glob
+
+        from ..stages.validate import QUARANTINE_SUBDIR
+        n_rejected = sum(
+            pq.read_metadata(p).num_rows for p in _glob.glob(os.path.join(
+                cfg.table_dir, QUARANTINE_SUBDIR, f"dead-x{txn}-*.parquet")))
     manifest = state.publish(Manifest(
         txn_id=txn,
         committed_seq=max(s.seq for s in segments),
@@ -552,6 +576,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
             "records_written": int(metrics["records_out"].sum()),
             "deletes": int(metrics["n_delete"].sum()),
             "lag": int(wal.high_watermark(cfg.wal_dir) - committed),
+            "events_rejected": n_rejected,
             "hot_convs": len(hot_convs or []),
             "per_bucket": metrics.groupby("bucket")["events_in"].sum().to_dict(),
         },

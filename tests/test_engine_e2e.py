@@ -929,3 +929,62 @@ def test_read_conversation_point_lookup(tmp_engine):
         want = snap[snap["conv_id"] == cid].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want[got.columns],
                                       check_dtype=False)
+
+
+def _wal_with_bad_rows(wal_dir):
+    """20 valid change records + 3 malformed (null conv_id, empty
+    conv_id, unknown op), valid disjoint lsns throughout."""
+    import numpy as np
+    n = 23
+    conv = [f"conv-{i % 5:06d}" for i in range(n)]
+    op = ["insert"] * n
+    conv[7], conv[15] = None, ""
+    op[20] = "bogus"
+    t = pa.table({
+        "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(op, pa.string()),
+        "schema_version": pa.array([3] * n, pa.int32()),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(np.arange(n) % 4, pa.int32()),
+        "role": pa.array(["user"] * n),
+        "text": pa.array([f"t{i}" for i in range(n)]),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([None] * n, pa.timestamp("us")),
+        "model": pa.array([None] * n, pa.string()),
+    })
+    w = WalWriter(wal_dir, segment_rows=50)
+    w.append(t, 3)
+    w.close()
+    return t
+
+
+@pytest.mark.parametrize("mode", ["direct", "shuffle"])
+def test_bad_record_policy(tmp_path, mode):
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    from techtalk_data_pipeline_snowpark_ray.stages.validate import (
+        read_wal_quarantine)
+    # fail: loud rollback, nothing visible, WAL unconsumed
+    cfg_f = EngineConfig(table_dir=str(tmp_path / f"tf-{mode}"),
+                         wal_dir=str(tmp_path / f"w-{mode}"), num_buckets=4,
+                         apply_mode=mode, bad_record_policy="fail")
+    cfg_f.ensure_dirs()
+    _wal_with_bad_rows(cfg_f.wal_dir)
+    with pytest.raises(Exception, match="invalid change record"):
+        ingest.apply_tick(cfg_f)
+    assert TableState(cfg_f.table_dir).latest_version() is None
+
+    # quarantine: tick commits valid rows; bad rows tagged + counted
+    cfg_q = EngineConfig(table_dir=str(tmp_path / f"tq-{mode}"),
+                         wal_dir=cfg_f.wal_dir, num_buckets=4,
+                         apply_mode=mode, bad_record_policy="quarantine")
+    cfg_q.ensure_dirs()
+    res = ingest.apply_tick(cfg_q)
+    assert res.manifest.metrics["events_rejected"] == 3
+    snap = ingest.snapshot_to_pandas(cfg_q)
+    assert len(snap) == 18                        # 20 valid -> 18 keys
+    assert snap["conv_id"].notna().all()
+    q = read_wal_quarantine(cfg_q.table_dir).to_pandas()
+    assert sorted(q["_rule"]) == ["null_or_empty_conv_id",
+                                  "null_or_empty_conv_id", "unknown_op"]
+    # exactly-once still holds after a quarantining tick
+    assert ingest.apply_tick(cfg_q) is None
