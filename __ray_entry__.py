@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": analytics.orders_rollup,
         "vocab_top_terms": textstats.vocab_top_terms,
         "bigram_counts": textstats.bigram_counts,
+        "lm_novelty": textstats.lm_novelty,
         "tfidf_top_terms": textstats.tfidf_top_terms,
         "profile_documents": _profile_documents,
         "value_quantiles": analytics.value_quantiles,
@@ -645,6 +646,33 @@ def oracle_sql() -> dict[str, str]:
             df AS (SELECT tok, COUNT(*) AS df FROM t
                    WHERE tok <> '' GROUP BY tok)
             SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 50
+        """,
+        # LM novelty: fraction of a doc's bigrams outside the corpus
+        # top-50 bigram table (integer-exact perplexity stand-in)
+        "lm_novelty": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '\S+') AS ws
+              FROM documents),
+            g AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+              FROM toks WHERE len(ws) >= 2),
+            cnt AS (SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram),
+            top AS (SELECT bigram FROM cnt ORDER BY n DESC, bigram LIMIT 50),
+            per AS (
+              SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     CAST(SUM(CASE WHEN t.bigram IS NOT NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_known
+              FROM g LEFT JOIN top t USING (bigram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_bigrams, 0) AS n_bigrams,
+                   coalesce(p.n_known, 0) AS n_known,
+                   CAST(CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0
+                        ELSE (p.n_bigrams - p.n_known) * 1000000
+                             // p.n_bigrams END AS BIGINT) AS novelty_ppm
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "bigram_counts": r"""
             WITH d AS (

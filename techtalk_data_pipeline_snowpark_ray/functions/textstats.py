@@ -411,6 +411,50 @@ def redact_pii(sf_dir: str) -> ray.data.Dataset:
              .sort("doc_id")
 
 
+def lm_novelty(sf_dir: str, k: int = 50) -> ray.data.Dataset:
+    """Language-model novelty score per document: the fraction of the
+    doc's word bigrams NOT in the corpus top-k bigram LM table -- the
+    integer-exact stand-in for perplexity-based quality filtering
+    (low novelty = boilerplate built from the corpus's most common
+    n-grams; high = unusual text). Emitted as exact counts plus a
+    fixed-point ratio (`novelty_ppm = (n_bigrams - n_known) * 1e6 //
+    n_bigrams`), so the oracle check is bit-exact -- float log-prob
+    perplexity is the same stage with a tolerance check instead.
+
+    Two phases, composing :func:`bigram_counts`: the distributed exact
+    top-k fixes the LM table (O(P*k) driver rows), then one streamed
+    membership pass (vectorized isin against the tiny closure set; a
+    vocabulary-sized LM would broadcast hashes via ray.put, same
+    stage shape as dedup.decontaminate). Ties at the k boundary are
+    deterministic on both engines: (count desc, bigram asc)."""
+    top = bigram_counts(sf_dir, k=k)
+    known = frozenset(top["bigram"])
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = pd.DataFrame({"doc_id": batch["doc_id"],
+                             "tok": batch["text"].fillna("").str.split()}) \
+                 .explode("tok", ignore_index=True).dropna() \
+                 .reset_index(drop=True)
+        nxt = toks["tok"].shift(-1)
+        same = toks["doc_id"].eq(toks["doc_id"].shift(-1))
+        bg = pd.DataFrame({"doc_id": toks["doc_id"][same],
+                           "hit": (toks["tok"] + " " + nxt)[same]
+                           .isin(known).astype(np.int64)})
+        per = bg.groupby("doc_id", sort=False)["hit"]
+        n_bg, n_known = per.size(), per.sum()
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["n_bigrams"] = out["doc_id"].map(n_bg).fillna(0).astype(np.int64)
+        out["n_known"] = out["doc_id"].map(n_known).fillna(0).astype(np.int64)
+        denom = np.maximum(out["n_bigrams"].to_numpy(), 1)
+        out["novelty_ppm"] = ((out["n_bigrams"] - out["n_known"])
+                              * np.int64(1_000_000) // denom)
+        return out
+
+    return ds.map_batches(score, batch_format="pandas",
+                          batch_size=8192).sort("doc_id")
+
+
 def bigram_counts(sf_dir: str, k: int = 50,
                   num_partitions: int = 16) -> pd.DataFrame:
     """Top-k word bigrams by total OCCURRENCE count (language-model

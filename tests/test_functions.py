@@ -786,3 +786,17 @@ def test_sample_per_stratum_balanced_monotone(tmp_path):
     # deterministic across runs
     again = sampling.sample_per_stratum(SF_TINY, k=10)
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_lm_novelty_boilerplate_vs_novel(tmp_path):
+    # corpus dominated by one repeated phrase; doc 3 is pure novel text
+    boiler = "the quick brown fox " * 10
+    texts = [boiler, boiler, boiler, "zebra xylophone quartz jumble vex"]
+    sf = make_doc_dir(tmp_path, texts)
+    got = textstats.lm_novelty(sf, k=4).to_pandas().set_index("doc_id")
+    assert (got["n_known"] <= got["n_bigrams"]).all()
+    # boilerplate docs: mostly known bigrams -> low novelty
+    assert got.loc[0, "novelty_ppm"] < 500_000
+    # the novel doc shares no bigram with the top-4 -> full novelty
+    assert got.loc[3, "n_known"] == 0
+    assert got.loc[3, "novelty_ppm"] == 1_000_000
