@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_conditional_crud": cdc_queries.cdc_conditional_crud,
         "cdc_prefix_merge": cdc_queries.cdc_prefix_merge,
         "cdc_render_transcripts": cdc_queries.cdc_render_transcripts,
+        "cdc_turn_windows": cdc_queries.cdc_turn_windows,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
@@ -333,6 +334,41 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(role || ': ' || text, chr(10)
                               ORDER BY turn_idx) AS transcript
             FROM fin GROUP BY conv_id ORDER BY conv_id
+        """,
+        # sliding w=4/stride=2 turn windows over the resolved table;
+        # positions are post-fold ordinals, trailing windows only while
+        # they add uncovered turns (n_win = max(1, ceil((n-2)/2)))
+        "cdc_turn_windows": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ),
+            agg AS (
+              SELECT conv_id,
+                     array_agg(role || ': ' || text ORDER BY turn_idx)
+                       AS lines,
+                     array_agg(turn_idx ORDER BY turn_idx) AS turns,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM fin GROUP BY conv_id),
+            wn AS (
+              SELECT *, greatest(1, CAST(ceil(CAST(n - 2 AS DOUBLE) / 2)
+                                         AS BIGINT)) AS n_win
+              FROM agg)
+            SELECT conv_id, CAST(u.k AS BIGINT) AS window_idx,
+                   CAST(turns[u.k * 2 + 1] AS BIGINT) AS turn_lo,
+                   CAST(turns[least(u.k * 2 + 4, n)] AS BIGINT) AS turn_hi,
+                   CAST(least(u.k * 2 + 4, n) - u.k * 2 AS BIGINT)
+                     AS n_window_turns,
+                   array_to_string(lines[u.k * 2 + 1 : least(u.k * 2 + 4, n)],
+                                   chr(10)) AS window_text
+            FROM wn CROSS JOIN UNNEST(range(wn.n_win)) AS u(k)
+            ORDER BY conv_id, window_idx
         """,
         "cdc_prefix_merge": _CDC_PREFIX,
         "cdc_derived_conv_stats": f"""

@@ -337,6 +337,72 @@ def cdc_render_transcripts(sf_dir: str) -> ray.data.Dataset:
                                resolve_and_render).sort("conv_id")
 
 
+def cdc_turn_windows(sf_dir: str, w: int = 4,
+                     stride: int = 2) -> ray.data.Dataset:
+    """Sliding turn windows over the resolved transcript table: per
+    conversation, overlapping windows of `w` consecutive FINAL turns
+    (positions after the LWW fold, so deleted turns never appear and
+    turn-idx gaps are closed), each rendered "role: text" newline-
+    joined -- how bounded-context training examples are cut from live
+    conversation tables (the transcript analogue of
+    packing.chunk_documents; same no-subset-window rule: a trailing
+    window starts only while it adds uncovered turns).
+
+    Fused like cdc_render_transcripts: the partition that resolves a
+    conversation windows it in the same task (conv_id routing already
+    co-locates whole conversations; the inner loop is over window
+    POSITIONS, not rows); only the emitted windows leave the task."""
+    payload = schemas.payload_cols(3)
+    target = schemas.table_schema(3)
+    norm = ingest.SchemaNormalizer(target, keep_extra=(schemas.LSN_COL, schemas.OP_COL))
+    num_buckets = 16
+    overlap = w - stride
+    ds = changes_dataset(sf_dir)
+    ds = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(Partitioner(num_buckets), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    empty = pd.DataFrame({"conv_id": pd.Series(dtype=object),
+                          "window_idx": pd.Series(dtype="int64"),
+                          "turn_lo": pd.Series(dtype="int64"),
+                          "turn_hi": pd.Series(dtype="int64"),
+                          "n_window_turns": pd.Series(dtype="int64"),
+                          "window_text": pd.Series(dtype=object)})
+
+    def resolve_and_window(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return empty.copy()
+        fin = resolve_final(g, payload)
+        fin = fin.sort_values(["conv_id", "turn_idx"], kind="stable")
+        fin["line"] = fin["role"] + ": " + fin["text"]
+        grp = fin.groupby("conv_id", sort=False)
+        lines = grp["line"].agg(list)
+        turns = grp["turn_idx"].agg(list)
+        n = lines.str.len().to_numpy()
+        n_win = np.maximum(1, -((n - overlap) // -stride))
+        frames = []
+        for k in range(int(n_win.max()) if len(n_win) else 0):
+            m = n_win > k
+            lo = k * stride
+            sl = lines[m].str[lo:lo + w]
+            st = turns[m].str[lo:lo + w]
+            frames.append(pd.DataFrame({
+                "conv_id": lines[m].index,
+                "window_idx": np.int64(k),
+                "turn_lo": st.str[0].astype(np.int64).to_numpy(),
+                "turn_hi": st.str[-1].astype(np.int64).to_numpy(),
+                "n_window_turns": sl.str.len().astype(np.int64).to_numpy(),
+                "window_text": sl.str.join("\n").to_numpy()}))
+        if not frames:
+            return empty.copy()
+        return pd.concat(frames, ignore_index=True)
+
+    from ..stages.exchange import exchange_map_groups
+    return exchange_map_groups(ds, BUCKET_COL, num_buckets,
+                               resolve_and_window) \
+        .sort(["conv_id", "window_idx"])
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -800,3 +800,24 @@ def test_lm_novelty_boilerplate_vs_novel(tmp_path):
     # the novel doc shares no bigram with the top-4 -> full novelty
     assert got.loc[3, "n_known"] == 0
     assert got.loc[3, "novelty_ppm"] == 1_000_000
+
+
+def test_cdc_turn_windows_invariants():
+    from techtalk_data_pipeline_snowpark_ray.pipelines import cdc_queries
+    got = cdc_queries.cdc_turn_windows(SF_TINY).to_pandas()
+    rend = cdc_queries.cdc_render_transcripts(SF_TINY).to_pandas() \
+        .set_index("conv_id")
+    assert set(got["conv_id"]) == set(rend.index)   # every conv windowed
+    per = got.groupby("conv_id")
+    # window_idx dense from 0; window sizes <= w; last window ends at
+    # the conversation's last turn
+    assert (per["window_idx"].apply(
+        lambda s: list(s) == list(range(len(s))))).all()
+    assert (got["n_window_turns"] <= 4).all()
+    assert (got["turn_lo"] <= got["turn_hi"]).all()
+    n_turns = rend["n_turns"]
+    expect_win = np.maximum(1, -((n_turns - 2) // -2))
+    assert per.size().sort_index().equals(expect_win.sort_index())
+    # rendered window lines are a contiguous slice of the transcript
+    row = got.iloc[0]
+    assert row["window_text"] in rend.loc[row["conv_id"], "transcript"]
