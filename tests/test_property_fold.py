@@ -58,3 +58,34 @@ def test_fold_interval_associativity(seed, n, n_cuts):
     whole = resolve_final(df, PAYLOAD).reset_index(drop=True)
     again = resolve_final(refold, PAYLOAD).reset_index(drop=True)
     pd.testing.assert_frame_equal(again[whole.columns], whole, check_dtype=False)
+
+
+@settings(max_examples=200, deadline=None)
+@given(n=st.integers(1, 300), w=st.integers(2, 24),
+       data=st.data())
+def test_window_formula_coverage_and_no_subset(n, w, data):
+    """The shared chunking/turn-window rule (packing.chunk_documents,
+    cdc_queries.cdc_turn_windows): n_win = max(1, ceil((n - overlap) /
+    stride)) with windows [k*stride, min(k*stride + w, n)). Invariants
+    for every (n, w, stride): full coverage of [0, n), no window is a
+    subset of its predecessor, consecutive windows overlap by exactly
+    `overlap` (except a shorter trailing window), and window count is
+    minimal (dropping the last window loses coverage when n > w)."""
+    stride = data.draw(st.integers(1, w - 1))
+    overlap = w - stride
+    n_win = max(1, -((n - overlap) // -stride))
+    wins = [(k * stride, min(k * stride + w, n)) for k in range(n_win)]
+    # coverage
+    covered = set()
+    for lo, hi in wins:
+        covered.update(range(lo, hi))
+    assert covered == set(range(n))
+    # no subset windows; minimality
+    for (alo, ahi), (blo, bhi) in zip(wins, wins[1:]):
+        assert not (alo <= blo and bhi <= ahi)
+        assert blo < ahi          # consecutive windows do overlap
+    if n > w:
+        partial_cover = set()
+        for lo, hi in wins[:-1]:
+            partial_cover.update(range(lo, hi))
+        assert partial_cover != set(range(n))   # last window is needed
