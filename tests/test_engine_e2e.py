@@ -988,3 +988,19 @@ def test_bad_record_policy(tmp_path, mode):
                                   "null_or_empty_conv_id", "unknown_op"]
     # exactly-once still holds after a quarantining tick
     assert ingest.apply_tick(cfg_q) is None
+
+
+def test_read_conversation_with_pending_controls(tmp_engine):
+    """Point lookup must apply pending control ops exactly like the
+    full snapshot read (unresolved controls live in the manifest until
+    a compaction absorbs them)."""
+    write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
+    ingest.apply_tick(tmp_engine, control_ops=_tiny_controls())
+    m = TableState(tmp_engine.table_dir).load_latest()
+    assert m.control_ops                       # still pending
+    snap = ingest.snapshot_to_pandas(tmp_engine)
+    for cid in snap["conv_id"].drop_duplicates().iloc[[1, 11]].tolist():
+        got = ingest.read_conversation(tmp_engine, cid)
+        want = snap[snap["conv_id"] == cid].reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want[got.columns],
+                                      check_dtype=False)
