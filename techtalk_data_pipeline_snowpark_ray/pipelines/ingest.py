@@ -891,6 +891,68 @@ def read_delta(cfg: EngineConfig, from_version: int,
         [os.path.join(state.runs_dir, f) for f in new_files])
 
 
+def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
+                    from_version: int,
+                    to_version: int | None = None) -> Manifest | None:
+    """Table-to-table replication (downstream materialization): apply
+    one table's committed delta window to another table as a single
+    destination transaction -- cascaded CDC, the lake analogue of the
+    reference's stream-on-table feeding a second sink
+    (`stream/Main.scala:16-19`, `DQOrderPaidMoreThanPrice.scala:20-53`
+    chain raw->flat->derived tables the same way).
+
+    The delta does NOT pass through the destination's WAL: a WAL is a
+    strictly-ordered producer log (disjoint ascending lsn intervals),
+    while a replicated window legitimately contains historical lsns
+    (duplicate re-deliveries collapsed into upstream runs). Instead
+    the window re-normalizes and re-partitions under the DESTINATION's
+    schema version and bucket layout, lands as ordinary delta runs,
+    and commits in one manifest publish (metrics record the source
+    window for lineage). Resolution is LWW by the ORIGINAL lsns, so
+    replication is idempotent: re-applying a window adds runs whose
+    (key, lsn) records fold to the identical resolved state, and the
+    next compaction absorbs the duplicates. The destination's own
+    committed_seq is untouched (its WAL position is independent)."""
+    ds = read_delta(cfg_src, from_version, to_version)
+    cfg_dst.ensure_dirs()
+    state = TableState(cfg_dst.table_dir)
+    prev = state.load_latest()
+    _check_bucket_layout(prev, cfg_dst)
+    txn = state.new_txn()
+    normalizer = SchemaNormalizer(
+        schemas.table_schema(cfg_dst.schema_version),
+        keep_extra=_BOOKKEEPING)
+    partitioner = Partitioner(cfg_dst.num_buckets, 1, None,
+                              include_key_hash=True)
+    applier = DirectApplier(
+        runs_dir=state.runs_dir, txn_id=txn,
+        payload_cols=schemas.payload_cols(cfg_dst.schema_version),
+        pre_stages=(normalizer, partitioner))
+    metrics = ds.map_batches(applier, batch_format="pyarrow",
+                             batch_size=cfg_dst.direct_batch_rows,
+                             zero_copy_batch=True).to_pandas()
+    metrics = metrics.dropna(subset=["file"])
+    if metrics.empty:
+        return None
+    return state.publish(Manifest(
+        txn_id=txn, committed_seq=prev.committed_seq,
+        committed_lsn=max(prev.committed_lsn,
+                          int(metrics["max_lsn"].max())),
+        schema_version=cfg_dst.schema_version,
+        num_buckets=cfg_dst.num_buckets,
+        buckets={k: list(v) for k, v in prev.buckets.items()},
+        global_runs=list(prev.global_runs) + metrics["file"].tolist(),
+        derived={k: list(v) for k, v in prev.derived.items()},
+        control_ops=prev.control_ops,
+        wal_consumed=[],
+        metrics={"replicated_from": {
+                     "table_dir": cfg_src.table_dir,
+                     "versions": [from_version, to_version]},
+                 "events_applied": int(metrics["events_in"].sum()),
+                 "records_written": int(metrics["records_out"].sum()),
+                 "lag": 0}))
+
+
 def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,
                   num_partitions: int = 16) -> ray.data.Dataset:
     """Semantic diff of two committed snapshots: one row per key whose

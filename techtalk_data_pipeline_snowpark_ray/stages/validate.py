@@ -33,8 +33,11 @@ from .. import schemas
 
 QUARANTINE_SUBDIR = "_quarantine"
 
+#: raw WAL ops plus the collapsed forms -- replicated streams
+#: (`ingest.replicate_delta`) legitimately carry full/partial records
 _VALID_OPS = pa.array([schemas.OP_INSERT, schemas.OP_UPDATE,
-                       schemas.OP_DELETE])
+                       schemas.OP_DELETE, schemas.OP_FULL,
+                       schemas.OP_PARTIAL])
 
 
 def _violations(batch: pa.Table) -> tuple[pa.Array, list[tuple[str, pa.Array]]]:

@@ -1004,3 +1004,48 @@ def test_read_conversation_with_pending_controls(tmp_engine):
         want = snap[snap["conv_id"] == cid].reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want[got.columns],
                                       check_dtype=False)
+
+
+def test_replicate_delta_cascade(tmp_path):
+    """Cascaded CDC: engine B materializes engine A's table by
+    ingesting A's replicated delta windows through its ordinary loop
+    -- incremental (two windows), with strict validation on B, and
+    idempotent under re-shipping."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    a = EngineConfig(table_dir=str(tmp_path / "a"),
+                     wal_dir=str(tmp_path / "wa"), num_buckets=4,
+                     apply_mode="direct")
+    b = EngineConfig(table_dir=str(tmp_path / "b"),
+                     wal_dir=str(tmp_path / "wb"), num_buckets=8,
+                     apply_mode="direct")
+    a.ensure_dirs(); b.ensure_dirs()
+    chunks = list(generate_chunks(TINY))
+    w = WalWriter(a.wal_dir, segment_rows=300, reorder_slack=64)
+    mid = len(chunks) // 2 or 1
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    ingest.apply_tick(a)
+    v0 = TableState(a.table_dir).load_latest().version
+    m = ingest.replicate_delta(a, b, from_version=-1, to_version=v0)
+    assert m is not None and m.metrics["replicated_from"]["table_dir"] == a.table_dir
+    pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(b),
+                                  ingest.snapshot_to_pandas(a))
+    # second window (replicated under B's DIFFERENT bucket layout)
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    ingest.apply_tick(a)
+    v1 = TableState(a.table_dir).load_latest().version
+    ingest.replicate_delta(a, b, from_version=v0, to_version=v1)
+    pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(b),
+                                  ingest.snapshot_to_pandas(a))
+    assert_matches_oracle(a)
+    # re-applying the same window is idempotent on resolved state
+    ingest.replicate_delta(a, b, from_version=v0, to_version=v1)
+    pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(b),
+                                  ingest.snapshot_to_pandas(a))
+    # and B's compaction absorbs the duplicate runs cleanly
+    ingest.compact(b)
+    pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(b),
+                                  ingest.snapshot_to_pandas(a))
