@@ -377,7 +377,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
 
     cfg.ensure_dirs()
     state = TableState(cfg.table_dir)
-    prev = state.load_latest()
+    prev_version, prev = state.load_latest_versioned()
     _check_bucket_layout(prev, cfg)
 
     new_controls = sorted_controls(control_ops)
@@ -393,7 +393,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
     if new_controls and not wal.list_segments(cfg.wal_dir,
                                               after_seq=prev.committed_seq):
         # control-only tick: nothing to fold, just commit the ops
-        manifest = state.publish(Manifest(
+        manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
             txn_id=state.new_txn(), committed_seq=prev.committed_seq,
             committed_lsn=prev.committed_lsn,
             schema_version=prev.schema_version,
@@ -560,7 +560,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         n_rejected = sum(
             pq.read_metadata(p).num_rows for p in _glob.glob(os.path.join(
                 cfg.table_dir, QUARANTINE_SUBDIR, f"dead-x{txn}-*.parquet")))
-    manifest = state.publish(Manifest(
+    manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn,
         committed_seq=max(s.seq for s in segments),
         committed_lsn=committed,
@@ -916,7 +916,7 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
     ds = read_delta(cfg_src, from_version, to_version)
     cfg_dst.ensure_dirs()
     state = TableState(cfg_dst.table_dir)
-    prev = state.load_latest()
+    prev_version, prev = state.load_latest_versioned()
     _check_bucket_layout(prev, cfg_dst)
     txn = state.new_txn()
     normalizer = SchemaNormalizer(
@@ -934,7 +934,7 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
     metrics = metrics.dropna(subset=["file"])
     if metrics.empty:
         return None
-    return state.publish(Manifest(
+    return state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn, committed_seq=prev.committed_seq,
         committed_lsn=max(prev.committed_lsn,
                           int(metrics["max_lsn"].max())),
@@ -1082,7 +1082,7 @@ def compact(cfg: EngineConfig, waves: int = 1,
     from ..stages.controls import resolve_with_controls, sorted_controls
 
     state = TableState(cfg.table_dir)
-    prev = state.load_latest()
+    prev_version, prev = state.load_latest_versioned()
     if not prev.buckets and not prev.global_runs:
         return None
     if not rebucket:
@@ -1136,7 +1136,7 @@ def compact(cfg: EngineConfig, waves: int = 1,
              for refs in per_bucket]) if m]
 
     buckets = {str(m["bucket"]): [m["file"]] for m in metas}
-    manifest = state.publish(Manifest(
+    manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn,
         committed_seq=prev.committed_seq,
         committed_lsn=prev.committed_lsn,
@@ -1209,7 +1209,7 @@ def bootstrap_import(cfg: EngineConfig, source, lsn: int = -1) -> Manifest:
     publish. Requires an empty table (no committed runs)."""
     cfg.ensure_dirs()
     state = TableState(cfg.table_dir)
-    prev = state.load_latest()
+    prev_version, prev = state.load_latest_versioned()
     if prev.buckets or prev.global_runs:
         raise ValueError(
             "bootstrap_import requires an empty table; the backfill "
@@ -1253,7 +1253,7 @@ def bootstrap_import(cfg: EngineConfig, source, lsn: int = -1) -> Manifest:
     metrics = ds.map_batches(import_batch, batch_format="pyarrow",
                              zero_copy_batch=True,
                              batch_size=cfg.direct_batch_rows).to_pandas()
-    return state.publish(Manifest(
+    return state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn, committed_seq=prev.committed_seq, committed_lsn=lsn,
         schema_version=cfg.schema_version, num_buckets=nb,
         buckets={}, global_runs=sorted(metrics["file"].dropna()),

@@ -81,6 +81,15 @@ class Manifest:
                 + [f for runs in self.derived.values() for f in runs])
 
 
+_UNSET = object()
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent transaction committed the version this one was
+    racing for; the loser's runs are unreferenced (GC-able) and the
+    caller must reload table state and rebuild."""
+
+
 class TableState:
     """Manifest bookkeeping for one lake table directory."""
 
@@ -96,11 +105,21 @@ class TableState:
         return os.path.join(self.manifest_dir, "LATEST")
 
     def latest_version(self) -> int | None:
+        """Committed version. LATEST is an advisory cache: committers
+        race to update it after the exclusive-create commit (see
+        `publish`), so a reader probes FORWARD from the cached value --
+        a version file's existence, not the pointer, is the truth."""
         try:
             with open(self._latest_path()) as f:
-                return int(f.read().strip())
+                v = int(f.read().strip())
         except FileNotFoundError:
-            return None
+            if not os.path.exists(os.path.join(self.manifest_dir, "v0.json")):
+                return None
+            v = 0
+        while os.path.exists(os.path.join(self.manifest_dir,
+                                          f"v{v + 1}.json")):
+            v += 1
+        return v
 
     def load(self, version: int) -> Manifest:
         with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
@@ -112,6 +131,14 @@ class TableState:
         if v is None:
             return Manifest()
         return self.load(v)
+
+    def load_latest_versioned(self) -> "tuple[int | None, Manifest]":
+        """(version, manifest) read consistently -- the version to pass
+        as `publish(expected_parent=...)` so a transaction built on
+        this state conflicts rather than committing over a concurrent
+        writer's version."""
+        v = self.latest_version()
+        return v, (Manifest() if v is None else self.load(v))
 
     @property
     def committed_lsn(self) -> int:
@@ -148,16 +175,45 @@ class TableState:
             os.fsync(f.fileno())
         os.replace(tmp, path)
 
-    def publish(self, manifest: Manifest) -> Manifest:
+    def publish(self, manifest: Manifest,
+                expected_parent: "int | None | object" = _UNSET) -> Manifest:
         """Atomically commit a new manifest version. This is the single
-        commit point of the whole engine (COMMIT in the reference)."""
-        parent = self.latest_version()
-        manifest.parent = parent
-        manifest.version = 0 if parent is None else parent + 1
-        self._atomic_write(
-            os.path.join(self.manifest_dir, f"v{manifest.version}.json"),
-            json.dumps(asdict(manifest), indent=1),
-        )
+        commit point of the whole engine (COMMIT in the reference).
+
+        Optimistic concurrency: the version file is created with
+        link-exclusive semantics (write tmp, `os.link` to the final
+        name -- fails atomically if it exists), so of two committers
+        racing for the same successor version exactly one wins; the
+        loser gets :class:`CommitConflict`, its runs stay unreferenced
+        (GC-able, same as crash-before-commit) and it must re-read the
+        table state and rebuild its transaction. `expected_parent` is
+        the version the transaction's inputs were computed against
+        (capture `latest_version()` at load time); a commit whose
+        expectation is stale conflicts instead of silently building
+        v(N+2) on data derived from v(N). Default (unset) re-reads
+        latest -- correct for single-writer callers."""
+        if expected_parent is _UNSET:
+            expected_parent = self.latest_version()
+        manifest.parent = expected_parent
+        manifest.version = 0 if expected_parent is None \
+            else expected_parent + 1
+        final = os.path.join(self.manifest_dir, f"v{manifest.version}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(asdict(manifest), indent=1))
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(
+                f"manifest v{manifest.version} already committed by a "
+                f"concurrent transaction (expected parent "
+                f"{expected_parent}); reload table state and retry")
+        finally:
+            os.unlink(tmp)
+        # advisory fast-path pointer; stale values are healed by the
+        # probe-forward in latest_version()
         self._atomic_write(self._latest_path(), str(manifest.version))
         return manifest
 

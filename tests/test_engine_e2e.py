@@ -97,7 +97,7 @@ def test_exactly_once_duplicate_segment_replay(tmp_engine):
 def test_crash_before_commit_is_invisible_and_replay_safe(tmp_engine, monkeypatch):
     write_wal(TINY, tmp_engine.wal_dir, segment_rows=500)
     # crash INSIDE the commit step: runs written, manifest not published
-    def boom(self, manifest):
+    def boom(self, manifest, **kw):
         raise RuntimeError("crash before manifest publish")
     monkeypatch.setattr(TableState, "publish", boom)
     with pytest.raises(RuntimeError, match="crash before"):
@@ -261,7 +261,7 @@ def test_dual_sink_atomic_commit(tmp_path, monkeypatch):
         cfg.ensure_dirs()
         write_wal(TINY, cfg.wal_dir, segment_rows=500)
         # crash before publish: NEITHER sink becomes visible
-        def boom(self, manifest):
+        def boom(self, manifest, **kw):
             raise RuntimeError("crash")
         monkeypatch.setattr(TableState, "publish", boom)
         with pytest.raises(RuntimeError):
@@ -1049,3 +1049,63 @@ def test_replicate_delta_cascade(tmp_path):
     ingest.compact(b)
     pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(b),
                                   ingest.snapshot_to_pandas(a))
+
+
+def test_publish_optimistic_concurrency(tmp_path):
+    """Two committers racing for the same successor version: exactly
+    one wins; the loser gets CommitConflict and its state is the same
+    as crash-before-commit. A stale LATEST pointer heals by
+    probe-forward."""
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import (
+        CommitConflict, Manifest, TableState)
+    s1 = TableState(str(tmp_path / "t"))
+    s2 = TableState(str(tmp_path / "t"))
+    v0, _ = s1.load_latest_versioned()
+    assert v0 is None
+    m1 = s1.publish(Manifest(txn_id="a"), expected_parent=v0)
+    assert m1.version == 0
+    # s2 built its txn against the SAME (stale) parent -> conflict
+    with pytest.raises(CommitConflict, match="v0 already committed"):
+        s2.publish(Manifest(txn_id="b"), expected_parent=v0)
+    # s2 reloads and commits cleanly
+    v1, _ = s2.load_latest_versioned()
+    assert v1 == 0
+    m2 = s2.publish(Manifest(txn_id="b"), expected_parent=v1)
+    assert m2.version == 1 and s1.latest_version() == 1
+    # stale LATEST (a slow winner's pointer write) heals by probing
+    with open(s1._latest_path(), "w") as f:
+        f.write("0")
+    assert s1.latest_version() == 1
+    assert s1.load_latest().txn_id == "b"
+
+
+def test_concurrent_tick_loses_cleanly(tmp_path):
+    """An apply_tick built on stale table state must conflict, not
+    silently commit over the interloper; after a retry the final state
+    is exactly-once correct."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import (
+        CommitConflict, Manifest, TableState)
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4,
+                       apply_mode="direct")
+    cfg.ensure_dirs()
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+    # interloper commits a version between this tick's load and publish
+    orig = TableState.publish
+    state = {"fired": False}
+    def race(self, manifest, expected_parent=None, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            TableState(cfg.table_dir).publish(Manifest(txn_id="interloper"))
+        return orig(self, manifest, expected_parent=expected_parent)
+    import pytest as _pytest
+    from unittest import mock
+    with mock.patch.object(TableState, "publish", race):
+        with _pytest.raises(CommitConflict):
+            ingest.apply_tick(cfg)
+    # retry from fresh state succeeds and matches the oracle
+    res = ingest.apply_tick(cfg)
+    assert res is not None
+    assert_matches_oracle(cfg)
+    assert ingest.apply_tick(cfg) is None       # exactly-once intact
