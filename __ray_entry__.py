@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "label_centroids": similarity.label_centroids,
         "embedding_near_dup": similarity.embedding_near_dup,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
         "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
         "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
         # --- multimodal plumbing (decode stubbed; Ray side real) ---
@@ -928,6 +929,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             CROSS JOIN (SELECT unnest(range(64)) AS d) d
             GROUP BY label, d.d ORDER BY label, dim
+        """,
+        # semantic decontamination: vec_id % 10 == 0 is the eval set;
+        # every training vector reports its nearest eval vector
+        # (argmax on 6-dp-rounded cosine, ties -> smaller eval id) and
+        # a threshold-crossing flag
+        "semantic_decontaminate": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            ev AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+            tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+            sims AS (
+              SELECT tr.vec_id, ev.vec_id AS eval_id,
+                     ROUND(list_cosine_similarity(tr.v, ev.v), 6) AS s
+              FROM tr CROSS JOIN ev),
+            best AS (
+              SELECT vec_id, eval_id, s,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, eval_id) AS rn
+              FROM sims)
+            SELECT vec_id, CAST(eval_id AS BIGINT) AS nearest_eval_id,
+                   CAST(s > 0.35 AS BIGINT) AS contaminated
+            FROM best WHERE rn = 1 ORDER BY vec_id
         """,
         "embedding_near_dup": """
             WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

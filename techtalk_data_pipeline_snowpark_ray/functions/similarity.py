@@ -475,3 +475,56 @@ def embedding_near_dup(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD,
                              "id_b": pd.Series(dtype="int64")})
     return pd.concat(parts, ignore_index=True).sort_values(
         ["id_a", "id_b"], ignore_index=True)
+
+
+def semantic_decontaminate(sf_dir: str, bench_mod: int = 10,
+                           threshold: float = NEAR_DUP_THRESHOLD) -> pd.DataFrame:
+    """Embedding-space benchmark decontamination -- the semantic
+    complement of `dedup.decontaminate` (n-gram overlap): vectors with
+    ``vec_id % bench_mod == 0`` act as the held-out eval set; every
+    training vector reports its NEAREST eval vector (argmax cosine,
+    ties -> smaller eval id on 6-decimal-rounded sims) and whether
+    that similarity crosses the contamination threshold. The argmax
+    attribution keeps the check substantive even when nothing crosses
+    the threshold.
+
+    Scale shape: identical to `dedup.decontaminate` -- the eval side
+    is fixed-size by construction, so its matrix broadcasts once
+    (ray.put, zero-copy fetch per worker) and the training pass is a
+    single streamed per-batch matmul; no shuffle, no join, vectors
+    never leave their batch."""
+    ids_ev, EV = [], []
+    for batch in _emb(sf_dir).iter_batches(batch_format="pyarrow",
+                                           batch_size=8192):
+        ids, X = _stack(batch)
+        m = ids % bench_mod == 0
+        if m.any():
+            ids_ev.append(ids[m]); EV.append(X[m])
+    ev_ids = np.concatenate(ids_ev)
+    order = np.argsort(ev_ids, kind="stable")
+    ev_ids = ev_ids[order]
+    ev_ref = ray.put((ev_ids, np.concatenate(EV)[order]))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        from ..stages.joins import fetch_broadcast
+        eids, E = fetch_broadcast(ev_ref)
+        ids, X = _stack(batch)
+        m = ids % bench_mod != 0
+        ids, X = ids[m], X[m]
+        if not len(ids):
+            return pd.DataFrame({"vec_id": np.empty(0, np.int64),
+                                 "nearest_eval_id": np.empty(0, np.int64),
+                                 "contaminated": np.empty(0, np.int64)})
+        S = _cosine(X, E)                       # rounded to 6 decimals
+        # argmax with smaller-eval-id tie-break: eids ascending, so the
+        # FIRST maximal column wins
+        best = S.argmax(axis=1)
+        mx = S[np.arange(len(ids)), best]
+        return pd.DataFrame({"vec_id": ids,
+                             "nearest_eval_id": eids[best],
+                             "contaminated": (mx > threshold)
+                             .astype(np.int64)})
+
+    return _emb(sf_dir).map_batches(score, batch_format="pyarrow",
+                                    batch_size=8192,
+                                    zero_copy_batch=True).sort("vec_id")

@@ -821,3 +821,18 @@ def test_cdc_turn_windows_invariants():
     # rendered window lines are a contiguous slice of the transcript
     row = got.iloc[0]
     assert row["window_text"] in rend.loc[row["conv_id"], "transcript"]
+
+
+def test_semantic_decontaminate_planted(tmp_path):
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((40, 16)).astype(np.float32)
+    X[13] = X[10] * 1.5          # vec 13 ~ identical direction to eval vec 10
+    X[27] = -X[20]               # vec 27 anti-parallel to eval vec 20
+    sf = make_emb_dir(tmp_path, X)
+    got = similarity.semantic_decontaminate(sf, threshold=0.9) \
+        .to_pandas().set_index("vec_id")
+    assert 10 not in got.index and 0 not in got.index   # eval excluded
+    assert got.loc[13, "nearest_eval_id"] == 10
+    assert got.loc[13, "contaminated"] == 1
+    assert got.loc[27, "contaminated"] == 0             # cos = -1
+    assert (got["nearest_eval_id"] % 10 == 0).all()
