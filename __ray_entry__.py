@@ -1126,8 +1126,8 @@ def oracle_sql() -> dict[str, str]:
                        AS n_epochs
               FROM lt)
             SELECT t.doc_id, t.lang, CAST(u.e AS BIGINT) AS epoch
-            FROM t JOIN r USING (lang)
-            CROSS JOIN UNNEST(range(r.n_epochs)) AS u(e)
+            FROM t LEFT JOIN r USING (lang)
+            CROSS JOIN UNNEST(range(coalesce(r.n_epochs, 1))) AS u(e)
             ORDER BY t.doc_id, epoch
         """,
         "pack_documents": r"""

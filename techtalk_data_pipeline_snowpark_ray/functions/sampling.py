@@ -124,13 +124,14 @@ def sample_per_stratum(sf_dir: str, k: int = STRATUM_K) -> pd.DataFrame:
         part = pd.DataFrame({"doc_id": b["doc_id"], "lang": b["lang"],
                              "h": h})
         part = part.sort_values(["h", "doc_id"], kind="stable")
-        return part.groupby("lang", sort=False).head(k)
+        return part.groupby("lang", sort=False, dropna=False).head(k)
 
     parts = ds.map_batches(prune, batch_format="pandas",
                            batch_size=8192).to_pandas()
     parts = parts.sort_values(["h", "doc_id"], kind="stable")
-    out = parts.groupby("lang", sort=False).head(k).copy()
-    out["rank"] = out.groupby("lang", sort=False).cumcount().astype(np.int64)
+    out = parts.groupby("lang", sort=False, dropna=False).head(k).copy()
+    out["rank"] = out.groupby("lang", sort=False, dropna=False) \
+        .cumcount().astype(np.int64)
     return out[["doc_id", "lang", "rank"]] \
         .sort_values(["lang", "rank"], ignore_index=True)
 
@@ -153,15 +154,15 @@ def _group_token_partials(sf_dir: str) -> pd.DataFrame:
         n = b["text"].fillna("").str.count(r"\S+").astype(np.int64)
         g = pd.DataFrame({"source": b["source"], "lang": b["lang"],
                           "n_tokens": n}) \
-            .groupby(["source", "lang"], sort=False)
+            .groupby(["source", "lang"], sort=False, dropna=False)
         out = g.agg(n_docs=("n_tokens", "size"),
                     n_tokens=("n_tokens", "sum")).reset_index()
         return out.astype({"n_docs": np.int64, "n_tokens": np.int64})
 
     parts = ds.map_batches(partial, batch_format="pandas",
                            batch_size=8192).to_pandas()
-    return parts.groupby(["source", "lang"], as_index=False)[
-        ["n_docs", "n_tokens"]].sum()
+    return parts.groupby(["source", "lang"], as_index=False,
+                         dropna=False)[["n_docs", "n_tokens"]].sum()
 
 
 def mixture_weights(sf_dir: str) -> pd.DataFrame:
@@ -210,7 +211,8 @@ def resample_epochs(sf_dir: str, cap: int = EPOCH_CAP) -> ray.data.Dataset:
     re-runs and resumes emit identical plans."""
     from ..sources.tables import read_table
 
-    lt = _group_token_partials(sf_dir).groupby("lang")["n_tokens"].sum()
+    lt = _group_token_partials(sf_dir).groupby(
+        "lang", dropna=False)["n_tokens"].sum()
     epochs = {lang: int(min(cap, max(1, int(lt.max()) // int(t))))
               if t > 0 else 1  # zero-token lang: nothing to balance
               for lang, t in lt.items()}

@@ -493,17 +493,24 @@ def semantic_decontaminate(sf_dir: str, bench_mod: int = 10,
     (ray.put, zero-copy fetch per worker) and the training pass is a
     single streamed per-batch matmul; no shuffle, no join, vectors
     never leave their batch."""
-    ids_ev, EV = [], []
-    for batch in _emb(sf_dir).iter_batches(batch_format="pyarrow",
-                                           batch_size=8192):
-        ids, X = _stack(batch)
-        m = ids % bench_mod == 0
-        if m.any():
-            ids_ev.append(ids[m]); EV.append(X[m])
-    ev_ids = np.concatenate(ids_ev)
+    def eval_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % bench_mod == 0))
+
+    # distributed filter: only the fixed-size eval side reaches the
+    # driver (the full table never transits it)
+    ev = _emb(sf_dir).map_batches(eval_rows, batch_format="pyarrow",
+                                  zero_copy_batch=True).to_arrow_refs()
+    parts = [_stack(t) for t in ray.get(ev) if t.num_rows]
+    if not parts:
+        raise ValueError(
+            f"no vectors satisfy vec_id % {bench_mod} == 0: empty eval "
+            "set, nothing to decontaminate against")
+    ev_ids = np.concatenate([i for i, _ in parts])
     order = np.argsort(ev_ids, kind="stable")
     ev_ids = ev_ids[order]
-    ev_ref = ray.put((ev_ids, np.concatenate(EV)[order]))
+    ev_ref = ray.put((ev_ids,
+                      np.concatenate([x for _, x in parts])[order]))
 
     def score(batch: pa.Table) -> pd.DataFrame:
         from ..stages.joins import fetch_broadcast

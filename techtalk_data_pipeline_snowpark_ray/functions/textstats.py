@@ -432,16 +432,10 @@ def lm_novelty(sf_dir: str, k: int = 50) -> ray.data.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = pd.DataFrame({"doc_id": batch["doc_id"],
-                             "tok": batch["text"].fillna("").str.split()}) \
-                 .explode("tok", ignore_index=True).dropna() \
-                 .reset_index(drop=True)
-        nxt = toks["tok"].shift(-1)
-        same = toks["doc_id"].eq(toks["doc_id"].shift(-1))
-        bg = pd.DataFrame({"doc_id": toks["doc_id"][same],
-                           "hit": (toks["tok"] + " " + nxt)[same]
-                           .isin(known).astype(np.int64)})
-        per = bg.groupby("doc_id", sort=False)["hit"]
+        from .dedup import _strict_ngrams   # shared bigram construction
+        g = _strict_ngrams(batch, 2)
+        per = g.assign(hit=g["gram"].isin(known).astype(np.int64)) \
+               .groupby("doc_id", sort=False)["hit"]
         n_bg, n_known = per.size(), per.sum()
         out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
         out["n_bigrams"] = out["doc_id"].map(n_bg).fillna(0).astype(np.int64)

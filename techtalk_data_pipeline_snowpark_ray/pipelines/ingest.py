@@ -444,13 +444,17 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         # fold and storage all see the extracted key
         key_extractor = cfg.extras.get("key_extractor")
         pre = [normalizer]
+        if key_extractor:
+            pre.append(key_extractor)
+        # validator sits AFTER the key extractor (it must judge the
+        # keys the partitioner will actually hash -- a raw null key the
+        # extractor can derive is fine; an extractor emitting a null
+        # key must be caught) and BEFORE the partitioner
         if cfg.bad_record_policy != "none":
             from ..stages.validate import QUARANTINE_SUBDIR, ChangeValidator
             pre.append(ChangeValidator(
                 cfg.bad_record_policy,
                 os.path.join(cfg.table_dir, QUARANTINE_SUBDIR), txn))
-        if key_extractor:
-            pre.append(key_extractor)
         pre.append(partitioner)
         pre = tuple(pre)
         applier = DirectApplier(runs_dir=state.runs_dir, txn_id=txn,
@@ -487,7 +491,13 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                         batch_size=cfg.direct_batch_rows,
                                         zero_copy_batch=True)
     else:
+        key_extractor = cfg.extras.get("key_extractor")
+        if key_extractor is not None:
+            ds = ds.map_batches(key_extractor, batch_format="pyarrow",
+                                batch_size=cfg.batch_size, zero_copy_batch=True)
         if cfg.bad_record_policy != "none":
+            # after the extractor, before the partitioner (see the
+            # direct-mode ordering note)
             from ..stages.validate import QUARANTINE_SUBDIR, ChangeValidator
             ds = ds.map_batches(
                 ChangeValidator(cfg.bad_record_policy,
@@ -495,10 +505,6 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                              QUARANTINE_SUBDIR), txn),
                 batch_format="pyarrow", batch_size=cfg.batch_size,
                 zero_copy_batch=True)
-        key_extractor = cfg.extras.get("key_extractor")
-        if key_extractor is not None:
-            ds = ds.map_batches(key_extractor, batch_format="pyarrow",
-                                batch_size=cfg.batch_size, zero_copy_batch=True)
         ds = ds.map_batches(
             Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
             batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
@@ -532,12 +538,19 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                              apply_shard, keep_part_col=True)
     metrics = metrics_ds.to_pandas()  # one row per shard/task -- tiny
     if metrics.empty:
-        return None
+        if cfg.bad_record_policy != "quarantine":
+            return None
+        # with quarantine active, a segment can be consumed while
+        # contributing ZERO valid rows (every record diverted); the
+        # tick must still publish so committed_seq advances past it --
+        # returning None here would re-read and re-quarantine the same
+        # segment forever and stall every later segment behind it
+        metrics = _empty_metrics()
 
     buckets = {k: list(v) for k, v in prev.buckets.items()}
     global_runs = list(prev.global_runs)
     if direct:
-        global_runs.extend(metrics["file"].tolist())
+        global_runs.extend(metrics["file"].dropna().tolist())
     else:
         for rec in metrics.sort_values("shard").itertuples():
             buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
@@ -550,8 +563,8 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
             for view, fname in _json.loads(blob).items():
                 derived.setdefault(view, []).append(fname)
 
-    committed = max(int(metrics["max_lsn"].max()), max(s.hi for s in segments),
-                    prev.committed_lsn)
+    committed = max(int(metrics["max_lsn"].max()) if len(metrics) else -1,
+                    max(s.hi for s in segments), prev.committed_lsn)
     n_rejected = 0
     if cfg.bad_record_policy == "quarantine":
         import glob as _glob
@@ -934,10 +947,14 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
     metrics = metrics.dropna(subset=["file"])
     if metrics.empty:
         return None
+    # committed_lsn stays the DESTINATION's own watermark: the source's
+    # lsns are a different domain (importing them would poison the
+    # replica's lag metric and its control-op positioning if it also
+    # ingests its own WAL -- a replica mixing domains is on the user,
+    # but the engine must not corrupt its own bookkeeping)
     return state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn, committed_seq=prev.committed_seq,
-        committed_lsn=max(prev.committed_lsn,
-                          int(metrics["max_lsn"].max())),
+        committed_lsn=prev.committed_lsn,
         schema_version=cfg_dst.schema_version,
         num_buckets=cfg_dst.num_buckets,
         buckets={k: list(v) for k, v in prev.buckets.items()},
@@ -1008,6 +1025,12 @@ def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,
 def snapshot_to_pandas(cfg: EngineConfig) -> pd.DataFrame:
     """Small-scale convenience (tests): full snapshot, stable ordering."""
     df = read_snapshot(cfg).to_pandas()
+    if df.empty and not len(df.columns):
+        # Ray's to_pandas drops the schema of a fully-empty Dataset;
+        # restore the typed empty frame (legitimately-empty tables
+        # exist: e.g. every record quarantined)
+        df = schemas.table_schema(cfg.schema_version).empty_table() \
+            .to_pandas()
     return df.sort_values(list(schemas.KEY_COLS), kind="stable", ignore_index=True)
 
 

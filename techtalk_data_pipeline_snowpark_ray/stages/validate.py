@@ -105,10 +105,16 @@ class ChangeValidator:
         # the SAME file instead of duplicating dead letters -- the
         # quarantine honors the engine's exactly-once rule too
         import hashlib
-        digest = hashlib.blake2b(
-            bad[schemas.LSN_COL].to_numpy(zero_copy_only=False).tobytes(),
-            digest_size=8).hexdigest()
-        fname = f"dead-x{self.txn_id}-{bad.num_rows}-{digest}.parquet"
+        h = hashlib.blake2b(digest_size=8)
+        h.update(bad[schemas.LSN_COL].to_numpy(zero_copy_only=False)
+                 .tobytes())
+        # lsn bytes alone collide (every null lsn is the same NaN);
+        # fold in key content so distinct bad batches never share a name
+        for col in (schemas.KEY_COLS[0], schemas.OP_COL, "_rule"):
+            h.update("\x00".join(
+                "" if v is None else str(v)
+                for v in bad[col].to_pylist()).encode())
+        fname = f"dead-x{self.txn_id}-{bad.num_rows}-{h.hexdigest()}.parquet"
         tmp = os.path.join(self.quarantine_dir,
                            f".tmp-{uuid.uuid4().hex[:8]}")
         pq.write_table(bad, tmp, compression="zstd")

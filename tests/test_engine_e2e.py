@@ -1109,3 +1109,37 @@ def test_concurrent_tick_loses_cleanly(tmp_path):
     assert res is not None
     assert_matches_oracle(cfg)
     assert ingest.apply_tick(cfg) is None       # exactly-once intact
+
+
+def test_all_invalid_segment_advances_offset(tmp_path):
+    """A segment whose every record is malformed must still be
+    CONSUMED under quarantine policy (commit advances committed_seq
+    with zero valid rows) -- otherwise ingest stalls behind it
+    forever re-quarantining the same file."""
+    import numpy as np
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4,
+                       apply_mode="direct", bad_record_policy="quarantine")
+    cfg.ensure_dirs()
+    n = 8
+    t = pa.table({
+        "lsn": pa.array(np.arange(n, dtype=np.int64)),
+        "op": pa.array(["bogus"] * n, pa.string()),
+        "schema_version": pa.array([3] * n, pa.int32()),
+        "conv_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "role": pa.array(["user"] * n), "text": pa.array(["x"] * n),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([None] * n, pa.timestamp("us")),
+        "model": pa.array([None] * n, pa.string()),
+    })
+    w = WalWriter(cfg.wal_dir, segment_rows=50)
+    w.append(t, 3)
+    w.close()
+    res = ingest.apply_tick(cfg)
+    assert res is not None and res.events_applied == 0
+    assert res.manifest.metrics["events_rejected"] == n
+    assert res.manifest.committed_seq >= 0
+    assert ingest.apply_tick(cfg) is None     # consumed: no stall loop
+    assert ingest.snapshot_to_pandas(cfg).empty
