@@ -86,6 +86,12 @@ class EngineConfig:
     #: (run_loop's `compact_every` remains the simpler cadence knob).
     auto_compact_runs: int = 0
 
+    #: minimum age (seconds, by mtime) before the GC may delete an
+    #: unreferenced run file. Protects a concurrent committer's
+    #: written-but-not-yet-published runs from being swept; size it
+    #: above the longest write-to-publish gap. 0 = single-writer mode.
+    gc_min_age_s: float = 0.0
+
     #: manifest versions whose run files the post-compaction GC keeps
     #: (time-travel / in-flight-reader retention window). Orphans from
     #: aborted txns and superseded compactions older than this are

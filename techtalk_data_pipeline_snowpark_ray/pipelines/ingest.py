@@ -41,7 +41,7 @@ from ..stages.apply import (BatchCollapser, collapse_events, fold_table,
 from ..stages.normalize import SchemaNormalizer, normalize_batch
 from ..stages.partition import (BUCKET_COL, KEY_HASH_COL, SHARD_COL,
                                 Partitioner, add_partition_cols,
-                                hash_strings_arrow)
+                                hash_strings_arrow, key_hash)
 from ..state.manifest import Manifest, TableState
 
 _BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
@@ -241,8 +241,8 @@ class DirectApplier:
         # that still co-locates each bucket's keys for read locality
         # (the user-visible (conv_id, turn_idx) ordering is produced by
         # compaction / snapshot resolution, not by run files)
-        okh = hash_strings_arrow(out["conv_id"]) * np.uint64(0x100000001B3) \
-            + out["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        okh = key_hash(out["conv_id"],
+                       out["turn_idx"].to_numpy(zero_copy_only=False))
         out = out.take(pa.array(np.lexsort((
             out[schemas.LSN_COL].to_numpy(zero_copy_only=False), okh,
             out[BUCKET_COL].to_numpy(zero_copy_only=False)))))
@@ -388,7 +388,11 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                 f"{prev.committed_lsn}: already-committed records were "
                 "folded without this barrier; position new ops after "
                 "the committed watermark")
-    all_controls = sorted_controls(prev.control_ops) + new_controls
+    # re-sort the UNION: a pending future-dated op plus a new lower-lsn
+    # op would otherwise leave barriers unsorted, and np.searchsorted
+    # over an unsorted barrier list mis-assigns fold epochs silently
+    all_controls = sorted_controls(list(prev.control_ops or [])
+                                   + new_controls)
     barriers = [c.lsn for c in all_controls] or None
     if new_controls and not wal.list_segments(cfg.wal_dir,
                                               after_seq=prev.committed_seq):
@@ -422,8 +426,19 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
     pre_collapse = cfg.pre_collapse and all(v.exact_after_combine
                                             for v in views)
 
-    if not direct and hot_convs is None and cfg.hot_key_threshold > 0:
-        hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold, cfg.batch_size)
+    if not direct:
+        # the key extractor rewrites key columns; both skew detection
+        # and validation must see the keys the partitioner will hash,
+        # so it applies FIRST (a post-extraction hot key would
+        # otherwise never be salted)
+        key_extractor = cfg.extras.get("key_extractor")
+        if key_extractor is not None:
+            ds = ds.map_batches(key_extractor, batch_format="pyarrow",
+                                batch_size=cfg.batch_size,
+                                zero_copy_batch=True)
+        if hot_convs is None and cfg.hot_key_threshold > 0:
+            hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold,
+                                         cfg.batch_size)
     hot_ref = ray.put(list(hot_convs)) if hot_convs else None
 
     txn = state.new_txn()
@@ -491,10 +506,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                         batch_size=cfg.direct_batch_rows,
                                         zero_copy_batch=True)
     else:
-        key_extractor = cfg.extras.get("key_extractor")
-        if key_extractor is not None:
-            ds = ds.map_batches(key_extractor, batch_format="pyarrow",
-                                batch_size=cfg.batch_size, zero_copy_batch=True)
+        # key_extractor already applied (before skew detection)
         if cfg.bad_record_policy != "none":
             # after the extractor, before the partitioner (see the
             # direct-mode ordering note)
@@ -772,17 +784,29 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
                     need.add(spec["col"])
         payload = [c for c in payload if c in need]
         scan_cols = [*schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL,
-                     BUCKET_COL, "_n", *payload]
+                     BUCKET_COL, *payload]
 
     final_cols = [*schemas.KEY_COLS,
                   *(payload if columns is None else columns)]
     target = schemas.table_schema(cfg.schema_version)
 
+    def _empty_run_frame() -> pd.DataFrame:
+        # typed empty RUN-shaped frame so an empty bucket resolves
+        # through the exact same code path (and thus schema) as an
+        # occupied one -- mismatched per-block schemas break unions
+        cols = {BUCKET_COL: pd.Series(dtype="int32")}
+        for f in target:
+            if f.name in schemas.KEY_COLS or f.name in payload:
+                cols[f.name] = pd.Series(
+                    dtype=object if pa.types.is_string(f.type)
+                    else f.type.to_pandas_dtype())
+        cols[schemas.LSN_COL] = pd.Series(dtype="int64")
+        cols[schemas.OP_COL] = pd.Series(dtype=object)
+        return pd.DataFrame(cols)
+
     def resolve(group: "pa.Table | None") -> pa.Table:
-        if group is None or group.num_rows == 0:
-            empty = target.empty_table()
-            return empty.select(final_cols) if final_only else empty
-        g = group.to_pandas()
+        g = _empty_run_frame() if group is None or group.num_rows == 0 \
+            else group.to_pandas()
         out = resolve_with_controls(g, payload, controls) if controls \
             else resolve_final(g, payload)
         if final_only:
@@ -790,7 +814,11 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
         return pa.Table.from_pandas(out, preserve_index=False) \
             .replace_schema_metadata(None)
 
-    per_bucket = _exchange_by_bucket(paths, cfg.num_buckets,
+    # the exchange splits by the STORED layout: the manifest's bucket
+    # count, never the config's (a reader with a stale cfg after a
+    # re-bucketing migration would otherwise silently drop every row
+    # whose bucket >= cfg.num_buckets)
+    per_bucket = _exchange_by_bucket(paths, m.num_buckets or cfg.num_buckets,
                                      columns=scan_cols)
     refs = [_fold_bucket_refs.remote(resolve, *bucket_refs)
             for bucket_refs in per_bucket]
@@ -989,6 +1017,14 @@ def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,
     def side(tag: int):
         def f(batch: pa.Table) -> pd.DataFrame:
             df = batch.to_pandas()
+            # evolution alignment: a snapshot committed under an older
+            # schema lacks later-added columns; null-fill so the merge
+            # always sees both suffixed sides (an added column counts
+            # as "changed" wherever the new side is non-null)
+            for c in payload:
+                if c not in df.columns:
+                    df[c] = None
+            df = df[keys + payload]
             df["side"] = np.int8(tag)
             kh = hash_strings_arrow(batch["conv_id"]) \
                 + df["turn_idx"].to_numpy().astype(np.uint64)
@@ -1208,7 +1244,8 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
             # references (aborted txns, superseded compactions) -- a
             # long-running deployment must not accumulate them forever
             TableState(cfg.table_dir).gc_orphan_runs(
-                keep_versions=cfg.gc_keep_versions)
+                keep_versions=cfg.gc_keep_versions,
+                min_age_s=cfg.gc_min_age_s)
     return results
 
 
@@ -1257,8 +1294,8 @@ def bootstrap_import(cfg: EngineConfig, source, lsn: int = -1) -> Manifest:
                             pa.array([schemas.OP_FULL] * n, pa.string()))
         t = add_partition_cols(t, nb)
         out = t.select(cols)
-        okh = hash_strings_arrow(out["conv_id"]) * np.uint64(0x100000001B3) \
-            + out["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        okh = key_hash(out["conv_id"],
+                       out["turn_idx"].to_numpy(zero_copy_only=False))
         out = out.take(pa.array(np.lexsort((
             okh, out[BUCKET_COL].to_numpy(zero_copy_only=False)))))
         fname = f"delta-x{txn}-{uuid.uuid4().hex[:12]}.parquet"

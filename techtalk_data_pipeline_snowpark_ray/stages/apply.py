@@ -67,10 +67,19 @@ def collapse_events(df: pd.DataFrame, payload_cols: list[str],
     if df.empty:
         return df
     lsn, op = schemas.LSN_COL, schemas.OP_COL
-    df = df.sort_values(lsn, kind="stable", ignore_index=True)
-    # exactly-once vs duplicate delivery: a re-delivered event is byte
-    # identical, keyed by (key, lsn) -> keep one
-    df = df.drop_duplicates(subset=[*key_cols, lsn], keep="last", ignore_index=True)
+    # exactly-once vs duplicate delivery: a re-delivered event is keyed
+    # by (key, lsn) -> keep one. Equal-lsn records are NOT always byte
+    # identical across runs: one run may hold the event collapsed with
+    # its earlier history (full@L, payload merged) while another holds
+    # the bare re-delivery (partial@L). Rank absolute records above
+    # partial so the information-bearing one survives the dedup --
+    # keeping the partial would silently null the merged-away columns.
+    pr = np.where(df[op].isin((schemas.OP_PARTIAL, schemas.OP_UPDATE)),
+                  np.int8(0), np.int8(1))
+    df = df.assign(_pr=pr) \
+           .sort_values([lsn, "_pr"], kind="stable", ignore_index=True)
+    df = df.drop_duplicates(subset=[*key_cols, lsn], keep="last",
+                            ignore_index=True).drop(columns="_pr")
 
     if barriers:
         epoch = np.searchsorted(np.asarray(barriers, dtype=np.int64),
@@ -149,7 +158,7 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .partition import hash_strings_arrow
+    from .partition import key_hash
 
     global _COLLAPSED_OPS_ARR
     if _COLLAPSED_OPS_ARR is None:
@@ -160,8 +169,8 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
     if n == 0:
         return batch
     if kh is None:
-        kh = hash_strings_arrow(batch["conv_id"]) * np.uint64(0x100000001B3) \
-            + batch["turn_idx"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        kh = key_hash(batch["conv_id"],
+                      batch["turn_idx"].to_numpy(zero_copy_only=False))
     lsn = batch[schemas.LSN_COL].to_numpy(zero_copy_only=False)
     if barriers:
         # epoch barriers (control ops): same key, different epoch must

@@ -104,6 +104,20 @@ def hash_strings_arrow(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     return out
 
 
+def mix_key_hash(conv_hash: np.ndarray, turn: np.ndarray) -> np.ndarray:
+    """FROZEN 64-bit primary-key hash: conv-hash * FNV + turn_idx.
+    Every consumer (partitioner key-hash column, fold collision guard,
+    run-file sort keys) must use THIS mix -- a drift in any copy would
+    silently split one key across fold groups."""
+    return conv_hash * _FNV + turn.astype(np.uint64)
+
+
+def key_hash(conv_col: "pa.ChunkedArray | pa.Array",
+             turn: np.ndarray) -> np.ndarray:
+    """`mix_key_hash` from the raw conv_id column."""
+    return mix_key_hash(hash_strings_arrow(conv_col), turn)
+
+
 def add_partition_cols(batch: pa.Table, num_buckets: int, salt_factor: int = 1,
                        hot_convs: frozenset[str] | None = None,
                        include_key_hash: bool = False) -> pa.Table:
@@ -127,8 +141,9 @@ def add_partition_cols(batch: pa.Table, num_buckets: int, salt_factor: int = 1,
     out = batch.append_column(BUCKET_COL, pa.array(bucket, type=pa.int32()))
     out = out.append_column(SHARD_COL, pa.array(shard, type=pa.int32()))
     if include_key_hash:
-        kh = ch * np.uint64(0x100000001B3) + turn
-        out = out.append_column(KEY_HASH_COL, pa.array(kh, type=pa.uint64()))
+        out = out.append_column(KEY_HASH_COL,
+                                pa.array(mix_key_hash(ch, turn),
+                                         type=pa.uint64()))
     return out
 
 

@@ -217,9 +217,20 @@ class TableState:
         self._atomic_write(self._latest_path(), str(manifest.version))
         return manifest
 
-    def gc_orphan_runs(self, keep_versions: int = 2) -> list[str]:
+    def gc_orphan_runs(self, keep_versions: int = 2,
+                       min_age_s: float = 0.0) -> list[str]:
         """Delete run files not referenced by the last `keep_versions`
-        manifests (aborted txns, superseded compactions)."""
+        manifests (aborted txns, superseded compactions).
+
+        `min_age_s` spares files younger than that (by mtime): an
+        unreferenced-but-fresh file may belong to a concurrent
+        IN-FLIGHT transaction that has written its runs but not yet
+        published -- sweeping it would let that commit succeed while
+        naming deleted files. A deployment running GC alongside
+        possible concurrent committers must set this well above the
+        longest write-to-publish gap (run_loop uses
+        `cfg.gc_min_age_s`); 0 keeps the single-writer behavior."""
+        import time
         latest = self.latest_version()
         referenced: set[str] = set()
         if latest is not None:
@@ -231,13 +242,17 @@ class TableState:
                 referenced.update(m.run_files())
                 v = m.parent
         removed = []
+        cutoff = time.time() - min_age_s
         for name in os.listdir(self.runs_dir):
-            # stale tmp files (crashed/retried writers that never reached
-            # their os.replace) are safe to sweep here: GC only runs from
-            # the single writer's loop, never concurrently with a write
             stale_tmp = ".tmp" in name
             if (name.endswith(".parquet") or stale_tmp) \
                     and name not in referenced:
-                os.remove(os.path.join(self.runs_dir, name))
+                path = os.path.join(self.runs_dir, name)
+                try:
+                    if min_age_s and os.path.getmtime(path) > cutoff:
+                        continue
+                    os.remove(path)
+                except FileNotFoundError:
+                    continue              # lost a race with another GC
                 removed.append(name)
         return removed

@@ -807,6 +807,12 @@ def test_rebucket_compaction_migrates_layout(tmp_path):
     # and a normal compaction under the new layout stays consistent
     ingest.compact(cfg7)
     assert_matches_oracle(cfg7)
+    # a READER still holding the old bucket count must see the full
+    # table (the exchange follows the manifest's layout, not the
+    # config's -- silently dropping buckets >= cfg.num_buckets was the
+    # failure mode)
+    stale = ingest.snapshot_to_pandas(cfg)
+    pd.testing.assert_frame_equal(stale, ingest.snapshot_to_pandas(cfg7))
 
 
 def test_auto_compaction_and_metrics_history(tmp_path):
