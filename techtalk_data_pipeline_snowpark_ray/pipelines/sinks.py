@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -55,6 +54,14 @@ def _write_bucket(out_dir: str, b: int, *parts: pa.Table) -> int:
     parts = [p for p in parts if p.num_rows]
     d = _bucket_dir(out_dir, b)
     os.makedirs(d, exist_ok=True)
+    # clear leftovers of a CRASHED earlier attempt (no _SUCCESS, or we
+    # would not be writing): part numbering restarts at 0 and empty
+    # parts shift indices, so a retry writing fewer files would leave
+    # stale higher-index parts that read_partitioned would then
+    # double-count once this attempt's marker lands
+    for name in os.listdir(d):
+        if name.endswith(".parquet") or name.endswith(".tmp"):
+            os.remove(os.path.join(d, name))
     rows = 0
     for i, tbl in enumerate(parts):
         tmp = os.path.join(d, f"part-{i:05d}.parquet.tmp")
@@ -83,22 +90,27 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
     for b in done:
         done_arr[b] = True
 
-    def route(batch: pd.DataFrame) -> list[pd.DataFrame]:
-        b = (md5_hash64_series(batch[key].astype(str))
-             % np.uint64(num_buckets)).astype(np.int64)
-        keep = ~done_arr[b]
-        batch, b = batch[keep], b[keep]
-        return [batch[b == t] for t in todo]
-
     # raw hash exchange: one split task per input block, per-bucket
     # object returns, one writer task per missing bucket
     blocks = ds.to_arrow_refs()
 
     @ray.remote
     def split(tbl: pa.Table):
-        out = route(tbl.to_pandas())
-        tables = tuple(pa.Table.from_pandas(df, preserve_index=False)
-                       .replace_schema_metadata(None) for df in out)
+        # arrow-native split (argsort + searchsorted + zero-copy
+        # slices): only the key column materializes for hashing, the
+        # payload never round-trips through pandas
+        keys = tbl[key].to_pandas().astype(str)
+        b = (md5_hash64_series(keys)
+             % np.uint64(num_buckets)).astype(np.int64)
+        keep = ~done_arr[b]
+        tbl = tbl.filter(pa.array(keep))
+        b = b[keep]
+        order = np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order)).replace_schema_metadata(None)
+        bs = b[order]
+        lo = np.searchsorted(bs, np.asarray(todo), side="left")
+        hi = np.searchsorted(bs, np.asarray(todo) + 1, side="left")
+        tables = tuple(tbl.slice(l, h - l) for l, h in zip(lo, hi))
         return tables if len(todo) > 1 else tables[0]
 
     outs = [split.options(num_returns=len(todo)).remote(r) for r in blocks]

@@ -37,13 +37,30 @@ import pandas as pd
 
 from .. import schemas
 
+def _cmp(fn):
+    """Comparison kernel tolerant of object columns holding None (a
+    payload column wiped by a control delete, or never set by partial
+    updates): on TypeError the column is coerced to the value's family
+    (numeric or string) and nulls compare False, matching SQL."""
+    def kernel(s, v):
+        try:
+            out = fn(s, v)
+        except TypeError:
+            s2 = pd.to_numeric(s, errors="coerce") \
+                if isinstance(v, (int, float, np.number)) \
+                else s.astype("string")
+            out = fn(s2, v)
+        return pd.Series(out).fillna(False)
+    return kernel
+
+
 _PREDICATES = {
-    "eq": lambda s, v: s == v,
-    "ne": lambda s, v: s != v,
-    "lt": lambda s, v: s < v,
-    "le": lambda s, v: s <= v,
-    "gt": lambda s, v: s > v,
-    "ge": lambda s, v: s >= v,
+    "eq": _cmp(lambda s, v: s == v),
+    "ne": _cmp(lambda s, v: s != v),
+    "lt": _cmp(lambda s, v: s < v),
+    "le": _cmp(lambda s, v: s <= v),
+    "gt": _cmp(lambda s, v: s > v),
+    "ge": _cmp(lambda s, v: s >= v),
     "contains": lambda s, v: s.astype("string").str.contains(v, regex=False).fillna(False),
     "startswith": lambda s, v: s.astype("string").str.startswith(v).fillna(False),
     "startswith_lower": lambda s, v: s.astype("string").str.lower().str.startswith(v).fillna(False),
@@ -107,8 +124,12 @@ def apply_control(state: pd.DataFrame, op: ControlOp,
     """Apply one control op to a folded state frame (vectorized).
 
     Tombstoned rows are invisible to the predicate; modified rows take
-    the op's lsn (the modification happened there), which keeps later
-    folds ordered correctly. Control tombstones null their payload like
+    lsn = op.lsn - 1 -- strictly AFTER everything the control read
+    (state folds events with lsn < op.lsn) but strictly BEFORE a keyed
+    event at exactly op.lsn, which by the barrier rule applies after
+    the control: giving modified rows op.lsn itself would make them
+    (key, lsn)-collide with that event and the dedup would silently
+    drop one of the two. Control tombstones null their payload like
     WAL delete events do -- a later partial update's forward-fill must
     find nothing to resurrect behind the delete barrier."""
     if state.empty:
@@ -127,10 +148,14 @@ def apply_control(state: pd.DataFrame, op: ControlOp,
             if c not in (*schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL)]
         state.loc[mask, list(wipe)] = None
     else:
-        for col, spec in op.assignments.items():
-            val = _ASSIGNMENTS[spec["fn"]](state, spec)
+        # every RHS evaluates against the PRE-update row (SQL UPDATE
+        # semantics): compute all values first, then assign -- a later
+        # assignment must not see an earlier one's result
+        vals = {col: _ASSIGNMENTS[spec["fn"]](state, spec)
+                for col, spec in op.assignments.items()}
+        for col, val in vals.items():
             state.loc[mask, col] = val[mask] if isinstance(val, pd.Series) else val
-    state.loc[mask, schemas.LSN_COL] = np.int64(op.lsn)
+    state.loc[mask, schemas.LSN_COL] = np.int64(op.lsn - 1)
     return state
 
 

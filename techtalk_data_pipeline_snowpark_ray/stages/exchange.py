@@ -47,19 +47,22 @@ def _split_block(tbl: pa.Table, col: str, n: int):
     return parts if n > 1 else parts[0]
 
 
-@ray.remote
-def _reduce_part(fn, drop_col: str, pandas: bool, *parts) -> pa.Table:
+@ray.remote(num_returns=2)
+def _reduce_part(fn, drop_col: str, pandas: bool, *parts):
+    """Returns (reduced table, non-empty flag). The flag travels as its
+    own tiny object so the driver's empty-partition filter never
+    fetches (or cross-node transfers) the reduced tables themselves."""
     parts = [p for p in parts if p.num_rows]
     if not parts:
-        return None
+        return None, False
     tbl = pa.concat_tables(parts, promote_options="default")
     if drop_col:
         tbl = tbl.drop_columns([drop_col])
     if pandas:
         out = fn(tbl.to_pandas())
-        return pa.Table.from_pandas(out, preserve_index=False) \
-            .replace_schema_metadata(None)
-    return fn(tbl)
+        return (pa.Table.from_pandas(out, preserve_index=False)
+                .replace_schema_metadata(None)), True
+    return fn(tbl), True
 
 
 def exchange_map_groups(ds: ray.data.Dataset, part_col: str,
@@ -79,14 +82,10 @@ def exchange_map_groups(ds: ray.data.Dataset, part_col: str,
     if num_partitions == 1:
         outs = [[o] for o in outs]
     drop = "" if keep_part_col else part_col
-    refs = [_reduce_part.remote(fn, drop, batch_format == "pandas", *slices)
-            for slices in zip(*outs)]
-    # None results (empty partitions) must not reach from_arrow_refs
-    refs = [r for r, got in zip(refs, ray.get(
-        [_nonempty.remote(r) for r in refs])) if got]
+    pairs = [_reduce_part.remote(fn, drop, batch_format == "pandas",
+                                 *slices) for slices in zip(*outs)]
+    # None results (empty partitions) must not reach from_arrow_refs;
+    # only the bool flags are fetched, never the tables
+    flags = ray.get([flag for _, flag in pairs])
+    refs = [tbl for (tbl, _), ok in zip(pairs, flags) if ok]
     return ray.data.from_arrow_refs(refs)
-
-
-@ray.remote
-def _nonempty(tbl) -> bool:
-    return tbl is not None

@@ -28,19 +28,27 @@ from typing import Literal
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data
 
-#: per-worker-process cache of fetched broadcast objects (ObjectRef -> value)
+#: per-worker-process cache of fetched broadcast objects (ObjectRef ->
+#: value), bounded: worker processes outlive queries, so an unbounded
+#: cache would accumulate every broadcast ever fetched (and pin its
+#: plasma copy) until OOM. FIFO eviction; a query re-fetching an
+#: evicted ref just pays one ray.get again.
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
 
 
 def fetch_broadcast(ref):
-    """ray.get(ref), memoized per worker process."""
+    """ray.get(ref), memoized per worker process (bounded cache)."""
     val = _BROADCAST_CACHE.get(ref)
     if val is None:
         val = ray.get(ref)
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[ref] = val
     return val
 
@@ -187,6 +195,7 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     The all-to-all only ever carries pre-filtered survivors, which is
     the point: at 100 TB the left side never ships non-matching rows."""
     right_on = right_on or on
+    right = right.materialize()     # consumed 3x below: count, bloom, route
     n_keys = right.count()
     proto = BloomFilter.sized_for(n_keys, bits_per_key)
 
@@ -195,11 +204,22 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
         bf.add(b[right_on].to_numpy(dtype=np.int64))
         return pd.DataFrame({"bits": [bf.bits.tobytes()]})
 
+    # tree OR-merge: tasks fold up to 16 partial bit arrays each, so
+    # driver ingress is ~batches/16 x filter size, not batches x size
+    # (each partial is full filter width -- linear fan-in would swamp
+    # the driver exactly when the filter is large enough to matter)
+    part_refs = right.map_batches(partial_bloom,
+                                  batch_format="pandas").to_arrow_refs()
     merged = BloomFilter(proto.m, proto.k)
-    for row in right.map_batches(partial_bloom,
-                                 batch_format="pandas").take_all():
-        merged.bits |= np.frombuffer(row["bits"], dtype=np.uint64)
+    chunks = [part_refs[i:i + 16] for i in range(0, len(part_refs), 16)]
+    for blob in ray.get([_or_bloom_parts.remote(*c) for c in chunks]):
+        if blob is not None:
+            merged.bits |= np.frombuffer(blob, dtype=np.uint64)
     bloom_ref = ray.put(merged)
+    ldtypes = dict(zip(left.schema().names,
+                       pa.schema(zip(left.schema().names,
+                                     left.schema().types))
+                       .empty_table().to_pandas().dtypes))
 
     nparts = num_partitions
 
@@ -225,10 +245,29 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     def exact_part(g: pd.DataFrame) -> pd.DataFrame:
         keys = g.loc[g["_side"] == 1, on].unique()
         out = g[(g["_side"] == 0) & g[on].isin(keys)]
-        return out.drop(columns=["_part", "_side"])
+        out = out.drop(columns=["_part", "_side"])
+        # the union null-filled left payload columns for right-side
+        # rows, upcasting e.g. int64 -> float64 for EVERY row (>2^53
+        # values silently lose precision); restore the left schema now
+        # that only left rows remain
+        cast = {c: dt for c, dt in ldtypes.items()
+                if c in out.columns and out[c].dtype != dt}
+        return out.astype(cast) if cast else out
 
     # union of two differently-shaped frames: pandas aligns by column
-    # name and null-fills, which exact_part tolerates
+    # name and null-fills; exact_part restores the left dtypes after
+    # dropping the right-side rows
     from .exchange import exchange_map_groups
     return exchange_map_groups(lf.union(rk), "_part", nparts, exact_part,
                                keep_part_col=True)
+
+
+@ray.remote
+def _or_bloom_parts(*tbls):
+    """OR-fold a chunk of partial-bloom tables to one bit blob."""
+    acc = None
+    for t in tbls:
+        for blob in t["bits"].to_pylist():
+            arr = np.frombuffer(blob, dtype=np.uint64)
+            acc = arr.copy() if acc is None else (acc | arr)
+    return acc.tobytes() if acc is not None else None

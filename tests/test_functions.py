@@ -312,9 +312,11 @@ def test_bloom_filter_and_bloom_semi_join():
     a = bloom_semi_join(left, right, on="k", right_on="rk").to_pandas()
     b = broadcast_semi_join(left, set(keys.tolist()), on="k").to_pandas()
     cols = ["k", "v"]
+    # check_dtype=True: the union's null-fill must not leak float64
+    # payload columns (or >2^53 precision loss) into the output
     pd.testing.assert_frame_equal(
         a[cols].sort_values(cols, ignore_index=True),
-        b[cols].sort_values(cols, ignore_index=True), check_dtype=False)
+        b[cols].sort_values(cols, ignore_index=True))
 
 
 def test_ann_ivf_deterministic_and_decent_recall():
@@ -574,9 +576,11 @@ def test_exchange_map_groups_equals_dataset_groupby():
           .map_groups(lambda g: reduce_fn(g.drop(columns=["part"])),
                       batch_format="pandas").to_pandas()
     cols = ["k", "v"]
+    # check_dtype=True: the union's null-fill must not leak float64
+    # payload columns (or >2^53 precision loss) into the output
     pd.testing.assert_frame_equal(
         a[cols].sort_values(cols, ignore_index=True),
-        b[cols].sort_values(cols, ignore_index=True), check_dtype=False)
+        b[cols].sort_values(cols, ignore_index=True))
     # empty partitions are skipped, not materialized as empty blocks
     small = df[df["part"] == 2]
     dss = ray.data.from_pandas(small.reset_index(drop=True))
