@@ -835,7 +835,11 @@ def oracle_sql() -> dict[str, str]:
                      '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted,
                    CAST(length(regexp_extract_all(t,
                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-                        + length(regexp_extract_all(t, '\+1-555-[0-9]{4}'))
+                        + length(regexp_extract_all(
+                            regexp_replace(t,
+                              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                              '<EMAIL>', 'g'),
+                            '\+1-555-[0-9]{4}'))
                         AS BIGINT) AS n_redacted
             FROM aug ORDER BY doc_id
         """,

@@ -89,9 +89,16 @@ def exact_dedup_documents(sf_dir: str) -> ray.data.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.groupby("text", sort=False, as_index=False).agg(
+        # dropna=False: NULL text is a legitimate (dedupable) group --
+        # SQL GROUP BY keeps it, so must we
+        out = batch.groupby("text", sort=False, as_index=False,
+                            dropna=False).agg(
             doc_id=("doc_id", "min"), n=("doc_id", "size"))
-        out["h"] = fingerprint_series(out["text"])
+        h = fingerprint_series(out["text"])
+        # NULL text is its own group, distinct from '' (SQL semantics);
+        # real fingerprints are non-negative, so -1 cannot collide
+        out["h"] = np.where(out["text"].isna().to_numpy(),
+                            np.int64(-1), h)
         out["part"] = (out["h"].to_numpy().astype(np.uint64)
                        % np.uint64(AGG_PARTITIONS)).astype(np.int32)
         return out[["part", "h", "doc_id", "n"]]

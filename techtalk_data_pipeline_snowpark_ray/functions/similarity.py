@@ -89,6 +89,23 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
             np.stack(df["embedding"].to_numpy()).astype(np.float64))
 
 
+
+def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Driver-side merge of per-batch top-k partials: exact global
+    top-k per query (ties -> smaller vec_id), typed-empty on no rows.
+    Shared by the brute/LSH/IVF variants so the tie-break and the
+    empty-result guard cannot drift between them."""
+    out = []
+    for qid, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
+        out.append(pd.DataFrame({"query_id": np.int64(qid),
+                                 "vec_id": g["vec_id"].to_numpy()[order]}))
+    if not out:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "vec_id": pd.Series(dtype="int64")})
+    return (pd.concat(out, ignore_index=True)
+              .sort_values(["query_id", "vec_id"], ignore_index=True))
+
 def ann_topk_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     q_ref = ray.put(_query_matrix(sf_dir))
 
@@ -101,13 +118,7 @@ def ann_topk_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     parts = _emb(sf_dir).map_batches(
         topk_batch, batch_format="pyarrow", batch_size=8192,
         zero_copy_batch=True).to_pandas()
-    out = []
-    for qid, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
-        out.append(pd.DataFrame({"query_id": np.int64(qid),
-                                 "vec_id": g["vec_id"].to_numpy()[order]}))
-    return (pd.concat(out, ignore_index=True)
-              .sort_values(["query_id", "vec_id"], ignore_index=True))
+    return _merge_topk(parts, k)
 
 
 #: fixed-point scale for exact distributed vector aggregates: float32
@@ -192,16 +203,7 @@ def ann_topk_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 4) -> pd.DataFrame
         LshTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
         fn_constructor_kwargs=dict(q_ref=q_ref, k=k, planes_ref=planes_ref),
         zero_copy_batch=True).to_pandas()
-    out = []
-    for qid, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
-        out.append(pd.DataFrame({"query_id": np.int64(qid),
-                                 "vec_id": g["vec_id"].to_numpy()[order]}))
-    if not out:
-        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                             "vec_id": pd.Series(dtype="int64")})
-    return (pd.concat(out, ignore_index=True)
-              .sort_values(["query_id", "vec_id"], ignore_index=True))
+    return _merge_topk(parts, k)
 
 
 @ray.remote
@@ -314,16 +316,7 @@ def ann_topk_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
         fn_constructor_kwargs=dict(q_ref=q_ref, k=k, centroids_ref=c_ref,
                                    n_probe=n_probe),
         zero_copy_batch=True).to_pandas()
-    out = []
-    for qid, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["sim"].to_numpy()))[:k]
-        out.append(pd.DataFrame({"query_id": np.int64(qid),
-                                 "vec_id": g["vec_id"].to_numpy()[order]}))
-    if not out:
-        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
-                             "vec_id": pd.Series(dtype="int64")})
-    return (pd.concat(out, ignore_index=True)
-              .sort_values(["query_id", "vec_id"], ignore_index=True))
+    return _merge_topk(parts, k)
 
 
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
@@ -395,8 +388,17 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
         starts = np.zeros(len(sizes), dtype=np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])
         out = []
+        from ..functions.dedup import MAX_BUCKET_PAIRS
         for g in np.flatnonzero(sizes > 1):
             u = ids[starts[g]: starts[g] + sizes[g]]
+            if len(u) > MAX_BUCKET_PAIRS:
+                # mega-bucket (heavily duplicated cluster): all-pairs
+                # is O(n^2); star-pair against the min id instead --
+                # transitive verification still links the cluster
+                # (same cap rule as dedup._partition_pairs)
+                u = np.sort(u)
+                out.append(pd.DataFrame({"id_a": u[0], "id_b": u[1:]}))
+                continue
             iu = np.triu_indices(len(u), 1)
             out.append(pd.DataFrame({"id_a": u[iu[0]], "id_b": u[iu[1]]}))
         if not out:
@@ -417,12 +419,12 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
     # exact-cosine verification of candidates only: fetch the candidate
     # embeddings (candidate-proportional) and keep true pairs
     cand_ids = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
-    ids_ref = ray.put(set(cand_ids.tolist()))
+    ids_ref = ray.put(cand_ids.astype(np.int64))   # sorted array: isin is vectorized
 
     def fetch(b: pa.Table) -> pd.DataFrame:
         from ..stages.joins import fetch_broadcast
         ids, X = _stack(b) if b.num_rows else (np.array([], np.int64), None)
-        keep = np.isin(ids, list(fetch_broadcast(ids_ref))) if len(ids) else \
+        keep = np.isin(ids, fetch_broadcast(ids_ref)) if len(ids) else \
             np.array([], bool)
         if not keep.any():
             return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
@@ -438,7 +440,7 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
     b2 = np.stack([emb[i] for i in cand["id_b"]])
     s = np.round((a * b2).sum(axis=1)
                  / (np.linalg.norm(a, axis=1) * np.linalg.norm(b2, axis=1)), 6)
-    out = cand[s >= threshold]
+    out = cand[s > threshold]       # strict >: parity with the exact
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 

@@ -115,7 +115,8 @@ class LangId:
         text = batch["text"].fillna("")
         n_tok = text.str.count(self.tok).clip(lower=1)
         cjk_ratio = text.str.count(self.cjk) / text.str.len().clip(lower=1)
-        scores = {lang: text.str.lower().str.count(pat) / n_tok
+        low = text.str.lower()          # once, not once per language
+        scores = {lang: low.str.count(pat) / n_tok
                   for lang, pat in self.pats.items()}
         sdf = pd.DataFrame(scores)
         best = sdf.idxmax(axis=1).where(sdf.max(axis=1) > 0, "unknown")
@@ -401,9 +402,13 @@ def redact_pii(sf_dir: str) -> ray.data.Dataset:
         text = (batch["text"].fillna("") + " contact user"
                 + did.astype(str) + "@example.com call +1-555-"
                 + (did % 10000).astype(str).str.zfill(4))
-        n = text.str.count(EMAIL_RE) + text.str.count(PHONE_RE)
-        red = text.str.replace(EMAIL_RE, "<EMAIL>", regex=True) \
-                  .str.replace(PHONE_RE, "<PHONE>", regex=True)
+        # count phones on the EMAIL-REDACTED string: a phone embedded in
+        # an email local part ('user+1-555-1234@x.com') is consumed by
+        # the email replacement, so counting both patterns on the raw
+        # text would overstate the redactions actually performed
+        after_email = text.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+        n = text.str.count(EMAIL_RE) + after_email.str.count(PHONE_RE)
+        red = after_email.str.replace(PHONE_RE, "<PHONE>", regex=True)
         return pd.DataFrame({"doc_id": did, "redacted": red,
                              "n_redacted": n.astype(np.int64)})
 

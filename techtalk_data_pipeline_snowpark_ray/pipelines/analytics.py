@@ -112,7 +112,7 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
 
 # -- Q1-style pricing summary (A1/A2/T11) ----------------------------------
 
-def q1_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
                 "l_extendedprice", "l_discount", "l_shipdate"])
@@ -194,7 +194,7 @@ def dq_overpaid_orders(sf_dir: str) -> ray.data.Dataset:
 
 # -- 3-way join + equality filter + agg + sort (Amex-analogue) -------------
 
-def urgent_orders_by_nation(sf_dir: str) -> ray.data.Dataset:
+def urgent_orders_by_nation(sf_dir: str) -> pd.DataFrame:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus",
                                       "o_totalprice", "o_orderpriority"])
     def urgent(t: pa.Table) -> pa.Table:
@@ -245,7 +245,7 @@ def _parquet_col_max(path: str, col: str):
     return max(vals) if vals else None
 
 
-def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
+def top_segments_last7d(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["user_id", "value", "ts"])
     # deterministic window bound from the data: footer statistics spare
     # the extra full scan the per-batch max would cost
@@ -275,7 +275,7 @@ def top_segments_last7d(sf_dir: str) -> ray.data.Dataset:
 
 # -- expression join on derived string key (SampleStream J6) ---------------
 
-def derived_key_join(sf_dir: str) -> ray.data.Dataset:
+def derived_key_join(sf_dir: str) -> pd.DataFrame:
     def last_char_key(col: "pa.ChunkedArray") -> pa.Array:
         # SampleStream J6 parity: equi-join on a substring-of-upper
         # derived key (here: the trailing character of the name)
@@ -296,7 +296,7 @@ def derived_key_join(sf_dir: str) -> ray.data.Dataset:
 
 # -- contains/startswith filters + dedup-by-key (SampleCrud) ---------------
 
-def crud_filter_dedup(sf_dir: str) -> ray.data.Dataset:
+def crud_filter_dedup(sf_dir: str) -> pd.DataFrame:
     part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type"])
 
     def flt(t: pa.Table) -> pa.Table:
@@ -325,7 +325,7 @@ def union_tag(sf_dir: str) -> ray.data.Dataset:
 
 # -- tumbling window aggregate over the event stream -----------------------
 
-def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
+def events_tumbling_window(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_type", "value", "ts"])
 
     def bucketize(t: pa.Table) -> pa.Table:
@@ -379,7 +379,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 
 # -- semi join: events of customers who placed an urgent order -------------
 
-def events_semi_join(sf_dir: str) -> ray.data.Dataset:
+def events_semi_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi join (key set shipped once; Bloom filter at scale)."""
     from ..stages.joins import broadcast_semi_join
 
@@ -410,7 +410,7 @@ def top10_expensive_orders(sf_dir: str) -> ray.data.Dataset:
 
 # -- semi-structured JSON projection (parse_json / T1+T3) ------------------
 
-def props_json_extract(sf_dir: str) -> ray.data.Dataset:
+def props_json_extract(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_type", "props"])
 
     def extract(t: pa.Table) -> pa.Table:
@@ -929,7 +929,7 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
 
 # -- anti join: events of users who never placed an urgent order -----------
 
-def events_anti_join(sf_dir: str) -> ray.data.Dataset:
+def events_anti_join(sf_dir: str) -> pd.DataFrame:
     """Broadcast ANTI join (complement of events_semi_join): the urgent
     key set ships once, batches drop members in place. Anti joins can
     NOT use the Bloom pre-filter shape (a false positive would wrongly
