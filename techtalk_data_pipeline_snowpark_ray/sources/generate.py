@@ -88,7 +88,11 @@ def _chunk_arrays(spec: GenSpec, chunk_idx: int, lo: int, hi: int) -> dict[str, 
         np.char.add("t", lsn.astype("U20")),
         np.char.add("-", np.char.add(conv.astype("U7"), np.char.add(".", turn.astype("U3")))),
     )
-    text = np.char.ljust(prefix, spec.text_len, "x").astype(object)
+    # np.char.ljust TRUNCATES to the width (unlike str.ljust); pad to
+    # max(text_len, longest prefix) so uniqueness is never destroyed by
+    # a small text_len
+    width = max(spec.text_len, int(prefix.dtype.itemsize // 4))
+    text = np.char.ljust(prefix, width, "x").astype(object)
 
     tool = np.where(rng.random(n) < 0.3,
                     np.char.add("tool-", (lsn % 7).astype("U2")).astype(object),
@@ -159,27 +163,11 @@ def _to_table(spec: GenSpec, arrays: dict[str, np.ndarray], version: int) -> pa.
 
 def generate_chunks(spec: GenSpec) -> Iterator[tuple[pa.Table, int]]:
     """Yield (change-record table, schema_version) covering all lsns in
-    [0, n_events), in arrival order (lsn order modulo ooo/dups)."""
-    for chunk_idx, lo in enumerate(range(0, spec.n_events, GEN_CHUNK)):
-        hi = min(lo + GEN_CHUNK, spec.n_events)
-        arrays = _postprocess(spec, _chunk_arrays(spec, chunk_idx, lo, hi), chunk_idx)
-        # schema version is monotone in lsn, so a chunk is homogeneous iff
-        # its endpoints agree; otherwise split rows by version (segments
-        # are schema-homogeneous), preserving arrival order within each.
-        if spec.version_of(lo) == spec.version_of(hi - 1):
-            yield _to_table(spec, arrays, spec.version_of(lo)), spec.version_of(lo)
-            continue
-        # mixed chunk: partition rows by version, preserving arrival order
-        row_ver = np.full(len(arrays["lsn"]), 1, dtype=np.int64)
-        if spec.schema_add_at is not None:
-            row_ver[arrays["lsn"] >= spec.schema_add_at] = 2
-        if spec.schema_widen_at is not None:
-            row_ver[arrays["lsn"] >= spec.schema_widen_at] = 3
-        for v in sorted(set(row_ver.tolist())):
-            mask = row_ver == v
-            sub = {k: a[mask] for k, a in arrays.items()}
-            if len(sub["lsn"]):
-                yield _to_table(spec, sub, int(v)), int(v)
+    [0, n_events), in arrival order (lsn order modulo ooo/dups).
+    Delegates to _gen_chunk_tables (the version-split logic lives in
+    exactly one place)."""
+    for chunk_idx in range(0, -(-spec.n_events // GEN_CHUNK)):
+        yield from _gen_chunk_tables(spec, chunk_idx)
 
 
 def write_wal(spec: GenSpec, wal_dir: str, segment_rows: int = 100_000) -> list[Segment]:

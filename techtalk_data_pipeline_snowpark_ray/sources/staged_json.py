@@ -50,9 +50,16 @@ class StagedFile:
 
 def stage_put(lines: list[str], stage_dir: str, key: str) -> str:
     """Atomically publish one NDJSON file into the stage (PUT+REFRESH
-    parity: tmp write + rename; the discovery key is part of the name)."""
+    parity: tmp write + rename; the discovery key is part of the name).
+    The name suffix is a CONTENT digest, not a random id: a retried
+    producer task (Ray re-executes side-effecting tasks after worker
+    loss) republishes the identical file under the identical name --
+    os.replace makes that a no-op instead of a duplicate delivery."""
+    import hashlib
     os.makedirs(stage_dir, exist_ok=True)
-    final = os.path.join(stage_dir, f"staged-{key}-{uuid.uuid4().hex[:8]}.json")
+    digest = hashlib.blake2b("\n".join(lines).encode(),
+                             digest_size=4).hexdigest()
+    final = os.path.join(stage_dir, f"staged-{key}-{digest}.json")
     tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -63,7 +70,15 @@ def stage_put(lines: list[str], stage_dir: str, key: str) -> str:
 def list_staged_files(stage_dir: str, after: str = "") -> list[StagedFile]:
     """The stage stream: files whose embedded key sorts AFTER the
     consumed marker, in key order. Consuming = remembering the last
-    key; no consumed file is ever re-opened."""
+    key; no consumed file is ever re-opened.
+
+    MARKER CONTRACT: correctness requires producers to publish in
+    nondecreasing key order, or staging to be quiesced before each
+    read -- a file published with a key <= an already-consumed marker
+    is invisible forever (the lexical marker cannot distinguish it
+    from a consumed file). Producers that cannot guarantee ordered
+    publication should write to the WAL instead, whose seq-interval
+    contract enforces exactly this."""
     if not os.path.isdir(stage_dir):
         return []
     out = []
@@ -73,7 +88,8 @@ def list_staged_files(stage_dir: str, after: str = "") -> list[StagedFile]:
         key = name[len("staged-"):-len(".json")]
         if key > after:
             out.append(StagedFile(os.path.join(stage_dir, name), key))
-    out.sort(key=lambda s: s.key)
+    # names share a constant prefix/suffix, so the sorted() listing IS
+    # key order -- no re-sort needed
     return out
 
 

@@ -60,8 +60,19 @@ def _reduce_part(fn, drop_col: str, pandas: bool, *parts):
         tbl = tbl.drop_columns([drop_col])
     if pandas:
         out = fn(tbl.to_pandas())
-        return (pa.Table.from_pandas(out, preserve_index=False)
-                .replace_schema_metadata(None)), True
+        res = pa.Table.from_pandas(out, preserve_index=False) \
+            .replace_schema_metadata(None)
+        if res.num_rows == 0:
+            # an EMPTY reduce result loses its dtypes through pandas
+            # (object columns infer as arrow `null`), and null-typed
+            # blocks break schema unification downstream; restore the
+            # types from the INPUT's same-named columns
+            fields = [pa.field(f.name, tbl.schema.field(f.name).type)
+                      if pa.types.is_null(f.type)
+                      and tbl.schema.get_field_index(f.name) != -1
+                      else f for f in res.schema]
+            res = pa.schema(fields).empty_table()
+        return res, True
     return fn(tbl), True
 
 

@@ -38,7 +38,11 @@ import pyarrow as pa
 from .normalize import normalize_batch
 
 _PARSE_ERRORS = (ValueError, AttributeError, TypeError)
-_CAST_ERRORS = (pa.ArrowInvalid, pa.ArrowTypeError)
+# ArrowNotImplementedError: a nested object/array where a scalar is
+# expected infers struct/list and the cast raises NotImplemented, not
+# Invalid -- it must dead-letter like any other malformed payload
+_CAST_ERRORS = (pa.ArrowInvalid, pa.ArrowTypeError,
+                pa.ArrowNotImplementedError)
 
 
 def _quarantine_write(bad: list[tuple[str, str]], quarantine_dir: str) -> str:
@@ -91,7 +95,12 @@ def explode_json_array(batch: pa.Table, column: str, target: pa.Schema,
 
     if records:
         try:
-            tbl = normalize_batch(pa.Table.from_pylist(records), target)
+            raw = pa.Table.from_pylist(records)
+            if raw.num_columns == 0:
+                # all-empty objects: from_pylist loses the row count;
+                # the null-fill contract says they become all-null rows
+                raw = pa.table({"_": pa.nulls(len(records))})
+            tbl = normalize_batch(raw, target)
         except _CAST_ERRORS:
             if quarantine_dir is None:
                 raise
@@ -99,8 +108,10 @@ def explode_json_array(batch: pa.Table, column: str, target: pa.Schema,
             parts = []
             for lo, hi, payload in slices:
                 try:
-                    parts.append(normalize_batch(
-                        pa.Table.from_pylist(records[lo:hi]), target))
+                    sub = pa.Table.from_pylist(records[lo:hi])
+                    if sub.num_columns == 0 and hi > lo:
+                        sub = pa.table({"_": pa.nulls(hi - lo)})
+                    parts.append(normalize_batch(sub, target))
                 except _CAST_ERRORS as pe:
                     bad.append((payload, f"{type(pe).__name__}: {pe}"))
             tbl = pa.concat_tables(parts) if parts else target.empty_table()
