@@ -93,6 +93,13 @@ class MediaDecoder:
         return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.use_real_codec:
+            # the codec LIBRARY may exist, but the real decode kernel is
+            # the deliberately-stubbed boundary -- fail loudly rather
+            # than silently returning fake features as real ones
+            raise NotImplementedError(
+                "real codec decode is the stubbed boundary; only the "
+                "deterministic fake decoder is implemented")
         self.decoded_batches += 1
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         widths = batch["width"].to_numpy(zero_copy_only=False)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -31,32 +33,52 @@ PROFILE_PARTITIONS = 16
 def profile_table(sf_dir: str, table: str = "documents",
                   columns: list[str] | None = None) -> pd.DataFrame:
     from ..sources.tables import read_table
-    ds = read_table(sf_dir, table, columns)
+    # materialize once: the scalar and distinct passes both consume the
+    # table; re-executing the parquet read would double the I/O
+    ds = read_table(sf_dir, table, columns).materialize()
     names = ds.schema().names
 
-    def scalar_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def scalar_partial(t: pa.Table) -> pd.DataFrame:
+        # arrow-native stats: a pandas conversion turns a null-bearing
+        # int64 batch into float64, which silently skipped min/max for
+        # those batches (wrong extrema) -- arrow kernels are null-aware
+        # and keep the declared type
         rows = []
         for c in names:
-            s = b[c]
-            rows.append({"col": c, "stat": "count", "value": np.int64(len(s))})
+            col = t[c]
+            rows.append({"col": c, "stat": "count",
+                         "value": np.int64(len(col))})
             rows.append({"col": c, "stat": "nulls",
-                         "value": np.int64(s.isna().sum())})
-            if pd.api.types.is_integer_dtype(s) and s.notna().any():
-                rows.append({"col": c, "stat": "min", "value": np.int64(s.min())})
-                rows.append({"col": c, "stat": "max", "value": np.int64(s.max())})
+                         "value": np.int64(col.null_count)})
+            if pa.types.is_integer(col.type) and col.null_count < len(col):
+                mm = pc.min_max(col)
+                rows.append({"col": c, "stat": "min",
+                             "value": np.int64(mm["min"].as_py())})
+                rows.append({"col": c, "stat": "max",
+                             "value": np.int64(mm["max"].as_py())})
         return pd.DataFrame(rows)
 
-    scal = ds.map_batches(scalar_partial, batch_format="pandas").to_pandas()
+    scal = ds.map_batches(scalar_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
     merged = []
     for (c, st), g in scal.groupby(["col", "stat"], sort=False):
         v = {"count": g["value"].sum, "nulls": g["value"].sum,
              "min": g["value"].min, "max": g["value"].max}[st]()
         merged.append({"col": c, "stat": st, "value": int(v)})
 
-    def distinct_partial(b: pd.DataFrame) -> pd.DataFrame:
+    def distinct_partial(t: pa.Table) -> pd.DataFrame:
+        # stringify via ARROW cast so the text form is independent of
+        # which batches carry nulls (pandas would render int64 123 as
+        # '123' in null-free batches but '123.0' in null-bearing ones,
+        # double-counting the same value)
         frames = []
         for ci, c in enumerate(names):
-            vals = b[c].dropna().drop_duplicates().astype(str)
+            col = t[c].drop_null()
+            try:
+                svals = pc.cast(col, pa.string()).to_pandas()
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                svals = col.to_pandas().astype(str)    # nested types
+            vals = svals.drop_duplicates()
             h = md5_hash64_series(vals).astype(np.int64)
             frames.append(pd.DataFrame({"col_id": np.int64(ci), "h": h}))
         out = pd.concat(frames, ignore_index=True).drop_duplicates()
@@ -69,7 +91,8 @@ def profile_table(sf_dir: str, table: str = "documents",
                .groupby("col_id", sort=False, as_index=False).size()
         return out.rename(columns={"size": "n"})
 
-    routed = ds.map_batches(distinct_partial, batch_format="pandas")
+    routed = ds.map_batches(distinct_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
     parts = exchange_map_groups(routed, "part", PROFILE_PARTITIONS,
                                 distinct_part).to_pandas()
     dist = parts.groupby("col_id", sort=False, as_index=False)["n"].sum()

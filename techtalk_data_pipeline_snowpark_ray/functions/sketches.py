@@ -65,7 +65,10 @@ class QuantileDigest:
         return QuantileDigest(sums / ws, ws, self.compression)
 
     def quantile(self, p: float) -> float:
-        """Value at rank p via centroid midpoint interpolation."""
+        """Value at rank p via centroid midpoint interpolation; NaN on
+        an empty digest (all-null column) instead of a numpy crash."""
+        if not len(self.means):
+            return float("nan")
         cum = np.cumsum(self.weights) - self.weights / 2.0
         total = self.weights.sum()
         target = p * total

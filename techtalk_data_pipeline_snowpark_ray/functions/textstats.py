@@ -111,9 +111,12 @@ class LangId:
         self.cjk = re.compile(_CJK)
         self.tok = re.compile(TOKEN_RE)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame,
+                 n_tok: "pd.Series | None" = None) -> pd.DataFrame:
         text = batch["text"].fillna("")
-        n_tok = text.str.count(self.tok).clip(lower=1)
+        # callers that already token-counted (curation's length gate)
+        # pass n_tok to avoid a second full regex pass over the text
+        n_tok = (text.str.count(self.tok) if n_tok is None else n_tok)             .clip(lower=1)
         cjk_ratio = text.str.count(self.cjk) / text.str.len().clip(lower=1)
         low = text.str.lower()          # once, not once per language
         scores = {lang: low.str.count(pat) / n_tok

@@ -37,7 +37,7 @@ def curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     def gate_and_route(batch: pd.DataFrame) -> pd.DataFrame:
         text = batch["text"].fillna("")
         n_tok = text.str.count(langid.tok).astype("int64")
-        lang = langid(batch)["lang_pred"]
+        lang = langid(batch, n_tok=n_tok)["lang_pred"]
         keep = ((n_tok >= MIN_TOKENS) & (n_tok <= MAX_TOKENS)
                 & (np.asarray(lang) == KEEP_LANG))
         out = pd.DataFrame({

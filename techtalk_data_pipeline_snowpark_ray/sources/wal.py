@@ -129,6 +129,7 @@ class WalWriter:
         self._last_hi = max((s.hi for s in existing), default=-1)
         self._buf: list[pa.Table] = []
         self._buf_rows = 0
+        self._buf_sorted = False
         self._buf_version: int | None = None
         self.segments: list[Segment] = []
 
@@ -137,13 +138,20 @@ class WalWriter:
             self.flush()
         self._buf_version = schema_version
         self._buf.append(table)
+        self._buf_sorted = False
         self._buf_rows += table.num_rows
         while self._buf_rows >= self.segment_rows + self.reorder_slack:
             self._cut(self.segment_rows)
 
     def _cut(self, nrows: int) -> None:
         combined = pa.concat_tables(self._buf, promote_options="default")
-        combined = combined.take(pc.sort_indices(combined, sort_keys=[("lsn", "ascending")]))
+        if not self._buf_sorted:
+            # the tail left by a previous cut is already sorted; only a
+            # buffer with fresh appends needs the sort. Without this, a
+            # single large append pays O(buffer) sort work PER segment
+            # cut (quadratic over the backlog) instead of once.
+            combined = combined.take(pc.sort_indices(
+                combined, sort_keys=[("lsn", "ascending")]))
         head, tail = combined.slice(0, nrows), combined.slice(nrows)
         lo = head["lsn"][0].as_py()
         if lo < self._last_hi:
@@ -157,6 +165,7 @@ class WalWriter:
         self._last_hi = seg.hi
         self.segments.append(seg)
         self._buf = [tail] if tail.num_rows else []
+        self._buf_sorted = True
         self._buf_rows = tail.num_rows
 
     def flush(self) -> None:

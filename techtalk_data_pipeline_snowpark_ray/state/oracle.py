@@ -39,7 +39,11 @@ def apply_events_oracle(events: pa.Table | pd.DataFrame,
     def run_control(op, state):
         pred = op.predicate
         for key in list(state.keys()):
-            row1 = pd.DataFrame([state[key]])
+            # key columns are part of the visible row: predicates and
+            # assignments may reference them (the engine's state frame
+            # carries them too)
+            row1 = pd.DataFrame([{**dict(zip(schemas.KEY_COLS, key)),
+                                  **state[key]}])
             if not bool(_PREDICATES[pred["fn"]](row1[pred["col"]],
                                                 pred["value"]).iloc[0]):
                 continue
@@ -58,9 +62,18 @@ def apply_events_oracle(events: pa.Table | pd.DataFrame,
         op = rec[schemas.OP_COL]
         while pending and pending[0].lsn <= lsn:
             run_control(pending.pop(0), state)
-        if seen.get(key) == lsn:
-            continue  # duplicate delivery of the same event
-        seen[key] = lsn
+        absolute = op in (schemas.OP_INSERT, schemas.OP_FULL,
+                          schemas.OP_DELETE)
+        prev = seen.get(key)
+        if prev is not None and prev[0] == lsn:
+            # duplicate delivery of the same event. Equal-lsn records
+            # are not always byte-identical across sources: one may be
+            # the event collapsed with its history (full), another the
+            # bare re-delivery (partial). Like the engine's fold, the
+            # absolute record wins the tie; otherwise skip.
+            if not (absolute and not prev[1]):
+                continue
+        seen[key] = (lsn, absolute)
         payload = {c: rec.get(c) for c in payload_cols}
         if op in (schemas.OP_DELETE,):
             state.pop(key, None)

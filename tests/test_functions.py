@@ -840,3 +840,25 @@ def test_semantic_decontaminate_planted(tmp_path):
     assert got.loc[13, "contaminated"] == 1
     assert got.loc[27, "contaminated"] == 0             # cos = -1
     assert (got["nearest_eval_id"] % 10 == 0).all()
+
+
+def test_profile_table_nullable_int_column(tmp_path):
+    """Nullable int64 columns: exact distinct must not double-count a
+    value across null-bearing and null-free batches, and min/max must
+    include batches that carry nulls."""
+    from techtalk_data_pipeline_snowpark_ray.functions.profile import (
+        profile_table)
+    d = tmp_path / "sfp"
+    d.mkdir()
+    # two row groups -> two batches: one with a null, one without;
+    # value 7 appears in both
+    t = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "v": pa.array([7, None, 3, 1, 7, 9, 7, 5], pa.int64()),
+    })
+    pq.write_table(t, d / "documents.parquet", row_group_size=4)
+    got = profile_table(str(d), "documents").set_index(["col", "stat"])
+    assert got.loc[("v", "distinct"), "value"] == 5   # {7,3,1,9,5}
+    assert got.loc[("v", "min"), "value"] == 1        # lives in null batch
+    assert got.loc[("v", "max"), "value"] == 9
+    assert got.loc[("v", "nulls"), "value"] == 1
