@@ -332,7 +332,8 @@ def oracle_sql() -> dict[str, str]:
               FROM ranked WHERE rn = 1 AND op <> 'delete'
             )
             SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
-                   string_agg(role || ': ' || text, chr(10)
+                   string_agg(COALESCE(role, '') || ': ' ||
+                              COALESCE(text, ''), chr(10)
                               ORDER BY turn_idx) AS transcript
             FROM fin GROUP BY conv_id ORDER BY conv_id
         """,
@@ -352,7 +353,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             agg AS (
               SELECT conv_id,
-                     array_agg(role || ': ' || text ORDER BY turn_idx)
+                     array_agg(COALESCE(role, '') || ': ' ||
+                               COALESCE(text, '') ORDER BY turn_idx)
                        AS lines,
                      array_agg(turn_idx ORDER BY turn_idx) AS turns,
                      CAST(COUNT(*) AS BIGINT) AS n

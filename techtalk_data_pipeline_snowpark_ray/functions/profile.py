@@ -65,6 +65,17 @@ def profile_table(sf_dir: str, table: str = "documents",
         v = {"count": g["value"].sum, "nulls": g["value"].sum,
              "min": g["value"].min, "max": g["value"].max}[st]()
         merged.append({"col": c, "stat": st, "value": int(v)})
+    # an ALL-null integer column emits no min/max partial from any
+    # batch, but SQL MIN/MAX always emit a (NULL-valued) row -- align
+    # by appending null min/max rows for integer columns that produced
+    # no extrema (the value column is nullable-int for exactly this)
+    int_cols = {n for n, t in zip(ds.schema().names, ds.schema().types)
+                if pa.types.is_integer(t)}
+    seen = {(m["col"], m["stat"]) for m in merged}
+    for c in int_cols:
+        for st in ("min", "max"):
+            if (c, st) not in seen:
+                merged.append({"col": c, "stat": st, "value": None})
 
     def distinct_partial(t: pa.Table) -> pd.DataFrame:
         # stringify via ARROW cast so the text form is independent of
@@ -100,4 +111,7 @@ def profile_table(sf_dir: str, table: str = "documents",
         merged.append({"col": names[int(r.col_id)], "stat": "distinct",
                        "value": int(r.n)})
     out = pd.DataFrame(merged)
+    # nullable Int64 (arrow int64, same wire schema as plain int64) so
+    # the all-null-column min/max rows can carry NULL like the oracle
+    out["value"] = out["value"].astype("Int64")
     return out.sort_values(["col", "stat"], ignore_index=True)

@@ -225,9 +225,18 @@ def heavy_hitters_column(ds: ray.data.Dataset, col: str,
     count; count_lo <= true count <= count_lo + n/(k+1)."""
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[col].dropna().to_numpy()
         mg = MisraGries(k)
-        mg.add(b[col].dropna().to_numpy())
+        mg.add(vals)
         out = mg.to_frame()
+        if not len(out) and len(vals):
+            # the trim can empty a summary (k+1 equal counts: dec equals
+            # every count); the batch total must still reach the merge
+            # or the n/(k+1) error bound is computed against too-small
+            # n -- carry it on a 0-count row for a real key (summing a
+            # zero into that key's partial is a no-op)
+            out = pd.DataFrame({"key": vals[:1],
+                                "count_lo": np.zeros(1, dtype=np.int64)})
         # batch item total carried on the first row only, so the driver
         # recovers n = sum(n_batch) without per-batch identity
         nb = np.zeros(len(out), dtype=np.int64)
@@ -242,7 +251,9 @@ def heavy_hitters_column(ds: ray.data.Dataset, col: str,
         # summing all partial counters then one trim IS the m-way MG
         # merge (associative); the bound holds for the combined n
         summed = parts.groupby("key", sort=False)["count_lo"].sum()
-        merged.counts = {kk: int(c) for kk, c in summed.items()}
+        # drop pure-carrier entries (0-count rows exist only to ship a
+        # batch total whose trimmed summary was empty)
+        merged.counts = {kk: int(c) for kk, c in summed.items() if int(c) > 0}
         merged.n = int(parts["n_batch"].sum())
         merged._trim()
     return merged.to_frame()

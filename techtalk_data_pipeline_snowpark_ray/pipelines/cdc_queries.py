@@ -300,7 +300,9 @@ def ingest_json_staged(sf_dir: str) -> ray.data.Dataset:
                           zero_copy_batch=True).sort("event_id")
 
 
-def cdc_render_transcripts(sf_dir: str) -> ray.data.Dataset:
+def cdc_render_transcripts(sf_dir: str,
+                           changes: "ray.data.Dataset | None" = None
+                           ) -> ray.data.Dataset:
     """Transcript rendering: fold the change stream to its LWW final
     state and emit ONE training text per conversation -- turns in
     turn_idx order, each line "role: text", newline-joined. This is the
@@ -308,12 +310,15 @@ def cdc_render_transcripts(sf_dir: str) -> ray.data.Dataset:
     fused INTO the fold's own exchange: the partition that resolves a
     conversation's final state renders it in the same task (zero extra
     shuffle -- conv_id routing already co-locates whole conversations),
-    and only (conv_id, n_turns, transcript) rows leave."""
+    and only (conv_id, n_turns, transcript) rows leave.
+
+    `changes` overrides the derived stream (tests inject partial-update
+    edge cases SQL can't derive from the events table)."""
     payload = schemas.payload_cols(3)
     target = schemas.table_schema(3)
     norm = ingest.SchemaNormalizer(target, keep_extra=(schemas.LSN_COL, schemas.OP_COL))
     num_buckets = 16
-    ds = changes_dataset(sf_dir)
+    ds = changes_dataset(sf_dir) if changes is None else changes
     ds = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(Partitioner(num_buckets), batch_format="pyarrow",
                         zero_copy_batch=True)
@@ -325,7 +330,11 @@ def cdc_render_transcripts(sf_dir: str) -> ray.data.Dataset:
                                  "transcript": pd.Series(dtype=object)})
         fin = resolve_final(g, payload)
         fin = fin.sort_values(["conv_id", "turn_idx"], kind="stable")
-        fin["line"] = fin["role"] + ": " + fin["text"]
+        # null role/text (upsert that never set the column) renders as
+        # '' -- without the fill the '\n'.join raises on NaN while the
+        # SQL string_agg would silently skip the line; COALESCE in the
+        # oracle mirrors this choice
+        fin["line"] = fin["role"].fillna("") + ": " + fin["text"].fillna("")
         out = fin.groupby("conv_id", sort=False).agg(
             n_turns=("line", "size"),
             transcript=("line", "\n".join)).reset_index()
@@ -374,7 +383,8 @@ def cdc_turn_windows(sf_dir: str, w: int = 4,
             return empty.copy()
         fin = resolve_final(g, payload)
         fin = fin.sort_values(["conv_id", "turn_idx"], kind="stable")
-        fin["line"] = fin["role"] + ": " + fin["text"]
+        # null-fill as in cdc_render_transcripts (oracle: COALESCE)
+        fin["line"] = fin["role"].fillna("") + ": " + fin["text"].fillna("")
         grp = fin.groupby("conv_id", sort=False)
         lines = grp["line"].agg(list)
         turns = grp["turn_idx"].agg(list)

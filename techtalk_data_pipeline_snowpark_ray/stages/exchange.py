@@ -38,10 +38,23 @@ import ray.data
 
 @ray.remote
 def _split_block(tbl: pa.Table, col: str, n: int):
+    if tbl.num_rows == 0:
+        # Ray emits SCHEMALESS empty blocks for empty upstream batches
+        # (no part column to read); every partition gets an empty slice,
+        # which _reduce_part's num_rows filter then drops
+        return tuple([tbl] * n) if n > 1 else tbl
     vals = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(vals, kind="stable")
     tbl = tbl.take(pa.array(order))
-    bounds = np.searchsorted(vals[order], np.arange(n + 1))
+    svals = vals[order]
+    # groupby(part).map_groups processes ANY part value; this exchange
+    # would silently drop out-of-range rows (searchsorted bounds cover
+    # only [0, n)), so a mis-sized partition count must fail loudly
+    if len(svals) and (svals[0] < 0 or svals[-1] >= n):
+        raise ValueError(
+            f"exchange part column {col!r} has values outside "
+            f"[0, {n}): min={svals[0]}, max={svals[-1]}")
+    bounds = np.searchsorted(svals, np.arange(n + 1))
     parts = tuple(tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
                   for i in range(n))
     return parts if n > 1 else parts[0]

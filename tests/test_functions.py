@@ -862,3 +862,83 @@ def test_profile_table_nullable_int_column(tmp_path):
     assert got.loc[("v", "min"), "value"] == 1        # lives in null batch
     assert got.loc[("v", "max"), "value"] == 9
     assert got.loc[("v", "nulls"), "value"] == 1
+
+
+def test_exchange_rejects_out_of_range_part():
+    """A part value outside [0, num_partitions) must raise, not drop
+    rows silently (groupby(part).map_groups would have processed it)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.exchange import (
+        exchange_map_groups)
+    df = pd.DataFrame({"part": np.array([0, 1, 5], dtype=np.int32),
+                       "v": np.arange(3, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="outside"):
+        exchange_map_groups(ds, "part", 4, lambda g: g).to_pandas()
+
+
+def test_heavy_hitters_empty_trim_keeps_batch_total():
+    """A batch whose Misra-Gries trim empties the summary must still
+    contribute its item count to merged.n (the error bound's n)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.functions.sketches import (
+        heavy_hitters_column)
+    # k+1 distinct keys with equal counts: dec equals every count, the
+    # trimmed per-batch summary is empty
+    k = 3
+    vals = np.repeat(np.arange(k + 1, dtype=np.int64), 5)
+    ds = ray.data.from_pandas(pd.DataFrame({"x": vals}))
+    got = heavy_hitters_column(ds, "x", k=k)
+    # the summary may legitimately be empty, but the bound's n must be
+    # the full stream: every key's true count (5) must satisfy
+    # count_lo <= 5 <= count_lo + n/(k+1) with n = 20 -> slack 5
+    lo = got.set_index("key")["count_lo"] if len(got) else pd.Series(dtype="int64")
+    for key in range(k + 1):
+        lo_k = int(lo.get(key, 0))
+        assert lo_k <= 5 <= lo_k + len(vals) / (k + 1)
+
+
+def test_profile_all_null_int_column_emits_min_max(tmp_path):
+    """SQL MIN/MAX of an all-null column emit NULL-valued rows; the
+    engine must emit matching (null) min/max rows, not drop them."""
+    from techtalk_data_pipeline_snowpark_ray.functions.profile import (
+        profile_table)
+    d = tmp_path / "sfnull"
+    d.mkdir()
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "v": pa.array([None] * 4, pa.int64()),
+    })
+    pq.write_table(t, d / "documents.parquet")
+    got = profile_table(str(d), "documents").set_index(["col", "stat"])
+    assert ("v", "min") in got.index and ("v", "max") in got.index
+    assert pd.isna(got.loc[("v", "min"), "value"])
+    assert pd.isna(got.loc[("v", "max"), "value"])
+    assert got.loc[("v", "nulls"), "value"] == 4
+    # normal columns keep exact int values through the nullable cast
+    assert got.loc[("doc_id", "min"), "value"] == 0
+    assert got.loc[("doc_id", "max"), "value"] == 3
+
+
+def test_cdc_render_null_payload_renders_empty():
+    """A partial update upserting an absent key leaves unset columns
+    null; rendering must emit '' for them (the '\\n'.join used to raise
+    TypeError on NaN while the SQL string_agg silently skipped lines)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.pipelines import cdc_queries
+    ts = pd.Timestamp("2024-01-01")
+    ch = pd.DataFrame({
+        "lsn": np.array([1, 2], dtype=np.int64),
+        "op": ["update", "insert"],
+        "conv_id": ["conv-x", "conv-x"],
+        "turn_idx": np.array([0, 1], dtype=np.int64),
+        "role": ["user", "assistant"],
+        "text": [None, "hello"],
+        "tool": [None, None],
+        "ts": [ts, ts],
+    })
+    got = cdc_queries.cdc_render_transcripts(
+        SF_TINY, changes=ray.data.from_pandas(ch)).to_pandas()
+    assert len(got) == 1
+    assert got.loc[0, "n_turns"] == 2
+    assert got.loc[0, "transcript"] == "user: \nassistant: hello"
