@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": similarity.ann_topk_cosine,
         "label_centroids": similarity.label_centroids,
         "embedding_near_dup": similarity.embedding_near_dup,
+        "embedding_near_dup_lsh": similarity.embedding_near_dup_planted,
         "semantic_decontaminate": similarity.semantic_decontaminate,
         "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
         "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
@@ -964,6 +965,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM s a JOIN s b ON a.vec_id < b.vec_id
             WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) > 0.35
+            ORDER BY id_a, id_b
+        """,
+        # self-validating LSH near-dup: the engine plants an EXACT copy
+        # of every vec_id % 50 == 0 vector at vec_id + 1_000_000;
+        # identical vectors co-bucket in every band, so LSH recall on
+        # the planted pairs is exactly 1, and the corpus background
+        # (max cos ~0.48) cannot pass the 0.9 exact-cosine verify --
+        # the result IS the planted set
+        "embedding_near_dup_lsh": """
+            SELECT CAST(vec_id AS BIGINT) AS id_a,
+                   CAST(vec_id + 1000000 AS BIGINT) AS id_b
+            FROM embeddings WHERE vec_id % 50 = 0
             ORDER BY id_a, id_b
         """,
         # minhash LSH + exact verify finds exactly the pairs with bigram

@@ -272,20 +272,19 @@ def _candidate_pairs(sf_dir: str) -> pd.DataFrame:
     return pairs[["id_a", "id_b"]].drop_duplicates(ignore_index=True)
 
 
-def _shingle_sets(sf_dir: str, doc_ids: set[int]) -> dict[int, np.ndarray]:
-    """Distinct-shingle HASH arrays (sorted uint64) for a candidate id
-    set. Hashing the shingles keeps the broadcast payload ints instead
-    of Python string sets (identical Jaccard modulo 2^-64 collisions,
+def _candidate_shingle_rows(sf_dir: str, doc_ids: np.ndarray) -> "ray.data.Dataset":
+    """(doc_id, h) distinct-shingle-hash rows of the candidate docs, as
+    a distributed Dataset. Hashing the shingles keeps the routed payload
+    ints instead of strings (identical Jaccard modulo 2^-64 collisions,
     ~10x smaller, zero-copy batch math at verify time); the id filter is
-    a broadcast numpy array fetched once per worker (memoized), not
-    re-deserialized per batch. Everything per-batch is vectorized:
-    shingle explode -> hash -> drop_duplicates; only (doc_id, h) rows of
-    CANDIDATE docs reach the driver (candidate-proportional, not
-    corpus-proportional)."""
+    a broadcast numpy array fetched once per worker (memoized). The rows
+    never land on the driver -- they route straight into the pair-verify
+    partitions (stages/pairverify.py)."""
+    import ray
+
     from ..stages.joins import fetch_broadcast
     ds = _docs(sf_dir, ["doc_id", "text"])
-    import ray
-    ids_ref = ray.put(np.fromiter(doc_ids, dtype=np.int64))
+    ids_ref = ray.put(np.asarray(doc_ids, dtype=np.int64))
 
     def extract(batch: pd.DataFrame) -> pd.DataFrame:
         keep = batch[batch["doc_id"].isin(fetch_broadcast(ids_ref))]
@@ -296,15 +295,7 @@ def _shingle_sets(sf_dir: str, doc_ids: set[int]) -> dict[int, np.ndarray]:
         sh["h"] = fingerprint_series(sh["sh"])
         return sh[["doc_id", "h"]].drop_duplicates(ignore_index=True)
 
-    rows = ds.map_batches(extract, batch_format="pandas",
-                          batch_size=8192).to_pandas()
-    if rows.empty:
-        return {}
-    rows = rows.sort_values(["doc_id", "h"], ignore_index=True)
-    codes, uniq = pd.factorize(rows["doc_id"])
-    bounds = np.flatnonzero(np.diff(codes)) + 1
-    arrays = np.split(rows["h"].to_numpy(), bounds)
-    return {int(d): a for d, a in zip(uniq, arrays)}
+    return ds.map_batches(extract, batch_format="pandas", batch_size=8192)
 
 
 def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, np.ndarray],
@@ -327,39 +318,30 @@ def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, np.ndarray],
 
 def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """Near-duplicate pairs: MinHash -> banded LSH -> per-bucket pair
-    emission (distributed) -> exact-Jaccard verification of candidates
-    only (task-based map_batches over the pair set; the candidate
-    shingle dict is broadcast once and fetched once per worker process
-    -- plain tasks reuse the warm pool with zero actor-spawn latency).
+    emission (distributed) -> exact-Jaccard verification, ALSO
+    distributed: pairs hash-assign to verify partitions and each
+    candidate doc's shingle-hash rows route to exactly the partitions
+    of its pairs (stages/pairverify.py), so the shingle payload moves
+    object store -> object store and never assembles on the driver.
 
-    Driver footprint is candidate-proportional only: the corpus-sized
-    stages (shingling, minhash, bucket pair emission, shingle extraction
-    for candidates) all run as Dataset stages."""
-    import ray
-
-    from ..stages.joins import fetch_broadcast
+    Driver footprint is the candidate pair LIST only (ids, no text, no
+    shingles): the corpus-sized stages (shingling, minhash, bucket pair
+    emission, shingle extraction) all run as Dataset stages."""
+    from ..stages.pairverify import routed_pair_verify, shingle_arrays
 
     cand = _candidate_pairs(sf_dir)
     if cand.empty:
         return _empty_pairs()
-    ids = set(cand["id_a"]).union(cand["id_b"])
-    shingles_ref = ray.put(_shingle_sets(sf_dir, ids))
-    # split the pair set into blocks so verification parallelizes
-    # (from_pandas of one frame = one block = one task)
-    n_chunks = max(1, min(16, len(cand) // 1024))
-    chunks = [cand.iloc[i::n_chunks].reset_index(drop=True)
-              for i in range(n_chunks)]
+    ids = np.unique(np.concatenate([cand["id_a"].to_numpy(dtype=np.int64),
+                                    cand["id_b"].to_numpy(dtype=np.int64)]))
+    items = _candidate_shingle_rows(sf_dir, ids)
 
-    def verify_batch(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return _empty_pairs()
-        return verify_jaccard(batch, fetch_broadcast(shingles_ref), threshold)
+    def verify_fn(payload: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        return verify_jaccard(pairs, shingle_arrays(payload), threshold)
 
-    verified = (ray.data.from_pandas(chunks)
-                .map_batches(verify_batch, batch_format="pandas",
-                             batch_size=4096)
-                .to_pandas())
-    return verified.sort_values(["id_a", "id_b"], ignore_index=True)
+    out = routed_pair_verify(cand, items, "doc_id", verify_fn,
+                             num_partitions=AGG_PARTITIONS)
+    return out if len(out) else _empty_pairs()
 
 
 def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,

@@ -319,9 +319,14 @@ def ann_topk_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
     return _merge_topk(parts, k)
 
 
+#: planted-duplicate id offset for the self-validating near-dup query
+PLANT_OFFSET = 1_000_000
+
+
 def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
                            n_bands: int = 16, band_planes: int = 8,
-                           modulus: int = 1) -> pd.DataFrame:
+                           modulus: int = 1,
+                           plant_dup_mod: int = 0) -> pd.DataFrame:
     """Near-duplicate pairs at a GENUINE duplicate threshold (cos >=
     ~0.9) via banded hyperplane LSH -- the bucketed scale path promised
     by `embedding_near_dup`'s docstring:
@@ -335,15 +340,29 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
     ~1-(1-0.43^1)^16 ~ 1e-4). Background pairs (s~0.16 here) become
     candidates at ~13%, so this prunes ~8x -- hyperplane LSH is the
     honest-but-weak pruner on near-isotropic vectors; IVF cells
-    (`ann_topk_ivf`) quantize harder when recall can be traded."""
+    (`ann_topk_ivf`) quantize harder when recall can be traded.
+
+    ``plant_dup_mod``: when set, plants an EXACT duplicate of every
+    vector with ``vec_id % plant_dup_mod == 0`` at id ``vec_id +
+    PLANT_OFFSET``. Identical vectors share every band signature by
+    construction, so recall on the planted pairs is exactly 1 (not
+    w.h.p.) and the result is value-oracle-checkable in SQL -- the
+    self-validating mode used by the driver gate."""
     rng = np.random.default_rng(271)
-    planes_by_band = None
 
     def subset(b: pa.Table) -> pa.Table:
-        if modulus <= 1:
-            return b
-        ids = b["vec_id"].to_numpy(zero_copy_only=False)
-        return b.filter(pa.array(ids % modulus == 0))
+        if modulus > 1:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(ids % modulus == 0))
+        if plant_dup_mod:
+            ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = ids % plant_dup_mod == 0
+            dup = b.filter(pa.array(m))
+            i = dup.schema.get_field_index("vec_id")
+            dup = dup.set_column(i, "vec_id",
+                                 pa.array(ids[m] + PLANT_OFFSET, pa.int64()))
+            b = pa.concat_tables([b, dup])
+        return b
 
     sub = _emb(sf_dir).map_batches(subset, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
@@ -416,32 +435,59 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
                              "id_b": pd.Series(dtype="int64")})
     cand = cand.drop_duplicates(ignore_index=True)
 
-    # exact-cosine verification of candidates only: fetch the candidate
-    # embeddings (candidate-proportional) and keep true pairs
+    # exact-cosine verification, distributed: candidate embedding rows
+    # route to exactly the partitions of the pairs that reference them
+    # (stages/pairverify.py) -- embeddings move object store -> object
+    # store; the driver only ever holds the candidate pair id list
+    from ..stages.pairverify import routed_pair_verify
     cand_ids = np.unique(np.concatenate([cand["id_a"], cand["id_b"]]))
     ids_ref = ray.put(cand_ids.astype(np.int64))   # sorted array: isin is vectorized
 
-    def fetch(b: pa.Table) -> pd.DataFrame:
+    def fetch(b: pa.Table) -> pa.Table:
         from ..stages.joins import fetch_broadcast
-        ids, X = _stack(b) if b.num_rows else (np.array([], np.int64), None)
-        keep = np.isin(ids, fetch_broadcast(ids_ref)) if len(ids) else \
-            np.array([], bool)
-        if not keep.any():
-            return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
-                                 "emb": pd.Series(dtype="object")})
-        return pd.DataFrame({"vec_id": ids[keep],
-                             "emb": [row for row in X[keep]]})
+        ids = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(ids, fetch_broadcast(ids_ref))
+        # stay ARROW end-to-end: the list<float> embedding column routes
+        # through the exchange natively (a pandas object column of
+        # ndarrays breaks Ray's cross-block schema unification)
+        return b.select(["vec_id", "embedding"]).filter(pa.array(keep))
 
-    rows = sub.map_batches(fetch, batch_format="pyarrow",
-                           zero_copy_batch=True).take_all()
-    emb = {int(r["vec_id"]): np.asarray(r["emb"], dtype=np.float64)
-           for r in rows}
-    a = np.stack([emb[i] for i in cand["id_a"]])
-    b2 = np.stack([emb[i] for i in cand["id_b"]])
-    s = np.round((a * b2).sum(axis=1)
-                 / (np.linalg.norm(a, axis=1) * np.linalg.norm(b2, axis=1)), 6)
-    out = cand[s > threshold]       # strict >: parity with the exact
+    items = sub.map_batches(fetch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def verify_fn(payload: pd.DataFrame, pairs: pd.DataFrame) -> pd.DataFrame:
+        payload = payload.drop_duplicates("vec_id")
+        idx = {int(v): i for i, v in enumerate(payload["vec_id"])}
+        E = np.stack([np.asarray(e, dtype=np.float64)
+                      for e in payload["embedding"]])
+        ia = pairs["id_a"].map(idx).to_numpy()
+        ib = pairs["id_b"].map(idx).to_numpy()
+        a, b2 = E[ia], E[ib]
+        s = np.round((a * b2).sum(axis=1)
+                     / (np.linalg.norm(a, axis=1)
+                        * np.linalg.norm(b2, axis=1)), 6)
+        return pairs[s > threshold]     # strict >: parity with the exact
+
+    out = routed_pair_verify(cand, items, "vec_id", verify_fn,
+                             num_partitions=nparts)
+    if not len(out):
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def embedding_near_dup_planted(sf_dir: str) -> pd.DataFrame:
+    """Driver-gated self-validating variant of `embedding_near_dup_lsh`:
+    exact duplicates planted at vec_id % 50 == 0 (copies at vec_id +
+    PLANT_OFFSET) are the ONLY genuine near-dups in the synthetic corpus
+    (measured background max cos ~0.48 << 0.9 threshold), so the result
+    is exactly the planted pair set -- SQL-expressible -- while the full
+    banded-LSH + distributed exact-cosine verify machinery runs for
+    real. band_planes=16 keeps buckets tiny at any sf (identical vectors
+    co-bucket regardless), so the mega-bucket star cap never engages on
+    the planted pairs."""
+    return embedding_near_dup_lsh(sf_dir, threshold=0.9, n_bands=8,
+                                  band_planes=16, plant_dup_mod=50)
 
 
 def embedding_near_dup(sf_dir: str, threshold: float = NEAR_DUP_THRESHOLD,

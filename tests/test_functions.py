@@ -942,3 +942,49 @@ def test_cdc_render_null_payload_renders_empty():
     assert len(got) == 1
     assert got.loc[0, "n_turns"] == 2
     assert got.loc[0, "transcript"] == "user: \nassistant: hello"
+
+
+def test_routed_pair_verify_distributes_and_is_exact():
+    """pairverify: payload rows must reach exactly the partitions of
+    their pairs and every pair must be verified exactly once."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.pairverify import (
+        assign_pair_parts, routed_pair_verify)
+    pairs = pd.DataFrame({"id_a": np.array([1, 1, 2, 7], dtype=np.int64),
+                          "id_b": np.array([4, 9, 4, 8], dtype=np.int64)})
+    # payload: value per id; a pair verifies iff values sum even
+    items = pd.DataFrame({"id": np.arange(10, dtype=np.int64),
+                          "val": np.arange(10, dtype=np.int64) * 3})
+    chunks = [items.iloc[i::3].reset_index(drop=True) for i in range(3)]
+    ds = ray.data.from_pandas(chunks)
+    calls = []
+
+    def verify_fn(payload, sub):
+        vals = payload.drop_duplicates("id").set_index("id")["val"]
+        s = vals.loc[sub["id_a"]].to_numpy() + vals.loc[sub["id_b"]].to_numpy()
+        return sub[s % 2 == 0]
+
+    got = routed_pair_verify(pairs, ds, "id", verify_fn, num_partitions=4)
+    want = pairs[(pairs["id_a"] * 3 + pairs["id_b"] * 3) % 2 == 0] \
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # each pair lands in exactly one partition; ids needed by several
+    # pairs are needed in <= their pair count partitions
+    p, nd_ids, nd_parts = assign_pair_parts(pairs, 4)
+    assert len(p) == 4 and p["part"].between(0, 3).all()
+    nd_counts = pd.Series(nd_ids).value_counts().sort_index()
+    deg = pd.concat([pairs["id_a"], pairs["id_b"]]).value_counts().sort_index()
+    assert (nd_counts <= deg.reindex(nd_counts.index)).all()
+
+
+def test_embedding_near_dup_planted_is_exact_pair_set():
+    """The self-validating planted mode returns exactly the planted
+    pairs (exact copies -> LSH recall 1; background < threshold)."""
+    from techtalk_data_pipeline_snowpark_ray.functions.similarity import (
+        PLANT_OFFSET, embedding_near_dup_planted)
+    got = embedding_near_dup_planted(SF_TINY)
+    ids = pd.read_parquet(SF_TINY + "/embeddings.parquet",
+                          columns=["vec_id"])["vec_id"]
+    want = ids[ids % 50 == 0].sort_values().to_numpy()
+    assert got["id_a"].to_numpy().tolist() == want.tolist()
+    assert (got["id_b"].to_numpy() == want + PLANT_OFFSET).all()

@@ -16,7 +16,8 @@ SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "dq_overpaid_orders", "top_segments_last7d", "events_sessionize",
           "token_counts", "exact_dedup_documents", "ann_topk_cosine",
           "union_tag", "user_journeys", "cdc_render_transcripts",
-          "user_moving_sum", "users_view_purchase_setops"]
+          "user_moving_sum", "users_view_purchase_setops",
+          "embedding_near_dup_lsh", "minhash_near_dup"]
 
 
 @pytest.fixture(scope="module")
