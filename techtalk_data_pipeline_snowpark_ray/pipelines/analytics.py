@@ -380,8 +380,12 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
 # -- semi join: events of customers who placed an urgent order -------------
 
 def events_semi_join(sf_dir: str) -> pd.DataFrame:
-    """Broadcast semi join (key set shipped once; Bloom filter at scale)."""
-    from ..stages.joins import broadcast_semi_join
+    """Size-gated semi join: the urgent-customer key set is MEASURED
+    (auto_semi_join); under the broadcast threshold it ships once as an
+    exact set, beyond it the Bloom-summary + exact-de-FP path engages
+    automatically (the key set is sf-proportional, so at 100 TB the
+    Bloom path is the live one)."""
+    from ..stages.joins import auto_semi_join
 
     urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
@@ -389,10 +393,10 @@ def events_semi_join(sf_dir: str) -> pd.DataFrame:
         t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
         return t.select(["o_custkey"])
 
-    key_set = {r["o_custkey"] for r in
-               urgent.map_batches(keys, batch_format="pyarrow").take_all()}
+    urgent_keys = urgent.map_batches(keys, batch_format="pyarrow",
+                                     zero_copy_batch=True)
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
-    j = broadcast_semi_join(ev, key_set, on="user_id")
+    j = auto_semi_join(ev, urgent_keys, on="user_id", right_on="o_custkey")
     agg = small_groupby(j, "event_type", {"n": ("user_id", "count")})
     return agg.sort_values("event_type", ignore_index=True)
 
@@ -930,13 +934,14 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
 # -- anti join: events of users who never placed an urgent order -----------
 
 def events_anti_join(sf_dir: str) -> pd.DataFrame:
-    """Broadcast ANTI join (complement of events_semi_join): the urgent
-    key set ships once, batches drop members in place. Anti joins can
-    NOT use the Bloom pre-filter shape (a false positive would wrongly
-    drop a legitimate row), so past broadcast size the scale path is
-    the co-partitioned exact membership stage of bloom_semi_join with
-    the polarity inverted at the final isin."""
-    from ..stages.joins import broadcast_semi_join
+    """Size-gated ANTI join (complement of events_semi_join): under the
+    threshold the exact key set broadcasts and batches drop members in
+    place; beyond it bloom_semi_join(anti=True) engages -- Bloom-negative
+    rows are provably non-members and stream straight through, only
+    Bloom-positives transit the exchange for the exact membership drop
+    (a Bloom alone can't do anti: a false positive would wrongly drop a
+    row; the exact pass makes it exact)."""
+    from ..stages.joins import auto_semi_join
 
     urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
 
@@ -944,10 +949,11 @@ def events_anti_join(sf_dir: str) -> pd.DataFrame:
         t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
         return t.select(["o_custkey"])
 
-    key_set = {r["o_custkey"] for r in
-               urgent.map_batches(keys, batch_format="pyarrow").take_all()}
+    urgent_keys = urgent.map_batches(keys, batch_format="pyarrow",
+                                     zero_copy_batch=True)
     ev = _read(sf_dir, "events", ["user_id", "event_type"])
-    j = broadcast_semi_join(ev, key_set, on="user_id", anti=True)
+    j = auto_semi_join(ev, urgent_keys, on="user_id", right_on="o_custkey",
+                       anti=True)
     agg = small_groupby(j, "event_type", {"n": ("user_id", "count")})
     return agg.sort_values("event_type", ignore_index=True)
 

@@ -114,6 +114,43 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset,
                      right_on=tuple(on_r) if on_r != on_l else None)
 
 
+#: key sets at or under this measured count broadcast exactly; larger
+#: ones take the Bloom-summary path (bloom_semi_join). 1M int64 keys as
+#: a frozenset is ~50-100MB of broadcast -- comfortably per-worker; an
+#: sf-proportional key set (urgent customers at 100 TB!) outgrows it and
+#: switches to the ~1.2-bytes/key Bloom instead of a driver/worker bomb.
+SEMI_BROADCAST_THRESHOLD_KEYS = 1_000_000
+
+#: last strategy chosen by auto_semi_join ("broadcast" | "bloom"),
+#: recorded for tests/observability
+LAST_SEMI_JOIN_PATH: str | None = None
+
+
+def auto_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                   on: str, right_on: str | None = None,
+                   anti: bool = False,
+                   broadcast_threshold_keys: int = SEMI_BROADCAST_THRESHOLD_KEYS,
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """Size-gated semi/anti join chooser (the auto_join of membership
+    joins): measure the right key set; broadcast it exactly when small,
+    otherwise run the Bloom-summary path with its exact de-FP pass.
+    Both paths are exact for both polarities."""
+    global LAST_SEMI_JOIN_PATH
+    right_on = right_on or on
+    right = right.materialize()
+    n_keys = right.count()
+    if n_keys <= broadcast_threshold_keys:
+        LAST_SEMI_JOIN_PATH = "broadcast"
+        keys = frozenset(
+            pd.concat([t[right_on] for t in
+                       ray.get(right.to_pandas_refs())], ignore_index=True)
+            if n_keys else pd.Series(dtype="int64"))
+        return broadcast_semi_join(left, keys, on, anti=anti)
+    LAST_SEMI_JOIN_PATH = "bloom"
+    return bloom_semi_join(left, right, on, right_on,
+                           num_partitions=num_partitions, anti=anti)
+
+
 def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
                         anti: bool = False) -> ray.data.Dataset:
     """Semi (keep matching) / anti (keep non-matching) join against a
@@ -179,7 +216,8 @@ class BloomFilter:
 def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                     on: str, right_on: str | None = None,
                     bits_per_key: int = 10,
-                    num_partitions: int = 16) -> ray.data.Dataset:
+                    num_partitions: int = 16,
+                    anti: bool = False) -> ray.data.Dataset:
     """Exact semi join whose broadcast side is a Bloom SUMMARY of the
     right key set, for key sets too large to broadcast exactly:
 
@@ -193,7 +231,15 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
          positives, so the result is EXACT.
 
     The all-to-all only ever carries pre-filtered survivors, which is
-    the point: at 100 TB the left side never ships non-matching rows."""
+    the point: at 100 TB the left side never ships non-matching rows.
+
+    ``anti=True`` inverts the polarity EXACTLY: Bloom-NEGATIVE rows are
+    provably non-members and stream straight to the output (a second
+    streamed pass over `left`, no shuffle); only Bloom-positive rows
+    (true members to drop + ~1% false positives to keep) transit the
+    exchange, where the per-partition exact membership drops members.
+    A Bloom alone could never implement anti (a false positive would
+    wrongly drop a row); the exact pass is what makes it correct."""
     right_on = right_on or on
     right = right.materialize()     # consumed 3x below: count, bloom, route
     n_keys = right.count()
@@ -244,7 +290,8 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def exact_part(g: pd.DataFrame) -> pd.DataFrame:
         keys = g.loc[g["_side"] == 1, on].unique()
-        out = g[(g["_side"] == 0) & g[on].isin(keys)]
+        member = g[on].isin(keys)
+        out = g[(g["_side"] == 0) & (~member if anti else member)]
         out = out.drop(columns=["_part", "_side"])
         # the union null-filled left payload columns for right-side
         # rows, upcasting e.g. int64 -> float64 for EVERY row (>2^53
@@ -258,8 +305,18 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # name and null-fills; exact_part restores the left dtypes after
     # dropping the right-side rows
     from .exchange import exchange_map_groups
-    return exchange_map_groups(lf.union(rk), "_part", nparts, exact_part,
-                               keep_part_col=True)
+    checked = exchange_map_groups(lf.union(rk), "_part", nparts, exact_part,
+                                  keep_part_col=True)
+    if not anti:
+        return checked
+    # anti: Bloom-negatives are definite keeps -- second streamed pass,
+    # no exchange hop for the (typically dominant) non-member mass
+    def passthrough(b: pd.DataFrame) -> pd.DataFrame:
+        bf = fetch_broadcast(bloom_ref)
+        return b[~bf.might_contain(b[on].to_numpy(dtype=np.int64))]
+
+    neg = left.map_batches(passthrough, batch_format="pandas")
+    return neg.union(checked)
 
 
 @ray.remote

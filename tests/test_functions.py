@@ -988,3 +988,39 @@ def test_embedding_near_dup_planted_is_exact_pair_set():
     want = ids[ids % 50 == 0].sort_values().to_numpy()
     assert got["id_a"].to_numpy().tolist() == want.tolist()
     assert (got["id_b"].to_numpy() == want + PLANT_OFFSET).all()
+
+
+def test_auto_semi_join_gates_and_anti_bloom_exact():
+    """auto_semi_join must pick broadcast under the key threshold and
+    the Bloom path above it, with EXACT results for both polarities on
+    both paths (anti via Bloom: negatives pass through, positives get
+    the exact membership drop)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages import joins
+    rng = np.random.default_rng(23)
+    keys = rng.choice(50_000, size=3_000, replace=False).astype(np.int64)
+    left_df = pd.DataFrame({
+        "k": rng.integers(0, 50_000, size=20_000).astype(np.int64),
+        "v": np.arange(20_000)})
+    left = ray.data.from_pandas(left_df)
+    right = ray.data.from_pandas(pd.DataFrame({"rk": keys}))
+    ks = set(keys.tolist())
+    want_semi = left_df[left_df["k"].isin(ks)]
+    want_anti = left_df[~left_df["k"].isin(ks)]
+    cols = ["k", "v"]
+
+    def runs(threshold):
+        out = {}
+        for anti, want in [(False, want_semi), (True, want_anti)]:
+            got = joins.auto_semi_join(
+                left, right, on="k", right_on="rk", anti=anti,
+                broadcast_threshold_keys=threshold).to_pandas()
+            pd.testing.assert_frame_equal(
+                got[cols].sort_values(cols, ignore_index=True),
+                want[cols].sort_values(cols, ignore_index=True))
+            out[anti] = joins.LAST_SEMI_JOIN_PATH
+        return out
+
+    assert runs(threshold=1_000_000) == {False: "broadcast", True: "broadcast"}
+    # force the at-scale path the way auto_join's partitioned path is
+    assert runs(threshold=10) == {False: "bloom", True: "bloom"}
