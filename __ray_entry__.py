@@ -138,7 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontaminate": similarity.semantic_decontaminate,
         "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
         "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
-        # --- multimodal plumbing (decode stubbed; Ray side real) ---
+        # --- multimodal: REAL pure-numpy BMP/PNG codec on images
+        # (value-gated); audio/video decode stays the loud stub, so the
+        # all-kinds fake-decoder pipelines remain rows-only ---
+        "media_image_features": multimodal.media_image_features,
+        "media_image_resized": multimodal.media_image_resized,
         "multimodal_features": multimodal.multimodal_features,   # rows-only
         "media_resized": multimodal.media_resized,               # rows-only
         "video_frame_samples": multimodal.video_frame_samples,
@@ -1209,7 +1213,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 = 2
             ORDER BY media_id, frame_idx
         """,
+        # REAL-codec image decode: payloads are genuine BMP/PNG of the
+        # deterministic grid px[y,x] = (id*7 + y*5 + x*3) % 256, so the
+        # decoded stats are the grid's stats, literally mirrored here
+        "media_image_features": """
+            WITH xs AS (SELECT unnest(range(72)) AS x),
+                 ys AS (SELECT unnest(range(56)) AS y),
+            px AS (
+              SELECT d.doc_id AS media_id,
+                     CAST(d.doc_id % 64 + 8 AS BIGINT) AS width,
+                     CAST(d.doc_id % 48 + 8 AS BIGINT) AS height,
+                     (d.doc_id * 7 + ys.y * 5 + xs.x * 3) % 256 AS v
+              FROM documents d
+              JOIN ys ON ys.y < d.doc_id % 48 + 8
+              JOIN xs ON xs.x < d.doc_id % 64 + 8
+              WHERE d.doc_id % 3 = 0)
+            SELECT media_id, width, height,
+                   COUNT(*) AS n_px,
+                   CAST(SUM(v) AS BIGINT) AS pixel_sum,
+                   CAST(MIN(v) AS BIGINT) AS pixel_min,
+                   CAST(MAX(v) AS BIGINT) AS pixel_max
+            FROM px GROUP BY media_id, width, height ORDER BY media_id
+        """,
+        # decode -> nearest-neighbor resize to 16x12: resized[ty,tx] =
+        # grid((ty*h)//12, (tx*w)//16) -- the index math in SQL
+        "media_image_resized": """
+            WITH txs AS (SELECT unnest(range(16)) AS tx),
+                 tys AS (SELECT unnest(range(12)) AS ty)
+            SELECT d.doc_id AS media_id,
+                   CAST(16 AS BIGINT) AS width,
+                   CAST(12 AS BIGINT) AS height,
+                   CAST(SUM((d.doc_id * 7
+                             + ((tys.ty * (d.doc_id % 48 + 8)) // 12) * 5
+                             + ((txs.tx * (d.doc_id % 64 + 8)) // 16) * 3)
+                            % 256) AS BIGINT) AS pixel_sum
+            FROM documents d CROSS JOIN txs CROSS JOIN tys
+            WHERE d.doc_id % 3 = 0
+            GROUP BY d.doc_id ORDER BY media_id
+        """,
         # rows-only (non-SQL-expressible): ann_topk_lsh / ann_topk_ivf
         # (approximate by construction; recall vs brute is pytest-gated),
-        # multimodal_features (stubbed decoder's blake2b+RNG features)
+        # multimodal_features / media_resized (all-kinds fake-decoder
+        # plumbing variants; the image REAL-codec paths above are the
+        # value-gated ones)
     }

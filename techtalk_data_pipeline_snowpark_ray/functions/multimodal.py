@@ -1,20 +1,26 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool map_batches stages.
 
-The container has no image/audio codecs (PIL/cv2/torchaudio are
-unavailable), so the DECODE step is stubbed exactly as mandated: a
-clearly-marked real-decoder path raising NotImplementedError plus a
-deterministic fake decoder. Everything Ray-side is real and tested:
-the media schema, binary-column batching (kept in `pyarrow` batch
-format -- binary round-trips poorly through pandas), per-actor decoder
-initialization, feature-extract output layout, and frame sampling.
+The IMAGE decode step is REAL: synthetic media rows carry genuine
+BMP/PNG grayscale-8 payloads and `MediaDecoder(use_real_codec=True)`
+decodes them with the engine's pure-numpy codec
+(`functions/imagecodec.py` -- the container has no PIL/cv2, so the
+engine carries its own). Audio/video decode remains the loudly-stubbed
+boundary (NotImplementedError, never silent fakes); the deterministic
+fake decoder (`use_real_codec=False`) stays for plumbing tests across
+all kinds.
 
 Schema:  media(media_id:int64, kind:string{image,audio,video},
                payload:binary, width:int32, height:int32, n_frames:int32)
 
+Image pixels are a deterministic SQL-expressible function of the id:
+``px[y, x] = (media_id*7 + y*5 + x*3) % 256`` -- so decode -> resize ->
+feature values are value-checkable against a DuckDB oracle
+(`media_image_features` / `media_image_resized`).
+
 Scale notes: binary payloads dominate bytes, so stages run with SMALL
 batch_size (payload bytes, not row count, size the batch) and the
-decode pool is an actor pool (model/codec init once per actor).
+decode pool is an actor pool (codec init once per actor).
 """
 
 from __future__ import annotations
@@ -38,49 +44,74 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
+def synth_image(media_id: int, width: int, height: int) -> np.ndarray:
+    """The deterministic pixel grid behind every synthetic image --
+    mirrored literally by the SQL oracle."""
+    y, x = np.mgrid[0:height, 0:width]
+    return ((media_id * 7 + y * 5 + x * 3) % 256).astype(np.uint8)
+
+
 def synth_media_batch(t: pa.Table) -> pa.Table:
-    """Deterministic media rows derived from documents (doc text bytes
-    stand in for encoded payloads)."""
+    """Deterministic media rows derived from documents. Image rows
+    (media_id % 3 == 0) carry REAL encoded BMP/PNG payloads of the
+    synth_image grid (alternating by id, exercising both decoders);
+    audio/video rows keep doc text bytes as opaque stand-in payloads."""
+    from .imagecodec import encode_bmp_gray8, encode_png_gray8
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     text = t["text"].to_pylist()
-    kind = [KINDS[int(i) % 3] for i in ids]
-    payload = [s.encode("utf-8") if s else b"" for s in text]
+    widths = (ids % 64 + 8).astype(np.int32)
+    heights = (ids % 48 + 8).astype(np.int32)
+    kind, payload = [], []
+    for i, mid in enumerate(ids):
+        k = KINDS[int(mid) % 3]
+        kind.append(k)
+        if k == "image":
+            img = synth_image(int(mid), int(widths[i]), int(heights[i]))
+            enc = encode_bmp_gray8 if mid % 6 == 0 else encode_png_gray8
+            payload.append(enc(img))
+        else:
+            payload.append(text[i].encode("utf-8") if text[i] else b"")
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "kind": pa.array(kind, pa.string()),
         "payload": pa.array(payload, pa.binary()),
-        "width": pa.array((ids % 64 + 8).astype(np.int32)),
-        "height": pa.array((ids % 48 + 8).astype(np.int32)),
+        "width": pa.array(widths),
+        "height": pa.array(heights),
         "n_frames": pa.array((ids % 30 + 1).astype(np.int32)),
     })
 
 
-def media_dataset(sf_dir: str) -> ray.data.Dataset:
-    import os
+def media_dataset(sf_dir: str, kinds: tuple = KINDS) -> ray.data.Dataset:
     from ..sources.tables import read_table
     docs = read_table(sf_dir, "documents", ["doc_id", "text"])
-    return docs.map_batches(synth_media_batch, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    if set(kinds) != set(KINDS):
+        import pyarrow.compute as pc
+        want = list(kinds)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["kind"], pa.array(want))),
+            batch_format="pyarrow", zero_copy_batch=True)
+    return ds
 
 
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage.
 
-    __init__ (once per actor) probes for a real codec; absent one, the
-    deterministic fake decoder is used so the Ray-side plumbing stays
-    real and testable. `self.decoded_batches` proves per-actor reuse.
+    __init__ (once per actor) binds the codec; `use_real_codec=True`
+    decodes image payloads with the engine's pure-numpy BMP/PNG codec
+    and FAILS LOUDLY (NotImplementedError) on audio/video kinds, whose
+    codecs are the genuinely-stubbed boundary -- never a silent fake.
+    `use_real_codec=False` is the deterministic fake decoder for
+    plumbing tests across all kinds. `self.decoded_batches` proves
+    per-actor reuse.
     """
 
     def __init__(self, use_real_codec: bool = False):
         self.use_real_codec = use_real_codec
         if use_real_codec:
-            try:
-                import PIL.Image  # noqa: F401
-                self._codec = "pillow"
-            except ImportError as e:
-                raise NotImplementedError(
-                    "real image decode requires a codec library (PIL/cv2), "
-                    "not available in this environment") from e
+            from .imagecodec import decode_image
+            self._decode_image = decode_image      # codec bound once/actor
         self.decoded_batches = 0
 
     @staticmethod
@@ -92,31 +123,51 @@ class MediaDecoder:
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, size=(height, width), dtype=np.uint8)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _decode(self, kind: str, payload: bytes, width: int,
+                height: int) -> np.ndarray:
         if self.use_real_codec:
-            # the codec LIBRARY may exist, but the real decode kernel is
-            # the deliberately-stubbed boundary -- fail loudly rather
-            # than silently returning fake features as real ones
-            raise NotImplementedError(
-                "real codec decode is the stubbed boundary; only the "
-                "deterministic fake decoder is implemented")
+            if kind != "image":
+                raise NotImplementedError(
+                    f"real {kind} decode needs a codec library; only the "
+                    "image (BMP/PNG) codec is implemented -- filter to "
+                    "kind == 'image' or use the fake decoder")
+            return self._decode_image(payload)
+        return self._fake_decode(payload, width, height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         self.decoded_batches += 1
         ids = batch["media_id"].to_numpy(zero_copy_only=False)
         widths = batch["width"].to_numpy(zero_copy_only=False)
         heights = batch["height"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        means = np.empty(len(ids), dtype=np.float64)
-        stds = np.empty(len(ids), dtype=np.float64)
-        n_bytes = np.empty(len(ids), dtype=np.int64)
+        n = len(ids)
+        means = np.empty(n, dtype=np.float64)
+        stds = np.empty(n, dtype=np.float64)
+        n_bytes = np.empty(n, dtype=np.int64)
+        n_px = np.empty(n, dtype=np.int64)
+        psum = np.empty(n, dtype=np.int64)
+        pmin = np.empty(n, dtype=np.int64)
+        pmax = np.empty(n, dtype=np.int64)
         for i, p in enumerate(payloads):   # per-item decode is inherent;
-            img = self._fake_decode(p, int(widths[i]), int(heights[i]))
+            img = self._decode(kinds[i], p, int(widths[i]), int(heights[i]))
             means[i] = float(img.mean())   # the kernel itself is numpy
             stds[i] = float(img.std())
             n_bytes[i] = len(p)
+            n_px[i] = img.size
+            psum[i] = int(img.sum(dtype=np.int64))
+            pmin[i] = int(img.min())
+            pmax[i] = int(img.max())
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
+            "width": pa.array(widths.astype(np.int64)),
+            "height": pa.array(heights.astype(np.int64)),
             "n_bytes": pa.array(n_bytes),
+            "n_px": pa.array(n_px),
+            "pixel_sum": pa.array(psum),
+            "pixel_min": pa.array(pmin),
+            "pixel_max": pa.array(pmax),
             "feat_mean": pa.array(np.round(means, 6)),
             "feat_std": pa.array(np.round(stds, 6)),
         })
@@ -126,7 +177,8 @@ class MediaResizer(MediaDecoder):
     """Actor-pool resize stage: decode -> nearest-neighbor resample to
     a fixed target grid -> re-emit as a binary column (the standard
     normalize-dimensions step before batched model inference). Reuses
-    the decoder lifecycle (codec probe once per actor); the resample
+    the decoder lifecycle (codec bound once per actor, same loud-fail
+    guard for non-image kinds under the real codec); the resample
     itself is one vectorized fancy-index per item, no Python pixel
     loops. Output payloads are target_w*target_h bytes, so downstream
     batches are uniformly sized -- the property batched inference
@@ -141,17 +193,18 @@ class MediaResizer(MediaDecoder):
         self.decoded_batches += 1
         widths = batch["width"].to_numpy(zero_copy_only=False)
         heights = batch["height"].to_numpy(zero_copy_only=False)
+        kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
         out = []
         checks = np.empty(len(payloads), dtype=np.int64)
         for i, p in enumerate(payloads):
-            img = self._fake_decode(p, int(widths[i]), int(heights[i]))
+            img = self._decode(kinds[i], p, int(widths[i]), int(heights[i]))
             # nearest-neighbor index grids (vectorized resample)
             yi = (np.arange(self.th) * img.shape[0]) // self.th
             xi = (np.arange(self.tw) * img.shape[1]) // self.tw
             r = img[np.ix_(yi, xi)]
             out.append(r.tobytes())
-            checks[i] = int(r.sum())
+            checks[i] = int(r.sum(dtype=np.int64))
         return pa.table({
             "media_id": batch["media_id"],
             "kind": batch["kind"],
@@ -164,16 +217,50 @@ class MediaResizer(MediaDecoder):
 
 def media_resized(sf_dir: str, target_w: int = 16,
                   target_h: int = 12) -> ray.data.Dataset:
-    """End-to-end resize pipeline: synth media -> actor-pool decode +
-    nearest-neighbor resize to (target_w x target_h). Deterministic
-    (payload-digest-seeded fake decode); rows-only oracle, exactness
-    pinned by pytest."""
+    """End-to-end resize pipeline over ALL kinds: synth media ->
+    actor-pool decode + nearest-neighbor resize to (target_w x
+    target_h). Fake decoder (audio/video have no real codec);
+    deterministic; rows-only oracle, exactness pinned by pytest."""
     media = media_dataset(sf_dir)
     return media.map_batches(
         MediaResizer, batch_format="pyarrow", batch_size=512,
         concurrency=2, zero_copy_batch=True,
         fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h,
                                    use_real_codec=False)).sort("media_id")
+
+
+def media_image_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL-codec image pipeline: BMP/PNG payloads decode through the
+    pure-numpy codec and emit integer pixel stats -- value-checkable in
+    SQL because the pixel grid is (id*7 + y*5 + x*3) % 256."""
+    media = media_dataset(sf_dir, kinds=("image",))
+    feats = media.map_batches(
+        MediaDecoder, batch_format="pyarrow", batch_size=512,
+        concurrency=2, zero_copy_batch=True,
+        fn_constructor_kwargs=dict(use_real_codec=True))
+    return feats.select_columns(["media_id", "width", "height", "n_px",
+                                 "pixel_sum", "pixel_min", "pixel_max"]) \
+        .sort("media_id")
+
+
+def media_image_resized(sf_dir: str, target_w: int = 16,
+                        target_h: int = 12) -> ray.data.Dataset:
+    """REAL-codec decode -> nearest-neighbor resize; the resized pixel
+    sum is SQL-expressible ((ty*h)//th, (tx*w)//tw index math on the
+    synthetic grid), so the whole decode->resize path is value-gated."""
+    media = media_dataset(sf_dir, kinds=("image",))
+    res = media.map_batches(
+        MediaResizer, batch_format="pyarrow", batch_size=512,
+        concurrency=2, zero_copy_batch=True,
+        fn_constructor_kwargs=dict(target_w=target_w, target_h=target_h,
+                                   use_real_codec=True))
+    return res.map_batches(
+        lambda t: pa.table({
+            "media_id": t["media_id"],
+            "width": pa.compute.cast(t["width"], pa.int64()),
+            "height": pa.compute.cast(t["height"], pa.int64()),
+            "pixel_sum": t["pixel_sum"]}),
+        batch_format="pyarrow", zero_copy_batch=True).sort("media_id")
 
 
 def frame_sample_batch(t: pa.Table, every_k: int = 5) -> pa.Table:
@@ -191,8 +278,10 @@ def frame_sample_batch(t: pa.Table, every_k: int = 5) -> pa.Table:
 
 
 def multimodal_features(sf_dir: str) -> ray.data.Dataset:
-    """End-to-end media pipeline: synth media table -> actor-pool decode
-    + feature extraction. Deterministic; rows-only oracle."""
+    """End-to-end media pipeline over ALL kinds: synth media table ->
+    actor-pool decode + feature extraction with the fake decoder
+    (audio/video have no real codec). Deterministic; rows-only oracle.
+    The image-only REAL-codec variant is `media_image_features`."""
     media = media_dataset(sf_dir)
     return media.map_batches(MediaDecoder, batch_format="pyarrow",
                              batch_size=512,      # payload-sized batches

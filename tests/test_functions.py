@@ -195,9 +195,92 @@ def test_multimodal_features_deterministic_and_complete():
     assert (a["n_bytes"] > 0).all()
 
 
-def test_multimodal_real_codec_stub_raises():
+def test_multimodal_real_codec_images_and_loud_stub():
+    """The real codec decodes image payloads (pure-numpy BMP/PNG) and
+    fails LOUDLY on audio/video kinds -- both for the decoder and the
+    resizer (the shared _decode guard: no silent fake-as-real)."""
+    media = multimodal.media_dataset(SF_TINY).to_pandas()
+    img_row = media[media["kind"] == "image"].iloc[0]
+    aud = media[media["kind"] == "audio"].head(1)
+    img_tbl = pa.Table.from_pandas(
+        media[media["kind"] == "image"].head(3), preserve_index=False)
+    aud_tbl = pa.Table.from_pandas(aud, preserve_index=False)
+    dec = multimodal.MediaDecoder(use_real_codec=True)
+    feats = dec(img_tbl).to_pandas()
+    mid, w, h = (int(img_row["media_id"]), int(img_row["width"]),
+                 int(img_row["height"]))
+    want = multimodal.synth_image(mid, w, h)
+    r = feats[feats["media_id"] == mid].iloc[0]
+    assert r["pixel_sum"] == int(want.sum(dtype=np.int64))
+    assert r["n_px"] == want.size
     with pytest.raises(NotImplementedError, match="codec"):
-        multimodal.MediaDecoder(use_real_codec=True)
+        dec(aud_tbl)
+    with pytest.raises(NotImplementedError, match="codec"):
+        multimodal.MediaResizer(use_real_codec=True)(aud_tbl)
+
+
+def test_imagecodec_roundtrip_and_all_png_filters():
+    import struct
+    import zlib
+
+    from techtalk_data_pipeline_snowpark_ray.functions import imagecodec as ic
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(23, 17), dtype=np.uint8)
+    assert (ic.decode_bmp(ic.encode_bmp_gray8(img)) == img).all()
+    assert (ic.decode_png(ic.encode_png_gray8(img)) == img).all()
+    assert (ic.decode_image(ic.encode_bmp_gray8(img)) == img).all()
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        ic.decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    # hand-filter a PNG with every filter type; decode must invert all
+    h, w = img.shape
+    raw = np.zeros((h, w + 1), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        f = y % 5
+        raw[y, 0] = f
+        cur = img[y].astype(np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur.copy()
+            enc[1:] = (cur[1:] - cur[:-1]) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            enc = np.empty(w, np.int64)
+            for x in range(w):
+                left = cur[x - 1] if x else 0
+                enc[x] = (cur[x] - (left + prev[x]) // 2) % 256
+        else:
+            enc = np.empty(w, np.int64)
+            for x in range(w):
+                a = cur[x - 1] if x else 0
+                b, c = prev[x], (prev[x - 1] if x else 0)
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                enc[x] = (cur[x] - pred) % 256
+        raw[y, 1:] = enc.astype(np.uint8)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (ic._PNG_MAGIC + ic._png_chunk(b"IHDR", ihdr)
+           + ic._png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+           + ic._png_chunk(b"IEND", b""))
+    assert (ic.decode_png(png) == img).all()
+
+
+def test_media_image_features_match_grid():
+    """Real-codec pipeline end-to-end: every image's decoded stats must
+    equal the synthetic grid's (both BMP and PNG ids)."""
+    out = multimodal.media_image_features(SF_TINY).to_pandas()
+    assert len(out) > 0
+    for _, r in out.head(8).iterrows():
+        want = multimodal.synth_image(int(r["media_id"]),
+                                      int(r["width"]), int(r["height"]))
+        assert r["pixel_sum"] == int(want.sum(dtype=np.int64))
+        assert r["pixel_min"] == int(want.min())
+        assert r["pixel_max"] == int(want.max())
 
 
 def test_media_resize_exact_and_deterministic():
