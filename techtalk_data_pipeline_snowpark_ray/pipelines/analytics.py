@@ -65,8 +65,21 @@ def agg_partitions() -> int:
 
 
 
+#: partial-row count above which small_groupby switches its merge from
+#: the driver to the routed exchange -- the guard that keeps a misuse
+#: with an unbounded key (per-order, per-doc) from becoming a driver
+#: memory bomb
+DRIVER_MERGE_MAX_ROWS = 200_000
+
+#: last merge strategy chosen by small_groupby ("driver" | "exchange"),
+#: recorded for tests/observability
+LAST_GROUPBY_PATH: str | None = None
+
+
 def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
-                  batch_size: int | None = None) -> pd.DataFrame:
+                  batch_size: int | None = None,
+                  driver_merge_max_rows: int = DRIVER_MERGE_MAX_ROWS
+                  ) -> pd.DataFrame:
     """Grouped aggregate for BOUNDED group cardinality (dimension-like
     keys: segments, nations, event types): one vectorized pandas
     partial per batch (<= n_groups rows each) and a tiny driver merge.
@@ -75,12 +88,21 @@ def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
     aggregator actors per call -- ~7s of pure startup to reduce a few
     thousand rows to 5 groups (measured). Partial+merge ships
     n_groups x n_blocks rows total, which for bounded n_groups stays
-    O(small) at any corpus size; unbounded keys (per-order, per-doc)
-    must keep a partitioned reduce instead (see dq_overpaid_orders).
+    O(small) at any corpus size.
+
+    CARDINALITY GUARD: the partials are MEASURED before merging; past
+    `driver_merge_max_rows` the merge runs as a key-hash-routed
+    exchange (each key wholly in one partition, one vectorized merge
+    per partition) instead of on the driver -- so a call with an
+    unbounded key degrades to the distributed reduce rather than a
+    driver memory bomb. (The result itself is then per-key-sized;
+    callers wanting a Dataset back for truly huge outputs should use
+    the exchange directly, e.g. dq_overpaid_orders.)
 
     agg_spec: {out_col: (src_col, fn)} with fn in
     {"sum", "count", "max", "min"}; count merges as sum of partials.
     """
+    global LAST_GROUPBY_PATH
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -96,13 +118,33 @@ def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
         return pd.concat([key_frame] + [c.to_frame() for c in cols.values()],
                          axis=1)
 
-    parts = ds.map_batches(partial, batch_format="pandas",
-                           batch_size=batch_size).to_pandas()
     merge_fn = {out: ("sum" if fn == "count" else fn)
                 for out, (_src, fn) in agg_spec.items()}
-    g = parts.groupby(keys, sort=False, as_index=False)
-    out = g.agg(**{out: (out, fn) for out, fn in merge_fn.items()})
-    return out
+
+    def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, as_index=False)
+        return g.agg(**{out: (out, fn) for out, fn in merge_fn.items()})
+
+    parts_ds = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size).materialize()
+    if parts_ds.count() <= driver_merge_max_rows:
+        LAST_GROUPBY_PATH = "driver"
+        return merge_frame(parts_ds.to_pandas())
+
+    LAST_GROUPBY_PATH = "exchange"
+    nparts = agg_partitions()
+
+    def route(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        # deterministic row hash of the key columns (stable across
+        # worker processes), so every key lands wholly in one partition
+        h = pd.util.hash_pandas_object(b[keys], index=False).to_numpy()
+        b["_part"] = (h % np.uint64(nparts)).astype(np.int32)
+        return b
+
+    routed = parts_ds.map_batches(route, batch_format="pandas")
+    return exchange_map_groups(routed, "_part", nparts,
+                               merge_frame).to_pandas()
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:

@@ -1107,3 +1107,27 @@ def test_auto_semi_join_gates_and_anti_bloom_exact():
     assert runs(threshold=1_000_000) == {False: "broadcast", True: "broadcast"}
     # force the at-scale path the way auto_join's partitioned path is
     assert runs(threshold=10) == {False: "bloom", True: "bloom"}
+
+
+def test_small_groupby_cardinality_guard_engages():
+    """A high-cardinality key must flip small_groupby's merge from the
+    driver to the routed exchange, with identical results."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"k": rng.integers(0, 5_000, size=30_000).astype(np.int64),
+                       "v": rng.integers(0, 100, size=30_000).astype(np.int64)})
+    chunks = [df.iloc[i::6].reset_index(drop=True) for i in range(6)]
+    ds = ray.data.from_pandas(chunks)
+    spec = {"n": ("v", "count"), "sum_v": ("v", "sum"), "max_v": ("v", "max")}
+    want = df.groupby("k", as_index=False).agg(
+        n=("v", "size"), sum_v=("v", "sum"), max_v=("v", "max"))
+
+    a = analytics.small_groupby(ds, "k", spec)
+    assert analytics.LAST_GROUPBY_PATH == "driver"
+    b = analytics.small_groupby(ds, "k", spec, driver_merge_max_rows=10)
+    assert analytics.LAST_GROUPBY_PATH == "exchange"
+    for got in (a, b):
+        got = got.sort_values("k", ignore_index=True).astype("int64")
+        pd.testing.assert_frame_equal(
+            got, want.sort_values("k", ignore_index=True).astype("int64"))
