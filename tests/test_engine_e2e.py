@@ -1149,3 +1149,100 @@ def test_all_invalid_segment_advances_offset(tmp_path):
     assert res.manifest.committed_seq >= 0
     assert ingest.apply_tick(cfg) is None     # consumed: no stall loop
     assert ingest.snapshot_to_pandas(cfg).empty
+
+
+# -- multi-table DAG runner (X1-X3: Node/>>, dedup-by-deepest, evaluate) ----
+
+def test_dag_runner_order_dedup_by_deepest_and_cycles():
+    from techtalk_data_pipeline_snowpark_ray.pipelines.dag import (
+        DagRunner, Step)
+    ran = []
+
+    def mk(name):
+        return lambda ctx: ran.append(name)
+
+    # the reference's fan shape: root -> 4 ingests -> 3 shared analytics;
+    # each analytics node reachable from several branches runs ONCE,
+    # after ALL ingests (maxDeptPerNode semantics)
+    steps = [Step(f"ing{i}", mk(f"ing{i}")) for i in range(4)]
+    steps += [Step(a, mk(a), depends_on=("ing0", "ing1", "ing2", "ing3"))
+              for a in ("dq", "amex", "top30")]
+    r = DagRunner(steps)
+    assert r.order() == ["ing0", "ing1", "ing2", "ing3",
+                         "dq", "amex", "top30"]
+    r.evaluate()
+    assert ran.index("dq") > max(ran.index(f"ing{i}") for i in range(4))
+
+    with pytest.raises(ValueError, match="cycle"):
+        DagRunner([Step("a", mk("a"), depends_on=("b",)),
+                   Step("b", mk("b"), depends_on=("a",))])
+    with pytest.raises(ValueError, match="duplicate"):
+        DagRunner([Step("a", mk("a")), Step("a", mk("a"))])
+    with pytest.raises(ValueError, match="unknown"):
+        DagRunner([Step("a", mk("a"), depends_on=("zz",))])
+
+
+def test_dag_runner_two_ingests_one_analytics_exactly_once(tmp_path):
+    """The reference fan-in (2 ingests -> 1 derived analytics) driven
+    continuously by the DAG runner, with exactly-once intact: draining
+    ticks apply each WAL delta once; idle passes change nothing; new
+    WAL segments are picked up by the next pass."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    from techtalk_data_pipeline_snowpark_ray.pipelines.dag import (
+        DagContext, DagRunner, Step, ingest_step)
+
+    cfgs = {}
+    for t in ("ta", "tb"):
+        cfgs[t] = EngineConfig(table_dir=str(tmp_path / t / "table"),
+                               wal_dir=str(tmp_path / t / "wal"),
+                               num_buckets=4)
+        cfgs[t].ensure_dirs()
+    write_wal(GenSpec(n_events=800, n_conversations=30, seed=7),
+              cfgs["ta"].wal_dir, segment_rows=400)
+    write_wal(GenSpec(n_events=600, n_conversations=20, seed=8),
+              cfgs["tb"].wal_dir, segment_rows=300)
+
+    analytics_runs = []
+
+    def derived(ctx: DagContext):
+        # runs after BOTH ingests; None (idle) when neither advanced
+        if ctx.results["ing_a"] is None and ctx.results["ing_b"] is None:
+            return None
+        na = len(ingest.snapshot_to_pandas(cfgs["ta"]))
+        nb = len(ingest.snapshot_to_pandas(cfgs["tb"]))
+        analytics_runs.append((na, nb))
+        return {"total_rows": na + nb}
+
+    dag = DagRunner([
+        ingest_step("ing_a", cfgs["ta"]),
+        ingest_step("ing_b", cfgs["tb"]),
+        Step("conv_totals", derived, depends_on=("ing_a", "ing_b")),
+    ])
+    passes = dag.run_continuous(interval_s=0.01, stop_when_idle=True)
+    # drains both WALs (2 segments each) then one fully-idle pass
+    assert all(v is None for v in passes[-1].results.values())
+    assert len(analytics_runs) >= 1
+    final_a = wal_oracle(cfgs["ta"].wal_dir)
+    final_b = wal_oracle(cfgs["tb"].wal_dir)
+    last = [p.results["conv_totals"] for p in passes
+            if p.results["conv_totals"] is not None][-1]
+    assert last["total_rows"] == len(final_a) + len(final_b)
+    # exactly-once under re-evaluation: another full pass is a no-op
+    again = dag.evaluate()
+    assert all(v is None for v in again.results.values())
+    assert ingest.snapshot_to_pandas(cfgs["ta"]).equals(
+        wal_oracle(cfgs["ta"].wal_dir).astype(
+            ingest.snapshot_to_pandas(cfgs["ta"]).dtypes.to_dict()))
+    # late-arriving WAL (lsn-shifted past the first batch): the same
+    # DAG picks up the new delta
+    w2 = WalWriter(cfgs["ta"].wal_dir, segment_rows=200)
+    for t, v in generate_chunks(GenSpec(n_events=200, n_conversations=30,
+                                        seed=9)):
+        t = t.set_column(t.schema.get_field_index("lsn"), "lsn",
+                         pa.compute.add(t["lsn"], 10_000_000))
+        w2.append(t, v)
+    w2.close()
+    more = dag.run_continuous(interval_s=0.01, stop_when_idle=True)
+    assert any(p.results["ing_a"] is not None for p in more)
+    assert len(ingest.snapshot_to_pandas(cfgs["ta"])) == \
+        len(wal_oracle(cfgs["ta"].wal_dir))
