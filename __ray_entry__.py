@@ -4,12 +4,14 @@
 every implemented operator/pipeline from SURVEY.md §2 (plus the
 training-data extensions) to a callable over an sf_dir;
 ``oracle_sql()`` gives the DuckDB-equivalent SQL for the value-hash
-correctness gate. Only four entries are rows-only (genuinely
-non-SQL-expressible): the approximate ANN variants (LSH/IVF, gated by
-recall pytests against the oracle-checked brute force) and the
-stubbed-codec multimodal features/resize. Everything else -- including the
-sketches (portable md5 fingerprint/SimHash), splits, packing,
-curation, and all CDC paths -- is value-hash-checked.
+correctness gate. Only three entries are rows-only (genuinely
+non-SQL-expressible): the Lloyd-trained IVF variant (recall
+pytest-gated; the seeded-LSH and fixed-centroid-IVF ANN queries are
+value-gated via 1:1 SQL mirrors of the approximation) and the two
+all-kinds fake-decoder multimodal plumbing variants (the REAL-codec
+image decode/resize queries are value-gated). Everything else --
+including the sketches (portable md5 fingerprint/SimHash), splits,
+packing, curation, and all CDC paths -- is value-hash-checked.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ray.init()/ray.shutdown() here or in the library.
@@ -34,6 +36,16 @@ _CENTS = "CAST(FLOOR(({x}) * 100 + 0.5) AS BIGINT)"
 
 def _c(x: str) -> str:
     return _CENTS.format(x=x)
+
+
+def _lsh_plane_values(dim: int = 64, n_planes: int = 4) -> str:
+    """The ann_topk_lsh hyperplane matrix (same seeded rng as the
+    engine) as SQL VALUES literals -- repr round-trips float64 exactly,
+    so the oracle's signatures equal the engine's bit for bit."""
+    import numpy as np
+    H = np.random.default_rng(97).standard_normal((dim, n_planes))
+    return ",".join(f"({i},{j},{H[i, j]!r})"
+                    for i in range(dim) for j in range(n_planes))
 
 
 def _curation_pipeline(sf_dir: str) -> Any:
@@ -136,8 +148,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": similarity.embedding_near_dup,
         "embedding_near_dup_lsh": similarity.embedding_near_dup_planted,
         "semantic_decontaminate": similarity.semantic_decontaminate,
-        "ann_topk_lsh": similarity.ann_topk_lsh,           # rows-only
-        "ann_topk_ivf": similarity.ann_topk_ivf,           # rows-only
+        # approximate ANN, value-gated: the deterministic approximation
+        # is mirrored 1:1 in SQL (seeded hyperplane literals / fixed
+        # corpus-vector IVF centroids)
+        "ann_topk_lsh": similarity.ann_topk_lsh,
+        "ann_topk_ivf": similarity.ann_topk_ivf,
+        "ann_topk_ivf_lloyd": similarity.ann_topk_ivf_lloyd,  # rows-only
         # --- multimodal: REAL pure-numpy BMP/PNG codec on images
         # (value-gated); audio/video decode stays the loud stub, so the
         # all-kinds fake-decoder pipelines remain rows-only ---
@@ -1251,9 +1267,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 3 = 0
             GROUP BY d.doc_id ORDER BY media_id
         """,
-        # rows-only (non-SQL-expressible): ann_topk_lsh / ann_topk_ivf
-        # (approximate by construction; recall vs brute is pytest-gated),
-        # multimodal_features / media_resized (all-kinds fake-decoder
-        # plumbing variants; the image REAL-codec paths above are the
-        # value-gated ones)
+        # approximate ANN, value-gated anyway: the approximation itself
+        # is deterministic and mirrored 1:1 in SQL -- hyperplane
+        # signatures from the same seeded plane matrix (embedded as
+        # literals below), IVF cells from fixed corpus-vector centroids
+        "ann_topk_lsh": f"""
+            WITH h(i, j, v) AS (VALUES {_lsh_plane_values()}),
+            e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+            bits AS (
+              SELECT e.vec_id, h.j,
+                     CASE WHEN SUM(e.emb[h.i + 1] * h.v) > 0
+                          THEN 1 ELSE 0 END AS b
+              FROM e CROSS JOIN h GROUP BY e.vec_id, h.j),
+            sig AS (SELECT vec_id, CAST(SUM(b * (1 << j)) AS BIGINT) AS s
+                    FROM bits GROUP BY vec_id),
+            q AS (SELECT e.vec_id AS query_id, e.emb AS qe, s.s AS qs
+                  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id < 5),
+            c AS (SELECT e.vec_id, e.emb, s.s
+                  FROM e JOIN sig s USING (vec_id) WHERE e.vec_id >= 5),
+            ranked AS (
+              SELECT q.query_id, c.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qe, c.emb),
+                                      6) DESC, c.vec_id) AS rk
+              FROM q JOIN c ON c.s = q.qs)
+            SELECT query_id, vec_id FROM ranked WHERE rk <= 10
+            ORDER BY query_id, vec_id
+        """,
+        "ann_topk_ivf": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings),
+            cent AS (SELECT vec_id - 5 AS cell, emb AS cemb
+                     FROM e WHERE vec_id >= 5 AND vec_id < 21),
+            asg AS (
+              SELECT e.vec_id, cent.cell,
+                     ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(e.emb,
+                                                             cent.cemb),
+                                      6) DESC, cent.cell) AS rn
+              FROM e CROSS JOIN cent),
+            cellof AS (SELECT vec_id, cell FROM asg WHERE rn = 1),
+            probes AS (SELECT vec_id AS query_id, cell FROM asg
+                       WHERE vec_id < 5 AND rn <= 4),
+            q AS (SELECT vec_id AS query_id, emb AS qe FROM e
+                  WHERE vec_id < 5),
+            cand AS (
+              SELECT p.query_id, co.vec_id
+              FROM probes p JOIN cellof co ON co.cell = p.cell
+              WHERE co.vec_id >= 5),
+            ranked AS (
+              SELECT cand.query_id, cand.vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY cand.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qe, e.emb),
+                                      6) DESC, cand.vec_id) AS rk
+              FROM cand JOIN q ON q.query_id = cand.query_id
+                        JOIN e ON e.vec_id = cand.vec_id)
+            SELECT query_id, vec_id FROM ranked WHERE rk <= 10
+            ORDER BY query_id, vec_id
+        """,
+        # rows-only (non-SQL-expressible): multimodal_features /
+        # media_resized (all-kinds fake-decoder plumbing variants; the
+        # image REAL-codec paths above are the value-gated ones) and
+        # ann_topk_ivf_lloyd-style trained quantizers (recall
+        # pytest-gated)
     }

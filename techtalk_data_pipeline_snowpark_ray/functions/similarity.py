@@ -237,18 +237,27 @@ def _block_pair_sims(a_tbl: pa.Table, b_tbl: pa.Table, same: bool,
 class IvfTopK(BatchTopK):
     """IVF (inverted-file) ANN: vectors quantize to their nearest
     coarse centroid; a query scores ONLY vectors whose cell is among
-    its `n_probe` nearest cells. The centroid matrix is trained once on
-    a deterministic sample and broadcast; per batch the cell assignment
-    is one matmul. This is the classic scale path when hyperplane LSH
-    prunes too weakly (near-isotropic corpora)."""
+    its `n_probe` nearest cells. The centroid matrix is broadcast once;
+    per batch the cell assignment is one matmul. This is the classic
+    scale path when hyperplane LSH prunes too weakly (near-isotropic
+    corpora).
+
+    Determinism for the SQL mirror: assignment and probe lists use
+    6-decimal-rounded cosine with cell-index tie-break (argmax takes
+    the FIRST maximal cell), matching the oracle's ROW_NUMBER order."""
 
     def __init__(self, q_ref, k: int, centroids_ref, n_probe: int):
         super().__init__(q_ref, k)
         self.C = ray.get(centroids_ref)                  # [n_cells, dim]
         Cn = self.C / np.linalg.norm(self.C, axis=1, keepdims=True)
         qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
-        # each query's probe list: its n_probe nearest cells
-        self.q_cells = np.argsort(-(qn @ Cn.T), axis=1)[:, :n_probe]
+        # each query's probe list: its n_probe nearest cells (rounded
+        # sims, ties -> smaller cell index)
+        sims = np.round(qn @ Cn.T, 6)
+        n_cells = Cn.shape[0]
+        self.q_cells = np.stack([
+            np.lexsort((np.arange(n_cells), -sims[j]))[:n_probe]
+            for j in range(len(qn))])
         self._Cn = Cn
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -261,7 +270,8 @@ class IvfTopK(BatchTopK):
         if len(ids) == 0:
             return empty
         Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        cell = np.argmax(Xn @ self._Cn.T, axis=1)        # [n]
+        # rounded sims; argmax = first maximum = smaller cell on ties
+        cell = np.argmax(np.round(Xn @ self._Cn.T, 6), axis=1)   # [n]
         rows = [empty]
         for j, qid in enumerate(self.q_ids):
             cand = np.isin(cell, self.q_cells[j])
@@ -304,9 +314,48 @@ def _train_centroids(sf_dir: str, n_cells: int, sample_rows: int = 4096,
     return C
 
 
+def _fixed_centroids(sf_dir: str, n_cells: int) -> np.ndarray:
+    """Deterministic non-trained coarse centroids: the first `n_cells`
+    corpus vectors after the queries (vec_id in [N_QUERIES, N_QUERIES +
+    n_cells)). Being actual table rows, the quantizer is expressible in
+    SQL over the same parquet -- which makes the WHOLE approximate IVF
+    result value-oracle-checkable (the driver gate). Lloyd-trained
+    centroids (`_train_centroids` / `ann_topk_ivf_lloyd`) quantize
+    tighter when oracle-exactness can be traded for recall."""
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array((ids >= N_QUERIES)
+                                 & (ids < N_QUERIES + n_cells)))
+
+    t = _emb(sf_dir).map_batches(pick, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    df = pd.DataFrame(t).sort_values("vec_id", ignore_index=True)
+    return np.stack(df["embedding"].to_numpy()).astype(np.float64)
+
+
 def ann_topk_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
                  n_probe: int = 4) -> pd.DataFrame:
-    """Approximate top-k via IVF coarse quantization (see IvfTopK)."""
+    """Approximate top-k via IVF coarse quantization over FIXED
+    corpus-vector centroids (see IvfTopK / _fixed_centroids): fully
+    deterministic and mirrored 1:1 by the DuckDB oracle, so the
+    approximation itself is hash-gated by the driver."""
+    q_ids, Q = _query_matrix(sf_dir)
+    C = _fixed_centroids(sf_dir, n_cells)
+    q_ref = ray.put((q_ids, Q))
+    c_ref = ray.put(C)
+    parts = _emb(sf_dir).map_batches(
+        IvfTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
+        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, centroids_ref=c_ref,
+                                   n_probe=n_probe),
+        zero_copy_batch=True).to_pandas()
+    return _merge_topk(parts, k)
+
+
+def ann_topk_ivf_lloyd(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
+                       n_probe: int = 4) -> pd.DataFrame:
+    """IVF over seeded-Lloyd-trained centroids (the offline-training
+    scale path; deterministic but not SQL-expressible -- recall vs the
+    brute oracle is pytest-gated)."""
     q_ids, Q = _query_matrix(sf_dir)
     C = _train_centroids(sf_dir, n_cells)
     q_ref = ray.put((q_ids, Q))

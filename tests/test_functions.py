@@ -403,13 +403,16 @@ def test_bloom_filter_and_bloom_semi_join():
 
 
 def test_ann_ivf_deterministic_and_decent_recall():
-    a = similarity.ann_topk_ivf(SF_TINY)
-    b = similarity.ann_topk_ivf(SF_TINY)
-    pd.testing.assert_frame_equal(a, b)
     brute = similarity.ann_topk_cosine(SF_TINY)
-    recall = len(set(map(tuple, a.to_numpy())) & set(map(tuple, brute.to_numpy()))) \
-        / len(brute)
-    assert recall >= 0.3     # n_probe=4 of 16 cells on near-isotropic data
+    for fn in (similarity.ann_topk_ivf, similarity.ann_topk_ivf_lloyd):
+        a = fn(SF_TINY)
+        b = fn(SF_TINY)
+        pd.testing.assert_frame_equal(a, b)
+        recall = len(set(map(tuple, a.to_numpy()))
+                     & set(map(tuple, brute.to_numpy()))) / len(brute)
+        # n_probe=4 of 16 cells on near-isotropic data (fixed
+        # corpus-vector centroids and Lloyd-trained both)
+        assert recall >= 0.3, fn.__name__
 
 
 def test_embedding_near_dup_lsh_finds_planted_dups(tmp_path):
