@@ -1,0 +1,92 @@
+"""HTTP source connector: the literal S1-S3/S6 ingest boundary.
+
+Reference parity (`tt-dps-pipeline-rest/.../utils/HttpClientUtils.scala`):
+
+  * ``render_url``      -- `{{param}}` URL templating (`:15-22`)
+  * ``fetch_text``      -- GET returning the body string
+    (`performGetJson`, `:24-35`)
+  * ``fetch_json``      -- GET + parse (`performGet[T]`, `:37-44`)
+  * ``fetch_to_stage``  -- GET + land the payload in the stage
+    directory as an atomically-published NDJSON file
+    (`performGetAndWrite` `:59-75` + `stageRestCallFromLocal`,
+    `utils/package.scala:14-40`), from which the stage-stream tail
+    (`staged_json.list_staged_files` -> `read_staged_json`) ingests it
+    exactly once.
+
+The connector is a DRIVER-side (or per-segment Ray task) step, not a
+per-record transform: one fetch produces one staged file, and all
+heavy parsing happens downstream in the Dataset pipeline
+(`jsonops.explode_json_array`). stdlib urllib only -- works against
+http(s) endpoints and, for hermetic tests, ``file://`` URLs. Retries
+with exponential backoff on transient errors; the staged name is a
+content digest, so a retried PUT after a half-delivered fetch is a
+no-op rather than a duplicate (same rule as `stage_put`).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import time
+import urllib.request
+
+_PARAM = re.compile(r"\{\{(\w+)\}\}")
+
+
+def render_url(template: str, params: dict | None = None) -> str:
+    """`{{param}}` substitution; unknown placeholders raise (a typo'd
+    param silently fetching the literal braces is a data bug)."""
+    params = params or {}
+
+    def sub(m: re.Match) -> str:
+        k = m.group(1)
+        if k not in params:
+            raise KeyError(f"URL template parameter {{{{{k}}}}} not "
+                           f"provided (have {sorted(params)})")
+        return str(params[k])
+
+    return _PARAM.sub(sub, template)
+
+
+def fetch_text(url_template: str, params: dict | None = None,
+               timeout_s: float = 30.0, retries: int = 3,
+               backoff_s: float = 0.5) -> str:
+    """GET the rendered URL, return the body as text; exponential
+    backoff on URLError/HTTPError (the transient classes)."""
+    url = render_url(url_template, params)
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        try:
+            with urllib.request.urlopen(url, timeout=timeout_s) as r:
+                return r.read().decode("utf-8")
+        except Exception as e:                     # URLError, HTTPError, OS
+            last = e
+            if attempt < retries:
+                time.sleep(backoff_s * (2 ** attempt))
+    raise ConnectionError(
+        f"GET {url} failed after {retries + 1} attempts") from last
+
+
+def fetch_json(url_template: str, params: dict | None = None,
+               **kw) -> object:
+    """GET + json parse (the typed-bean fetch, minus the bean)."""
+    return json.loads(fetch_text(url_template, params, **kw))
+
+
+def fetch_to_stage(url_template: str, stage_dir: str, key: str,
+                   params: dict | None = None, **kw) -> str:
+    """GET the rendered URL and land the payload in the stage as one
+    atomically-published NDJSON file (one line per record when the body
+    is a JSON array, else the body verbatim). Returns the staged path;
+    downstream the normal stage-stream tail picks it up exactly once."""
+    from .staged_json import stage_put
+    body = fetch_text(url_template, params, **kw)
+    try:
+        parsed = json.loads(body)
+    except json.JSONDecodeError:
+        parsed = None
+    if isinstance(parsed, list):
+        lines = [json.dumps(rec, separators=(",", ":")) for rec in parsed]
+    else:
+        lines = [ln for ln in body.splitlines() if ln.strip()]
+    return stage_put(lines, stage_dir, key)

@@ -19,6 +19,13 @@ unconsumed so the next run re-reads the same delta. Our analogue
 Crash anywhere before the LATEST swap -> the old manifest still rules,
 the WAL offset is unchanged, replay is duplicate-free (exactly-once).
 Orphan run files are swept by :func:`gc_orphan_runs`.
+
+All filesystem operations go through the storage shim
+(:mod:`.storage`): the commit protocol's atomicity requirements
+(atomic single-object write, exactly-one-winner exclusive create) are
+stated there as an interface with a documented cloud mapping, so the
+exactly-once story survives the move from POSIX to an S3-style object
+store by swapping one object.
 """
 
 from __future__ import annotations
@@ -27,6 +34,8 @@ import json
 import os
 import uuid
 from dataclasses import dataclass, field, asdict
+
+from .storage import DEFAULT_STORAGE, LocalStorage
 
 
 @dataclass
@@ -93,12 +102,13 @@ class CommitConflict(RuntimeError):
 class TableState:
     """Manifest bookkeeping for one lake table directory."""
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, storage: "LocalStorage | None" = None):
         self.table_dir = table_dir
+        self.storage = storage or DEFAULT_STORAGE
         self.manifest_dir = os.path.join(table_dir, "_manifest")
         self.runs_dir = os.path.join(table_dir, "runs")
-        os.makedirs(self.manifest_dir, exist_ok=True)
-        os.makedirs(self.runs_dir, exist_ok=True)
+        self.storage.makedirs(self.manifest_dir)
+        self.storage.makedirs(self.runs_dir)
 
     # -- read side ---------------------------------------------------------
     def _latest_path(self) -> str:
@@ -110,20 +120,21 @@ class TableState:
         `publish`), so a reader probes FORWARD from the cached value --
         a version file's existence, not the pointer, is the truth."""
         try:
-            with open(self._latest_path()) as f:
-                v = int(f.read().strip())
+            v = int(self.storage.read_text(self._latest_path()).strip())
         except FileNotFoundError:
-            if not os.path.exists(os.path.join(self.manifest_dir, "v0.json")):
+            if not self.storage.exists(os.path.join(self.manifest_dir,
+                                                    "v0.json")):
                 return None
             v = 0
-        while os.path.exists(os.path.join(self.manifest_dir,
-                                          f"v{v + 1}.json")):
+        while self.storage.exists(os.path.join(self.manifest_dir,
+                                               f"v{v + 1}.json")):
             v += 1
         return v
 
     def load(self, version: int) -> Manifest:
-        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as f:
-            return Manifest(**json.load(f))
+        data = self.storage.read_text(
+            os.path.join(self.manifest_dir, f"v{version}.json"))
+        return Manifest(**json.loads(data))
 
     def load_latest(self) -> Manifest:
         """The committed snapshot (empty manifest when none published)."""
@@ -168,12 +179,7 @@ class TableState:
         return uuid.uuid4().hex[:12]
 
     def _atomic_write(self, path: str, data: str) -> None:
-        tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(data)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        self.storage.write_atomic(path, data)
 
     def publish(self, manifest: Manifest,
                 expected_parent: "int | None | object" = _UNSET) -> Manifest:
@@ -198,20 +204,16 @@ class TableState:
         manifest.version = 0 if expected_parent is None \
             else expected_parent + 1
         final = os.path.join(self.manifest_dir, f"v{manifest.version}.json")
-        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            f.write(json.dumps(asdict(manifest), indent=1))
-            f.flush()
-            os.fsync(f.fileno())
         try:
-            os.link(tmp, final)
+            # exactly-one-winner create (storage shim: os.link locally,
+            # conditional PUT on object stores)
+            self.storage.create_exclusive(
+                final, json.dumps(asdict(manifest), indent=1))
         except FileExistsError:
             raise CommitConflict(
                 f"manifest v{manifest.version} already committed by a "
                 f"concurrent transaction (expected parent "
                 f"{expected_parent}); reload table state and retry")
-        finally:
-            os.unlink(tmp)
         # advisory fast-path pointer; stale values are healed by the
         # probe-forward in latest_version()
         self._atomic_write(self._latest_path(), str(manifest.version))
@@ -243,15 +245,15 @@ class TableState:
                 v = m.parent
         removed = []
         cutoff = time.time() - min_age_s
-        for name in os.listdir(self.runs_dir):
+        for name in self.storage.list(self.runs_dir):
             stale_tmp = ".tmp" in name
             if (name.endswith(".parquet") or stale_tmp) \
                     and name not in referenced:
                 path = os.path.join(self.runs_dir, name)
                 try:
-                    if min_age_s and os.path.getmtime(path) > cutoff:
+                    if min_age_s and self.storage.mtime(path) > cutoff:
                         continue
-                    os.remove(path)
+                    self.storage.remove(path)
                 except FileNotFoundError:
                     continue              # lost a race with another GC
                 removed.append(name)

@@ -1246,3 +1246,53 @@ def test_dag_runner_two_ingests_one_analytics_exactly_once(tmp_path):
     assert any(p.results["ing_a"] is not None for p in more)
     assert len(ingest.snapshot_to_pandas(cfgs["ta"])) == \
         len(wal_oracle(cfgs["ta"].wal_dir))
+
+
+# -- storage shim (the commit protocol's cloud-portability contract) --------
+
+def test_storage_shim_primitives_and_commit_path(tmp_path):
+    """LocalStorage implements the documented contract (atomic write,
+    exactly-one-winner exclusive create) and EVERY manifest/commit/GC
+    operation of TableState flows through the shim -- a cloud
+    deployment swaps one object."""
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import (
+        CommitConflict, Manifest, TableState)
+    from techtalk_data_pipeline_snowpark_ray.state.storage import (
+        LocalStorage)
+
+    st = LocalStorage()
+    p = str(tmp_path / "x" / "one.txt")
+    st.makedirs(str(tmp_path / "x"))
+    st.write_atomic(p, "a")
+    st.write_atomic(p, "b")                    # overwrite is fine
+    assert st.read_text(p) == "b"
+    st.create_exclusive(p + ".v", "first")
+    with pytest.raises(FileExistsError):       # one winner only
+        st.create_exclusive(p + ".v", "second")
+    assert st.read_text(p + ".v") == "first"
+    assert "one.txt" in st.list(str(tmp_path / "x"))
+
+    class Instrumented(LocalStorage):
+        calls: list = []
+
+        def __getattribute__(self, name):
+            attr = LocalStorage.__getattribute__(self, name)
+            if callable(attr) and not name.startswith("__"):
+                def wrap(*a, **k):
+                    Instrumented.calls.append(name)
+                    return attr(*a, **k)
+                return wrap
+            return attr
+
+    ts = TableState(str(tmp_path / "tbl"), storage=Instrumented())
+    m = ts.publish(Manifest(committed_seq=0, committed_lsn=10))
+    with pytest.raises(CommitConflict):
+        ts.publish(Manifest(committed_seq=1), expected_parent=None)
+    assert ts.load_latest().committed_lsn == 10
+    (tmp_path / "tbl" / "runs" / "orphan.parquet").write_bytes(b"x")
+    assert ts.gc_orphan_runs(keep_versions=1) == ["orphan.parquet"]
+    # the shim saw the whole protocol: dirs, exclusive create, pointer
+    # write, reads, list and delete
+    for op in ("makedirs", "create_exclusive", "write_atomic",
+               "read_text", "exists", "list", "remove"):
+        assert op in Instrumented.calls, op

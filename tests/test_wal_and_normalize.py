@@ -201,3 +201,48 @@ def test_staged_json_dead_letter_quarantine(tmp_path, ray_session):
     with pytest.raises(Exception):
         s, _ = sj.read_staged_json(str(tmp_path / "strict"), quarantine=False)
         s.materialize()
+
+
+# -- HTTP source connector (S1-S3/S6: fetch -> stage landing) ---------------
+
+def test_http_fetch_templating_and_stage_landing(tmp_path):
+    """render_url substitutes {{params}} (and rejects unknowns);
+    fetch_to_stage lands a JSON-array body as one atomically-published
+    NDJSON staged file the stage-stream tail then reads exactly once.
+    Hermetic: urllib against a file:// URL."""
+    import json
+
+    import pytest
+
+    from techtalk_data_pipeline_snowpark_ray.sources import http_fetch
+    from techtalk_data_pipeline_snowpark_ray.sources.staged_json import (
+        list_staged_files)
+
+    assert http_fetch.render_url("http://h/x/{{n}}/y?q={{q}}",
+                                 {"n": 5, "q": "a b"}) == "http://h/x/5/y?q=a b"
+    with pytest.raises(KeyError, match="missing"):
+        http_fetch.render_url("http://h/{{missing}}", {})
+
+    payload = [{"event_id": i, "user_id": i % 3, "event_type": "view"}
+               for i in range(7)]
+    src = tmp_path / "resp-3.json"
+    src.write_text(json.dumps(payload))
+    stage = str(tmp_path / "stage")
+    url = "file://" + str(tmp_path) + "/resp-{{n}}.json"
+    staged = http_fetch.fetch_to_stage(url, stage, key="000001",
+                                       params={"n": 3})
+    files = list_staged_files(stage)
+    assert [f.path for f in files] == [staged]
+    lines = [json.loads(ln) for ln in open(staged) if ln.strip()]
+    assert lines == payload
+    # retried fetch of the same body republishes the SAME name (content
+    # digest): no duplicate delivery
+    again = http_fetch.fetch_to_stage(url, stage, key="000001",
+                                      params={"n": 3})
+    assert again == staged and len(list_staged_files(stage)) == 1
+    # fetch_json parses the body directly
+    assert http_fetch.fetch_json(url, {"n": 3}) == payload
+    # transient failure path: nonexistent file exhausts retries
+    with pytest.raises(ConnectionError):
+        http_fetch.fetch_text("file:///nonexistent-{{n}}", {"n": 1},
+                              retries=1, backoff_s=0.01)
