@@ -112,6 +112,9 @@ def profile_table(sf_dir: str, table: str = "documents",
                        "value": int(r.n)})
     out = pd.DataFrame(merged)
     # nullable Int64 (arrow int64, same wire schema as plain int64) so
-    # the all-null-column min/max rows can carry NULL like the oracle
+    # the all-null-column min/max rows can carry NULL like the oracle;
+    # null-free results keep the plain numpy dtype
     out["value"] = out["value"].astype("Int64")
+    if not out["value"].isna().any():
+        out["value"] = out["value"].astype("int64")
     return out.sort_values(["col", "stat"], ignore_index=True)
