@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": textstats.redact_pii,
         "decontaminate": dedup.decontaminate,
         "exact_dedup_documents": dedup.exact_dedup_documents,
+        "exact_dedup_incremental": dedup.exact_dedup_incremental,
+        "minhash_dedup_apply": dedup.minhash_dedup_apply,
         "minhash_near_dup": dedup.minhash_near_dup,
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "minhash_dedup_clusters": dedup.minhash_dedup_clusters,
@@ -931,6 +933,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # streaming-ingest dedup: even doc_ids are the committed
+        # corpus, odd ones the incoming delta; NULL text never matches
+        # (SQL equality), mirrored by the engine's -1 sentinel routing
+        "exact_dedup_incremental": """
+            WITH old AS (SELECT text, MIN(doc_id) AS dup_of
+                         FROM documents
+                         WHERE doc_id % 2 = 0 AND text IS NOT NULL
+                         GROUP BY text)
+            SELECT n.doc_id,
+                   CAST(o.dup_of IS NOT NULL AS BIGINT) AS is_dup,
+                   o.dup_of
+            FROM documents n LEFT JOIN old o ON n.text = o.text
+            WHERE n.doc_id % 2 = 1
+            ORDER BY n.doc_id
+        """,
         "ann_topk_cosine": """
             WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
                        FROM embeddings WHERE vec_id < 5),
@@ -1024,6 +1041,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _JACCARD_PAIRS_SQL.format(
             where="doc_id % 2 = 0"),
+        # the dedup ACTION: survivors = docs that are not a
+        # non-representative member of a near-dup cluster
+        "minhash_dedup_apply": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.format(where="TRUE")}),
+            n0 AS (SELECT DISTINCT x AS node FROM
+                   (SELECT id_a AS x FROM pairs
+                    UNION ALL SELECT id_b FROM pairs)),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(node, r) AS (
+              SELECT node, node FROM n0
+              UNION
+              SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+            ),
+            clus AS (SELECT node AS doc_id, MIN(r) AS rep
+                     FROM reach GROUP BY node)
+            SELECT d.doc_id, d.n_chars
+            FROM documents d LEFT JOIN clus c ON d.doc_id = c.doc_id
+            WHERE c.doc_id IS NULL OR c.rep = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "lang_id": _LANG_ID_SQL,
         # portable md5-derived 64-bit hash: engine's md5_hash64() is
         # bit-identical to DuckDB md5_number_lower(), making the

@@ -665,3 +665,82 @@ def decontaminate(sf_dir: str, n: int = DECONTAM_N,
 
     return docs.map_batches(score, batch_format="pandas",
                             batch_size=8192).sort("doc_id")
+
+
+# -- incremental dedup (new data vs committed corpus) ------------------------
+
+def exact_dedup_incremental(sf_dir: str, old_mod: int = 2) -> "ray.data.Dataset":
+    """Streaming-ingest dedup: documents with ``doc_id % old_mod == 0``
+    act as the COMMITTED corpus; every other (new) document reports
+    whether its text already exists there (`is_dup`) and the smallest
+    matching committed doc_id (`dup_of`, null when novel). NULL text
+    follows SQL equality (never matches), so the oracle LEFT JOIN
+    mirrors exactly.
+
+    Scale shape: the committed side is corpus-sized, so it can NOT
+    broadcast -- both sides route by content hash into the same
+    partitions (per-batch combiner first: one (hash, min-id) row per
+    distinct committed text per batch) and each partition answers
+    membership for its own hash space with one vectorized merge. This
+    is the per-tick shape for "dedup the delta against the lake" in a
+    CDC ingest loop: the delta is the new side, the committed side's
+    hashes come from (or are cached as) the lake's fingerprint column."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def route(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        is_old = ids % old_mod == 0
+        h = fingerprint_series(batch["text"])
+        null_text = batch["text"].isna().to_numpy()
+        old = batch[is_old & ~null_text]
+        old_part = old.assign(h=h[is_old & ~null_text]) \
+            .groupby("h", as_index=False).agg(doc_id=("doc_id", "min"))
+        old_part["side"] = np.int8(0)
+        new = pd.DataFrame({"doc_id": ids[~is_old], "h": h[~is_old],
+                            "side": np.int8(1)})
+        # null-text new docs are novel by SQL semantics: give them a
+        # hash no committed row can carry (-1 is reserved: committed
+        # null texts were dropped above)
+        new.loc[batch["text"].isna().to_numpy()[~is_old], "h"] = -1
+        out = pd.concat([old_part[["doc_id", "h", "side"]], new],
+                        ignore_index=True)
+        out["part"] = (out["h"].to_numpy().astype(np.uint64)
+                       % np.uint64(AGG_PARTITIONS)).astype(np.int32)
+        return out
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["side"] == 0].groupby("h", as_index=False) \
+            .agg(dup_of=("doc_id", "min"))
+        new = g[g["side"] == 1][["doc_id", "h"]]
+        out = new.merge(old, on="h", how="left")
+        out["is_dup"] = out["dup_of"].notna().astype(np.int64)
+        out["dup_of"] = out["dup_of"].astype("Int64")
+        return out[["doc_id", "is_dup", "dup_of"]]
+
+    routed = ds.map_batches(route, batch_format="pandas", batch_size=8192)
+    return exchange_map_groups(routed, "part", AGG_PARTITIONS,
+                               resolve).sort("doc_id")
+
+
+def minhash_dedup_apply(sf_dir: str,
+                        threshold: float = JACCARD_THRESHOLD) -> "ray.data.Dataset":
+    """The dedup ACTION: materialize the surviving document ids after
+    near-dup clustering -- every doc that is not a non-representative
+    member of a cluster (reps themselves survive). The drop set is
+    candidate-proportional by LSH construction, so it broadcasts; the
+    corpus streams through one membership filter, text never moves."""
+    import ray
+
+    from ..stages.joins import fetch_broadcast
+
+    clusters = minhash_dedup_clusters(sf_dir, threshold)
+    drop = clusters[clusters["doc_id"] != clusters["cluster_rep"]]
+    drop_ref = ray.put(drop["doc_id"].to_numpy(dtype=np.int64))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(~np.isin(ids, fetch_broadcast(drop_ref))))
+
+    return _docs(sf_dir, ["doc_id", "n_chars"]) \
+        .map_batches(keep, batch_format="pyarrow", zero_copy_batch=True) \
+        .sort("doc_id")

@@ -27,7 +27,8 @@ def make_doc_dir(tmp_path, texts):
         "text": pa.array(texts, pa.string()),
         "lang": pa.array(["xx"] * len(texts)),
         "source": pa.array(["t"] * len(texts)),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        "n_chars": pa.array([len(t) if t is not None else 0
+                             for t in texts], pa.int64()),
     }), d / "documents.parquet")
     return str(d)
 
@@ -1134,3 +1135,20 @@ def test_small_groupby_cardinality_guard_engages():
         got = got.sort_values("k", ignore_index=True).astype("int64")
         pd.testing.assert_frame_equal(
             got, want.sort_values("k", ignore_index=True).astype("int64"))
+
+
+def test_exact_dedup_incremental_planted(tmp_path):
+    """New docs (odd ids) report membership against the committed
+    corpus (even ids); null text never matches (SQL equality)."""
+    texts = ["alpha", "beta", "alpha", "gamma", None, None,
+             "beta", "delta"]
+    #         0:old   1:new   2:old    3:new   4:old 5:new  6:old 7:new
+    sf = make_doc_dir(tmp_path, [t if t is not None else None for t in texts])
+    got = dedup.exact_dedup_incremental(sf).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == [1, 3, 5, 7]
+    by = got.set_index("doc_id")
+    assert by.loc[1, "is_dup"] == 1 and by.loc[1, "dup_of"] == 6  # 'beta'
+    assert by.loc[7, "is_dup"] == 0            # 'delta' novel
+    assert by.loc[3, "is_dup"] == 0            # 'gamma' novel
+    assert by.loc[5, "is_dup"] == 0 and pd.isna(by.loc[5, "dup_of"])  # null
