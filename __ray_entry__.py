@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_prefix_merge": cdc_queries.cdc_prefix_merge,
         "cdc_render_transcripts": cdc_queries.cdc_render_transcripts,
         "cdc_turn_windows": cdc_queries.cdc_turn_windows,
+        "cdc_tool_call_stats": cdc_queries.cdc_tool_call_stats,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
@@ -397,6 +398,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conv_id, window_idx
         """,
         "cdc_prefix_merge": _CDC_PREFIX,
+        # agent-telemetry rollup over the RESOLVED table: per tool, the
+        # final-state turn count and distinct conversations using it
+        "cdc_tool_call_stats": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, tool FROM ranked
+              WHERE rn = 1 AND op <> 'delete' AND tool IS NOT NULL
+            )
+            SELECT tool, COUNT(*) AS n_turns,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM fin GROUP BY tool ORDER BY tool
+        """,
         "cdc_derived_conv_stats": f"""
             WITH ch AS ({_CDC_CH})
             SELECT conv_id, COUNT(*) AS n_events,

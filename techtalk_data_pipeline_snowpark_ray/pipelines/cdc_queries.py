@@ -424,3 +424,46 @@ def cdc_out_of_order(sf_dir: str) -> ray.data.Dataset:
     """Arrival order fully randomized; LWW by lsn must win regardless."""
     ds = changes_dataset(sf_dir).random_shuffle(seed=7)
     return apply_changes_dataset(ds)
+
+
+def cdc_tool_call_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-tool usage over the RESOLVED transcript table: number of
+    final-state turns invoking each tool and the number of distinct
+    conversations that used it -- the agent-telemetry rollup every
+    transcript pipeline reports. Fused into the fold's own exchange
+    (the cdc_render_transcripts shape): each partition resolves its
+    conversations' final state and emits ONE (tool, n_turns, n_convs)
+    partial; conv_id routing makes conversations partition-exclusive,
+    so per-partition distinct-conversation counts ADD -- the driver
+    merge is a bounded sum over (partitions x tools)."""
+    payload = schemas.payload_cols(3)
+    target = schemas.table_schema(3)
+    norm = ingest.SchemaNormalizer(target,
+                                   keep_extra=(schemas.LSN_COL, schemas.OP_COL))
+    num_buckets = 16
+    ds = changes_dataset(sf_dir)
+    ds = ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(Partitioner(num_buckets), batch_format="pyarrow",
+                        zero_copy_batch=True)
+
+    def resolve_and_count(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"tool": pd.Series(dtype=object),
+                              "n_turns": pd.Series(dtype="int64"),
+                              "n_convs": pd.Series(dtype="int64")})
+        if g.empty:
+            return empty
+        fin = resolve_final(g, payload)
+        fin = fin[fin["tool"].notna()]
+        if fin.empty:
+            return empty
+        agg = fin.groupby("tool", sort=False).agg(
+            n_turns=("conv_id", "size"),
+            n_convs=("conv_id", "nunique")).reset_index()
+        return agg.astype({"n_turns": "int64", "n_convs": "int64"})
+
+    from ..stages.exchange import exchange_map_groups
+    parts = exchange_map_groups(ds, BUCKET_COL, num_buckets,
+                                resolve_and_count).to_pandas()
+    out = parts.groupby("tool", sort=True, as_index=False).agg(
+        n_turns=("n_turns", "sum"), n_convs=("n_convs", "sum"))
+    return out.sort_values("tool", ignore_index=True)
