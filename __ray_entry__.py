@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_render_transcripts": cdc_queries.cdc_render_transcripts,
         "cdc_turn_windows": cdc_queries.cdc_turn_windows,
         "cdc_tool_call_stats": cdc_queries.cdc_tool_call_stats,
+        "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
@@ -398,6 +399,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY conv_id, window_idx
         """,
         "cdc_prefix_merge": _CDC_PREFIX,
+        # point-lookup serving path: one conversation's final turns
+        "cdc_point_lookup": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+                   CAST(NULL AS VARCHAR) AS model
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+              AND conv_id = 'conv-42'
+            ORDER BY conv_id, turn_idx
+        """,
         # agent-telemetry rollup over the RESOLVED table: per tool, the
         # final-state turn count and distinct conversations using it
         "cdc_tool_call_stats": f"""

@@ -467,3 +467,17 @@ def cdc_tool_call_stats(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("tool", sort=True, as_index=False).agg(
         n_turns=("n_turns", "sum"), n_convs=("n_convs", "sum"))
     return out.sort_values("tool", ignore_index=True)
+
+
+def cdc_point_lookup(sf_dir: str, conv: str = "conv-42") -> pd.DataFrame:
+    """The serving path, driver-gated: replay the change stream through
+    the real engine (WAL -> ticks -> committed manifest), then resolve
+    ONE conversation via `ingest.read_conversation` -- which scans only
+    that conversation's hash bucket (parquet footer stats prune the
+    rest). Output = the conversation's final turns, exactly the SQL
+    window-fold filtered to the conv_id."""
+    cfg = _fresh_cfg("lookup")
+    _write_events_wal(sf_dir, cfg)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    out = ingest.read_conversation(cfg, conv)
+    return out.sort_values(list(schemas.KEY_COLS), ignore_index=True)
