@@ -46,6 +46,11 @@ QUERY_NAMES = [
     "doc_split", "pack_documents", "vocab_top_terms",
     "decontaminate", "winnow_fingerprints", "chunk_documents",
     "mixture_weights",
+    # round-3 operators: SQL-mirrored approximate ANN, real-codec image
+    # pipeline, distributed-verify embedding dedup, incremental dedup
+    "ann_topk_lsh", "ann_topk_ivf", "media_image_features",
+    "embedding_near_dup_lsh", "exact_dedup_incremental",
+    "cdc_tool_call_stats",
 ]
 
 
