@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_render_transcripts": cdc_queries.cdc_render_transcripts,
         "cdc_turn_windows": cdc_queries.cdc_turn_windows,
         "cdc_tool_call_stats": cdc_queries.cdc_tool_call_stats,
+        "cdc_matview_conv_stats": cdc_queries.cdc_matview_conv_stats,
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
@@ -435,6 +436,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, COUNT(*) AS n_events,
                    CAST(MAX(lsn) AS BIGINT) AS max_lsn
             FROM ch GROUP BY conv_id ORDER BY conv_id
+        """,
+        # incrementally-maintained matview over the RESOLVED state:
+        # live-turn count / tool turns / text chars / max turn per conv
+        "cdc_matview_conv_stats": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, turn_idx, text, tool
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT conv_id, COUNT(*) AS n_turns,
+                   CAST(COUNT(tool) AS BIGINT) AS n_tool_turns,
+                   CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                     AS text_chars,
+                   CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
+            FROM fin GROUP BY conv_id ORDER BY conv_id
         """,
         "ingest_json_staged": f"""
             SELECT event_id, user_id, event_type,

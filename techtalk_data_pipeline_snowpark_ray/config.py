@@ -72,6 +72,11 @@ class EngineConfig:
     #: pipelines/derived.py registry) -- all fed by the same consumed
     #: delta, all committed in the same manifest publish.
     derived_views: tuple = ()
+    #: MATERIALIZED aggregate views over the RESOLVED table state
+    #: (pipelines/matview.py registry), refreshed delta-proportionally
+    #: by run_loop after every tick (retraction-aware; each refresh is
+    #: its own manifest commit pinned to the tick's version).
+    matviews: tuple = ()
 
     #: bad-record policy for WAL change records (stages/validate.py):
     #: "none" trusts the producer (zero hot-path cost; the engine's own

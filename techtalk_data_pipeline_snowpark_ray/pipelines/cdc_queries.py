@@ -413,6 +413,41 @@ def cdc_turn_windows(sf_dir: str, w: int = 4,
         .sort(["conv_id", "window_idx"])
 
 
+def cdc_matview_conv_stats(sf_dir: str) -> ray.data.Dataset:
+    """Materialized-view maintenance through the engine: the
+    per-conversation live-stats aggregate (turn count, tool-turn count,
+    text characters, max turn index over the RESOLVED state) is kept by
+    delta-proportional refreshes. The WAL lands in two phases so the
+    gated result comes from a FULL first refresh followed by an
+    INCREMENTAL one (affected-keys-only re-resolution, retractions
+    included) -- the retraction-aware view shape the additive derived
+    sinks cannot express (`TopRestaurantsLast30Days.scala:38` recomputes
+    its view from scratch each tick; this maintains it)."""
+    from .matview import read_matview, refresh_matview
+
+    cfg = _fresh_cfg("mv")
+    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    half = src.metadata.num_rows // 2
+    seen = 0
+    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
+    for rb in src.iter_batches(batch_size=65536,
+                               columns=["event_id", "user_id", "ts"]):
+        t = pa.Table.from_batches([rb])
+        w.append(derive_change_batch(t), 1)
+        seen += t.num_rows
+        if half and seen >= half:
+            half = 0            # phase boundary: tick + first refresh
+            w.close()
+            ingest.run_loop(cfg, stop_when_idle=True)
+            refresh_matview(cfg, "conv_live_stats")
+            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
+                          reorder_slack=1024)
+    w.close()
+    ingest.run_loop(cfg, stop_when_idle=True)
+    refresh_matview(cfg, "conv_live_stats")
+    return read_matview(cfg, "conv_live_stats").sort("conv_id")
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -674,11 +674,18 @@ def _split_run_files(file_chunk: list[str], num_buckets: int,
     re-bucketing migration path) instead of trusting the stored one."""
     from ..stages.partition import hash_strings_arrow
 
+    # run files are sorted by bucket, so when only a bucket subset is
+    # wanted (and the stored bucket column is trusted), a parquet
+    # row-group filter skips the untouched ranges at the scan
+    filters = None if rebucket or bucket_subset is None \
+        else [(BUCKET_COL, "in", list(bucket_subset))]
+
     def _read(p: str) -> pa.Table:
         if columns is None:
-            return pq.read_table(p)
+            return pq.read_table(p, filters=filters)
         have = set(pq.read_schema(p).names)
-        return pq.read_table(p, columns=[c for c in columns if c in have])
+        return pq.read_table(p, columns=[c for c in columns if c in have],
+                             filters=filters)
     tbl = pa.concat_tables([_read(p) for p in file_chunk],
                            promote_options="default")
     if rebucket:
@@ -1096,9 +1103,17 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
     """Fold each derived view's partials into a single base file."""
     from .derived import VIEWS
 
+    from .matview import MV_PREFIX, compact_mv_files
+
     out: dict[str, list[str]] = {}
     for view, files in prev.derived.items():
         if not files:
+            continue
+        if view.startswith(MV_PREFIX):
+            # materialized views are LWW-versioned, not additive: fold
+            # latest-wins (tombstones fall away with the rows they mask)
+            out[view] = compact_mv_files(state.runs_dir, view, files,
+                                         txn)
             continue
         tbl = pa.concat_tables([pq.read_table(os.path.join(state.runs_dir, f))
                                 for f in files], promote_options="default")
@@ -1236,6 +1251,10 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
             continue
         results.append(res)
         ticks += 1
+        if cfg.matviews:
+            from .matview import refresh_matview
+            for mv in cfg.matviews:
+                refresh_matview(cfg, mv)
         backlog = (cfg.auto_compact_runs and
                    len(res.manifest.table_run_files()) > cfg.auto_compact_runs)
         if backlog or (compact_every and ticks % compact_every == 0):

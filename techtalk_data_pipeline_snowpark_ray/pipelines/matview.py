@@ -1,0 +1,429 @@
+"""Materialized aggregate views over the RESOLVED table state, with
+retraction-aware incremental refresh (incremental view maintenance).
+
+Reference parity: ``TopRestaurantsLast30Days.scala:38`` registers a
+derived VIEW that the continuous DAG recomputes from scratch every
+tick. The additive sinks in :mod:`.derived` already cover the
+*append-only counter* shape; this module covers the other half of the
+reference's view story: an aggregate over the table's CURRENT state,
+where an update must be net-zero and a delete must RETRACT its
+contribution. Recomputing that from the full snapshot per tick is the
+reference's (fine at demo scale) approach; at 10^10 events a tick
+touches a tiny fraction of keys, so the refresh here is
+**delta-proportional**:
+
+  1. affected keys = distinct ``conv_id`` in the run files added since
+     the view's last refreshed manifest version (column-pruned scan of
+     just ``conv_id``/``bucket`` — delta-sized, not table-sized);
+  2. re-resolve ONLY those keys, bucket-pruned: the run-file exchange
+     reads only the affected buckets' slices and filters each to the
+     affected key set before the LWW fold (retraction handling is free:
+     the fold simply re-derives each affected key's aggregate from its
+     current live rows — no +1/−1 bookkeeping to corrupt);
+  3. write the refreshed rows as an LWW-versioned view run file
+     (``_mv_seq`` = source manifest version; keys whose live rows
+     vanished get tombstone rows ``_mv_dead``) and commit it by manifest
+     publish under ``derived["mv:<name>"]`` — the same atomic commit
+     point as everything else, so the view is always consistent with
+     exactly one table version.
+
+Full-recompute fallback (window not delta-expressible): first refresh,
+a compaction or re-bucketing inside the window (both rewrite file
+history), or a control-op change (controls reach keys the delta never
+names). The fallback streams the per-bucket resolved snapshot
+(`read_snapshot` emits one key-exclusive block per bucket) and replaces
+the view's file set wholesale.
+
+Reads merge the view's run files latest-``_mv_seq``-wins per key and
+drop tombstones — a routed hash exchange, never a driver-side fold.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .. import schemas
+from ..config import EngineConfig
+from ..stages.partition import BUCKET_COL, hash_strings_arrow
+from ..state.manifest import Manifest, TableState
+
+MV_PREFIX = "mv:"
+MV_SEQ_COL = "_mv_seq"
+MV_DEAD_COL = "_mv_dead"
+
+
+@dataclass(frozen=True)
+class MatView:
+    """An aggregate over the resolved table, grouped by ``key``.
+
+    ``agg`` must be a vectorized whole-relation transform: given the
+    live resolved rows of ANY complete set of keys (columns ``key``,
+    ``turn_idx`` and ``source_cols``), return exactly one row per key
+    present. It runs per bucket (key-exclusive), so per-key results
+    need no cross-task merge.
+    """
+    name: str
+    key: str
+    #: payload columns the aggregate reads (projection pushdown)
+    source_cols: tuple[str, ...]
+    #: output columns (name, arrow type) — fixes the tombstone schema
+    agg_fields: tuple[tuple[str, pa.DataType], ...]
+    agg: Callable[[pa.Table], pa.Table]
+
+    @property
+    def derived_key(self) -> str:
+        return MV_PREFIX + self.name
+
+    def empty_result(self) -> pa.Table:
+        cols = {self.key: pa.array([], pa.string())}
+        for n, t in self.agg_fields:
+            cols[n] = pa.array([], t)
+        return pa.table(cols)
+
+
+def _conv_live_stats_agg(t: pa.Table) -> pa.Table:
+    """Per-conversation stats of the LIVE rows: turn count, tool-turn
+    count, total text characters, highest turn index."""
+    chars = pc.cast(pc.fill_null(pc.utf8_length(t["text"]), 0), pa.int64())
+    g = pa.table({"conv_id": t["conv_id"],
+                  "turn_idx": pc.cast(t["turn_idx"], pa.int64()),
+                  "tool": t["tool"],
+                  "text_chars": chars})
+    agg = pa.TableGroupBy(g, "conv_id").aggregate(
+        [("turn_idx", "count"), ("tool", "count"),
+         ("text_chars", "sum"), ("turn_idx", "max")])
+    agg = agg.select(["conv_id", "turn_idx_count", "tool_count",
+                      "text_chars_sum", "turn_idx_max"])
+    return agg.rename_columns(
+        ["conv_id", "n_turns", "n_tool_turns", "text_chars",
+         "max_turn_idx"])
+
+
+MATVIEWS: dict[str, MatView] = {}
+MATVIEWS["conv_live_stats"] = MatView(
+    name="conv_live_stats", key="conv_id",
+    source_cols=("text", "tool"),
+    agg_fields=(("n_turns", pa.int64()), ("n_tool_turns", pa.int64()),
+                ("text_chars", pa.int64()), ("max_turn_idx", pa.int64())),
+    agg=_conv_live_stats_agg)
+
+
+def _view(name: str) -> MatView:
+    if name not in MATVIEWS:
+        raise KeyError(f"unknown matview {name!r}; registered: "
+                       f"{sorted(MATVIEWS)}")
+    return MATVIEWS[name]
+
+
+# -- refresh bookkeeping -----------------------------------------------------
+
+def _last_refreshed(m: Manifest, view: MatView) -> int | None:
+    """Source manifest version of the view's newest run file, parsed
+    from the self-describing file names (``mv-<name>-s<V>-...``) — the
+    state travels inside the manifest, nothing sidecar."""
+    import re
+    best: int | None = None
+    for f in m.derived.get(view.derived_key, ()):
+        mm = re.search(r"-s(\d+)-x", f)
+        if mm is None:
+            raise ValueError(f"unparseable matview run file name {f!r}")
+        v = int(mm.group(1))
+        best = v if best is None else max(best, v)
+    return best
+
+
+def _delta_files(state: TableState, last: int, cur_m: Manifest,
+                 cur: int) -> tuple[list[str] | None, str]:
+    """Table run files added in (last, cur], or (None, reason) when the
+    window is not delta-expressible and the refresh must go full."""
+    m_last = state.load(last)
+    if any(op not in m_last.control_ops for op in cur_m.control_ops):
+        # a NEW control op reaches keys the delta run files never name.
+        # (Ops *dropped* since `last` are fine: only compaction drops
+        # them, by baking their effects into the rewritten runs — and a
+        # compaction over unrefreshed deltas falls back below anyway.)
+        return None, "controls-changed"
+    if cur_m.num_buckets != m_last.num_buckets:
+        return None, "rebucketed"
+    prev_files = set(m_last.table_run_files())
+    out: list[str] = []
+    for v in range(last + 1, cur + 1):
+        m = state.load(v)
+        cur_files = m.table_run_files()
+        if m.metrics.get("compaction"):
+            if out:
+                # the compaction folded run files the view never
+                # refreshed over; their names are gone from the live
+                # file set (and possibly GC'd) — recompute
+                return None, "compaction"
+            # state-preserving rewrite with nothing pending: the
+            # resolved table at this version equals the state the view
+            # was last refreshed against; just adopt the new file set
+            prev_files = set(cur_files)
+            continue
+        out.extend(f for f in cur_files
+                   if f not in prev_files and f not in out)
+        prev_files = set(cur_files)
+    return out, ""
+
+
+@ray.remote
+def _scan_affected(path: str) -> pa.Table:
+    """Distinct (key, bucket) pairs of one delta run file — the only
+    columns read; output is collapsed per file, so driver traffic is
+    O(distinct keys in the delta), never O(delta rows)."""
+    t = pq.read_table(path, columns=["conv_id", BUCKET_COL])
+    return pa.TableGroupBy(t, ["conv_id", BUCKET_COL]).aggregate([])
+
+
+def _scan_cols_for(view: MatView, payload: list[str],
+                   controls) -> tuple[list[str], list[str]]:
+    """(pruned payload, parquet scan columns) — the view's sources plus
+    whatever pending control ops read/write (mirrors read_snapshot's
+    pruning contract)."""
+    need = set(view.source_cols)
+    for c in controls:
+        need.add(c.predicate["col"])
+        for out_col, spec in c.assignments.items():
+            need.add(out_col)
+            if "col" in spec:
+                need.add(spec["col"])
+    pruned = [c for c in payload if c in need]
+    scan = [*schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL,
+            BUCKET_COL, *pruned]
+    return pruned, scan
+
+
+def _state_cols(tbl: pa.Table, mv_seq: int, dead: bool) -> pa.Table:
+    n = tbl.num_rows
+    return tbl.append_column(
+        MV_SEQ_COL, pa.array(np.full(n, mv_seq, np.int64))).append_column(
+        MV_DEAD_COL, pa.array(np.full(n, dead, bool)))
+
+
+def _write_mv_file(tbl: pa.Table, runs_dir: str, view: MatView,
+                   mv_seq: int, txn: str) -> str:
+    fname = (f"mv-{view.name}-s{mv_seq}-x{txn}-"
+             f"{uuid.uuid4().hex[:12]}.parquet")
+    tmp = os.path.join(runs_dir, fname + ".tmp")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(runs_dir, fname))
+    return fname
+
+
+def _inc_fold(view: MatView, payload: list[str], controls,
+              keys: list[str], mv_seq: int, runs_dir: str, txn: str):
+    """Per-affected-bucket fold for the incremental path: filter the
+    bucket's run rows to the affected keys, LWW-resolve just those,
+    re-aggregate, tombstone the vanished — then write the view run
+    file in-task (no driver hop for the rows)."""
+    from ..stages.apply import resolve_final
+    from ..stages.controls import resolve_with_controls
+
+    key_set = pa.array(keys, pa.string())
+    agg_cols = [view.key, "turn_idx", *view.source_cols]
+
+    def fold(tbl: "pa.Table | None") -> dict:
+        live = view.empty_result()
+        if tbl is not None and tbl.num_rows:
+            tbl = tbl.filter(pc.is_in(tbl[view.key], value_set=key_set))
+            if tbl.num_rows:
+                g = tbl.to_pandas()
+                resolved = resolve_with_controls(g, payload, controls,
+                                                 sort=False) if controls \
+                    else resolve_final(g, payload, sort=False)
+                if not resolved.empty:
+                    rt = pa.Table.from_pandas(resolved[agg_cols],
+                                              preserve_index=False)
+                    live = view.agg(rt)
+        present = set(live[view.key].to_pylist())
+        gone = pa.array([k for k in keys if k not in present], pa.string())
+        dead_cols = {view.key: gone}
+        for nname, t in view.agg_fields:
+            dead_cols[nname] = pa.nulls(len(gone), t)
+        out = pa.concat_tables([_state_cols(live, mv_seq, False),
+                                _state_cols(pa.table(dead_cols), mv_seq,
+                                            True)])
+        fname = _write_mv_file(out, runs_dir, view, mv_seq, txn)
+        return {"file": fname, "n_live": live.num_rows,
+                "n_dead": len(gone)}
+
+    return fold
+
+
+def refresh_matview(cfg: EngineConfig, name: str) -> Manifest | None:
+    """Bring the named view up to the table's latest committed version.
+    Publishes one manifest (the refresh is itself a transaction); a
+    no-op (already fresh, or an empty delta window) returns None."""
+    from .ingest import _exchange_by_bucket, _fold_bucket_refs, \
+        read_snapshot
+
+    view = _view(name)
+    if view.key != "conv_id":
+        # the lake layout is bucketed by conv_id: both the per-bucket
+        # key-exclusivity the agg relies on and the incremental bucket
+        # pruning assume the view key IS the partition key
+        raise ValueError(f"matview key must be the partition key "
+                         f"'conv_id', got {view.key!r}")
+    state = TableState(cfg.table_dir)
+    cur, m = state.load_latest_versioned()
+    if cur is None:
+        return None
+    last = _last_refreshed(m, view)
+    if last is not None and last >= cur:
+        return None                      # already fresh: idempotent
+
+    payload = schemas.payload_cols(m.schema_version or cfg.schema_version)
+    from ..stages.controls import sorted_controls
+    controls = sorted_controls(m.control_ops)
+    txn = state.new_txn()
+    num_buckets = m.num_buckets or cfg.num_buckets
+
+    delta: list[str] | None = None
+    reason = "first-refresh"
+    if last is not None:
+        delta, reason = _delta_files(state, last, m, cur)
+
+    if delta is not None and not delta:
+        return None                      # version moved, table data didn't
+
+    if delta is not None:
+        # -- incremental: affected keys -> bucket-pruned re-resolve ----
+        pairs = pa.concat_tables(ray.get([
+            _scan_affected.remote(os.path.join(state.runs_dir, f))
+            for f in delta]))
+        conv = pairs[view.key].to_pandas().to_numpy(dtype=object)
+        buck = pairs[BUCKET_COL].to_numpy(zero_copy_only=False)
+        per_bucket: dict[int, set] = {}
+        for c, b in zip(conv, buck):
+            per_bucket.setdefault(int(b), set()).add(c)
+        buckets = sorted(per_bucket)
+        pruned, scan_cols = _scan_cols_for(view, payload, controls)
+        # path-list pruning: bucketed run files are bucket-exclusive
+        # (manifest.buckets), so only affected buckets' files are read;
+        # global (direct-mode) runs can hold any bucket and are always
+        # scanned — but they are sorted by bucket, so the exchange's
+        # row-group filter skips their untouched ranges too
+        want = {str(b) for b in buckets}
+        paths = [os.path.join(state.runs_dir, f)
+                 for b, runs in m.buckets.items() if b in want
+                 for f in runs] \
+            + [os.path.join(state.runs_dir, f) for f in m.global_runs]
+        exchanged = _exchange_by_bucket(
+            paths, num_buckets, columns=scan_cols,
+            bucket_subset=buckets)
+        metas = ray.get([
+            _fold_bucket_refs.remote(
+                _inc_fold(view, pruned, controls,
+                          sorted(per_bucket[b]), cur,
+                          state.runs_dir, txn),
+                *refs)
+            for b, refs in zip(buckets, exchanged)])
+        files = list(m.derived.get(view.derived_key, [])) \
+            + [mm["file"] for mm in metas]
+        stats = {"mode": "incremental",
+                 "affected_keys": int(len(conv)),
+                 "affected_buckets": len(buckets),
+                 "tombstones": int(sum(mm["n_dead"] for mm in metas))}
+    else:
+        # -- full recompute: per-bucket resolved blocks -> view files --
+        snap = read_snapshot(cfg, manifest=m,
+                             columns=list(view.source_cols))
+        runs_dir, mv_seq = state.runs_dir, cur
+
+        def write_block(block: pa.Table) -> pa.Table:
+            if block.num_rows == 0:
+                return pa.table({"file": pa.array([], pa.string())})
+            out = _state_cols(view.agg(block), mv_seq, False)
+            return pa.table({"file": [
+                _write_mv_file(out, runs_dir, view, mv_seq, txn)]})
+
+        produced = snap.map_batches(write_block, batch_size=None,
+                                    batch_format="pyarrow").to_pandas()
+        files = produced["file"].tolist()
+        stats = {"mode": "full", "reason": reason}
+
+    derived = {k: list(v) for k, v in m.derived.items()}
+    derived[view.derived_key] = files
+    return state.publish(expected_parent=cur, manifest=Manifest(
+        txn_id=txn, committed_seq=m.committed_seq,
+        committed_lsn=m.committed_lsn,
+        schema_version=m.schema_version,
+        num_buckets=m.num_buckets,
+        buckets={k: list(v) for k, v in m.buckets.items()},
+        global_runs=list(m.global_runs),
+        derived=derived,
+        control_ops=m.control_ops,
+        wal_consumed=[],
+        metrics={"matview_refresh": {"view": name, "source_version": cur,
+                                     **stats}}))
+
+
+# -- read side ---------------------------------------------------------------
+
+def merge_mv_rows(df: pd.DataFrame, key: str,
+                  keep_dead: bool = False) -> pd.DataFrame:
+    """Latest-``_mv_seq``-wins per key; tombstones mask older rows and
+    are then dropped (kept only when compaction wants them gone too —
+    a compacted base has no older rows left to mask)."""
+    df = df.sort_values([key, MV_SEQ_COL], kind="stable") \
+           .drop_duplicates(key, keep="last")
+    if not keep_dead:
+        df = df[~df[MV_DEAD_COL]]
+    return df.drop(columns=[MV_SEQ_COL, MV_DEAD_COL]) \
+             .reset_index(drop=True)
+
+
+def read_matview(cfg: EngineConfig, name: str,
+                 num_partitions: int | None = None) -> ray.data.Dataset:
+    """Dataset of the view's current rows (distributed latest-wins
+    merge across refresh generations)."""
+    from ..stages.exchange import exchange_map_groups
+
+    view = _view(name)
+    state = TableState(cfg.table_dir)
+    m = state.load_latest()
+    paths = state.derived_paths(view.derived_key, m)
+    if not paths:
+        return ray.data.from_arrow(view.empty_result())
+    P = num_partitions or min(32, m.num_buckets or cfg.num_buckets)
+    part = "_mv_part"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        p = (hash_strings_arrow(t[view.key]) % np.uint64(P)).astype(np.int64)
+        return t.append_column(part, pa.array(p))
+
+    ds = ray.data.read_parquet(paths) \
+        .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return exchange_map_groups(ds, part, P,
+                               lambda g: merge_mv_rows(g, view.key))
+
+
+def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
+                     txn: str) -> list[str]:
+    """Compaction hook (called from ingest._compact_derived): fold a
+    view's run files into one base. Latest-wins, tombstones dropped —
+    the base IS the full row set, nothing older remains to mask."""
+    name = view_key[len(MV_PREFIX):]
+    view = _view(name)
+    tbl = pa.concat_tables(
+        [pq.read_table(os.path.join(runs_dir, f)) for f in files],
+        promote_options="default")
+    merged = merge_mv_rows(tbl.to_pandas(), view.key)
+    seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
+    out = _state_cols(
+        pa.Table.from_pandas(merged, preserve_index=False)
+        .replace_schema_metadata(None), seq, False)
+    return [_write_mv_file(out, runs_dir, view, seq, txn)]

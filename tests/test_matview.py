@@ -1,0 +1,220 @@
+"""Materialized-view maintenance tests: full vs incremental refresh
+parity against the resolved snapshot, retraction on delete, compaction
+interplay (state-preserving skip vs genuine fallback), control-op
+fallback, run_loop integration and view-file compaction."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from techtalk_data_pipeline_snowpark_ray import schemas
+from techtalk_data_pipeline_snowpark_ray.pipelines import ingest, matview
+from techtalk_data_pipeline_snowpark_ray.sources.generate import (
+    GenSpec, generate_chunks, write_wal)
+from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+from techtalk_data_pipeline_snowpark_ray.state.manifest import TableState
+
+MV = "conv_live_stats"
+
+TINY = GenSpec(n_events=1500, n_conversations=40, max_turns=10, zipf_s=1.2,
+               ooo_window=16, dup_fraction=0.04, partial_update_fraction=0.25,
+               schema_add_at=400, schema_widen_at=900, seed=7)
+
+
+def view_oracle(cfg) -> pd.DataFrame:
+    """Expected view = plain pandas aggregate of the (oracle-verified)
+    resolved snapshot."""
+    snap = ingest.snapshot_to_pandas(cfg)
+    g = snap.groupby("conv_id")
+    out = pd.DataFrame({
+        "n_turns": g.size().astype("int64"),
+        "n_tool_turns": g["tool"].count().astype("int64"),
+        "text_chars": g["text"].apply(
+            lambda s: int(s.fillna("").str.len().sum())).astype("int64"),
+        "max_turn_idx": g["turn_idx"].max().astype("int64"),
+    }).reset_index()
+    return out.sort_values("conv_id", ignore_index=True)
+
+
+def read_view(cfg) -> pd.DataFrame:
+    df = matview.read_matview(cfg, MV).to_pandas()
+    return df.sort_values("conv_id", ignore_index=True)[
+        ["conv_id", "n_turns", "n_tool_turns", "text_chars", "max_turn_idx"]]
+
+
+def assert_view_matches(cfg):
+    pd.testing.assert_frame_equal(read_view(cfg), view_oracle(cfg),
+                                  check_dtype=False)
+
+
+def _live_convs(cfg, n) -> list:
+    """First n conversation ids present in the resolved snapshot."""
+    snap = ingest.snapshot_to_pandas(cfg)
+    return sorted(snap["conv_id"].unique())[:n]
+
+
+def _phase2_events(cfg, convs_touch, conv_kill) -> pa.Table:
+    """Hand-built second-phase change batch: update turn 0 of each
+    touched conv, insert a high turn, and delete EVERY live turn of
+    `conv_kill` (full retraction)."""
+    snap = ingest.snapshot_to_pandas(cfg)
+    base_lsn = int(TableState(cfg.table_dir).committed_lsn) + 1
+    rows = []
+    for i, c in enumerate(convs_touch):
+        rows.append((base_lsn + 2 * i, "update", c, 0, "assistant",
+                     "patched-text-longer-than-before", "tool-x"))
+        rows.append((base_lsn + 2 * i + 1, "insert", c, 99, "user",
+                     "appended", None))
+    off = base_lsn + 2 * len(convs_touch)
+    kills = snap[snap.conv_id == conv_kill]["turn_idx"].tolist()
+    for j, t in enumerate(kills):
+        rows.append((off + j, "delete", conv_kill, int(t), None, None, None))
+    lsn, op, conv, turn, role, text, tool = zip(*rows)
+    n = len(rows)
+    return pa.table({
+        "lsn": pa.array(lsn, pa.int64()),
+        "op": pa.array(op, pa.string()),
+        "conv_id": pa.array(conv, pa.string()),
+        "turn_idx": pa.array(turn, pa.int64()),
+        "role": pa.array(role, pa.string()),
+        "text": pa.array(text, pa.string()),
+        "tool": pa.array(tool, pa.string()),
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * n,
+                       pa.timestamp("us")),
+        "model": pa.array([None] * n, pa.string()),
+    })
+
+
+def _mv_stats(m) -> dict:
+    return m.metrics["matview_refresh"]
+
+
+def test_full_then_incremental_matches_recompute(tmp_engine):
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    m1 = matview.refresh_matview(cfg, MV)
+    assert _mv_stats(m1)["mode"] == "full"
+    assert_view_matches(cfg)
+
+    *touched, kill = _live_convs(cfg, 4)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    w.append(_phase2_events(cfg, touched, kill), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    m2 = matview.refresh_matview(cfg, MV)
+    st = _mv_stats(m2)
+    assert st["mode"] == "incremental"
+    # delta-proportional: only the touched conversations re-resolved
+    assert st["affected_keys"] == 4
+    assert st["tombstones"] == 1          # conv-4 fully retracted
+    assert_view_matches(cfg)
+    view = read_view(cfg)
+    assert kill not in set(view["conv_id"])
+    assert int(view.loc[view.conv_id == touched[0], "max_turn_idx"]
+               .iloc[0]) == 99
+
+
+def test_refresh_is_idempotent(tmp_engine):
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    assert matview.refresh_matview(cfg, MV) is not None
+    assert matview.refresh_matview(cfg, MV) is None  # already fresh
+
+
+def test_compaction_state_preserving_skip(tmp_engine):
+    """refresh -> compact -> new tick -> refresh stays INCREMENTAL:
+    a compaction with no unrefreshed deltas is a state-preserving
+    rewrite, not a reason to recompute."""
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    ingest.compact(cfg)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    a, b = _live_convs(cfg, 2)
+    w.append(_phase2_events(cfg, [a], b), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    m = matview.refresh_matview(cfg, MV)
+    assert _mv_stats(m)["mode"] == "incremental"
+    assert_view_matches(cfg)
+
+
+def test_compaction_over_pending_delta_forces_full(tmp_engine):
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    a, b = _live_convs(cfg, 2)
+    w.append(_phase2_events(cfg, [a], b), 3)
+    w.close()
+    ingest.apply_tick(cfg)           # delta the view has NOT folded
+    ingest.compact(cfg)              # ...now folded away by compaction
+    m = matview.refresh_matview(cfg, MV)
+    st = _mv_stats(m)
+    assert st["mode"] == "full" and st["reason"] == "compaction"
+    assert_view_matches(cfg)
+
+
+def test_new_control_op_forces_full(tmp_engine):
+    from techtalk_data_pipeline_snowpark_ray.stages.controls import ControlOp
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    lsn = TableState(cfg.table_dir).committed_lsn + 1
+    ingest.apply_tick(cfg, control_ops=[
+        ControlOp(kind="delete", lsn=lsn,
+                  predicate={"col": "role", "fn": "eq", "value": "system"})])
+    m = matview.refresh_matview(cfg, MV)
+    st = _mv_stats(m)
+    assert st["mode"] == "full" and st["reason"] == "controls-changed"
+    assert_view_matches(cfg)
+
+
+def test_run_loop_maintains_matview(tmp_engine):
+    cfg = tmp_engine
+    cfg.matviews = (MV,)
+    write_wal(TINY, cfg.wal_dir, segment_rows=300)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    assert_view_matches(cfg)
+
+
+def test_mv_files_compact_to_single_base(tmp_engine):
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    a, b = _live_convs(cfg, 2)
+    w.append(_phase2_events(cfg, [a], b), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    before = read_view(cfg)
+    key = matview.MV_PREFIX + MV
+    state = TableState(cfg.table_dir)
+    assert len(state.load_latest().derived[key]) > 1
+    ingest.compact(cfg)
+    assert len(state.load_latest().derived[key]) == 1
+    pd.testing.assert_frame_equal(read_view(cfg), before,
+                                  check_dtype=False)
+    assert_view_matches(cfg)
+
+
+def test_empty_table_refresh_and_read(tmp_engine):
+    cfg = tmp_engine
+    assert matview.refresh_matview(cfg, MV) is None  # nothing committed
+    ds = matview.read_matview(cfg, MV)
+    assert ds.schema().names == ["conv_id", "n_turns", "n_tool_turns",
+                                 "text_chars", "max_turn_idx"]
+    assert ds.count() == 0
+
+
+def test_unknown_view_rejected(tmp_engine):
+    with pytest.raises(KeyError):
+        matview.refresh_matview(tmp_engine, "nope")
