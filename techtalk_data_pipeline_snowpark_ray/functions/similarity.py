@@ -474,11 +474,11 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
                                  "id_b": pd.Series(dtype="int64")})
         return pd.concat(out, ignore_index=True)
 
-    cand = (sub.map_batches(band_rows, batch_format="pyarrow",
-                            zero_copy_batch=True)
-               .groupby("part", num_partitions=nparts)
-               .map_groups(emit_pairs, batch_format="pandas")
-               .to_pandas())
+    from ..stages.exchange import exchange_map_groups
+    band_ds = sub.map_batches(band_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    cand = exchange_map_groups(band_ds, "part", nparts,
+                               emit_pairs).to_pandas()
     if cand.empty:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64")})
