@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_turn_windows": cdc_queries.cdc_turn_windows,
         "cdc_tool_call_stats": cdc_queries.cdc_tool_call_stats,
         "cdc_matview_conv_stats": cdc_queries.cdc_matview_conv_stats,
+        "cdc_matview_role_stats": cdc_queries.cdc_matview_role_stats,
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
@@ -456,6 +457,26 @@ def oracle_sql() -> dict[str, str]:
                      AS text_chars,
                    CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
             FROM fin GROUP BY conv_id ORDER BY conv_id
+        """,
+        # grouped matview (non-key grouping, bucket-partial merge):
+        # per-role live stats over the resolved state
+        "cdc_matview_role_stats": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT role, turn_idx, text
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT role, COUNT(*) AS n_turns,
+                   CAST(SUM(COALESCE(length(text), 0)) AS BIGINT)
+                     AS text_chars,
+                   CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
+            FROM fin WHERE role IS NOT NULL
+            GROUP BY role ORDER BY role
         """,
         "ingest_json_staged": f"""
             SELECT event_id, user_id, event_type,

@@ -448,6 +448,38 @@ def cdc_matview_conv_stats(sf_dir: str) -> ray.data.Dataset:
     return read_matview(cfg, "conv_live_stats").sort("conv_id")
 
 
+def cdc_matview_role_stats(sf_dir: str) -> ray.data.Dataset:
+    """Grouped materialized view: per-ROLE aggregate over the RESOLVED
+    state (a NON-partition-key grouping, so updates/deletes retract
+    across arbitrary keys), maintained bucket-proportionally — each
+    refresh re-partials only the buckets the delta touched and the read
+    merges current per-bucket partials. Two-phase WAL: full first
+    refresh, incremental second."""
+    from .matview import read_grouped_matview, refresh_matview
+
+    cfg = _fresh_cfg("gmv")
+    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    half = src.metadata.num_rows // 2
+    seen = 0
+    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
+    for rb in src.iter_batches(batch_size=65536,
+                               columns=["event_id", "user_id", "ts"]):
+        t = pa.Table.from_batches([rb])
+        w.append(derive_change_batch(t), 1)
+        seen += t.num_rows
+        if half and seen >= half:
+            half = 0
+            w.close()
+            ingest.run_loop(cfg, stop_when_idle=True)
+            refresh_matview(cfg, "role_live_stats")
+            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
+                          reorder_slack=1024)
+    w.close()
+    ingest.run_loop(cfg, stop_when_idle=True)
+    refresh_matview(cfg, "role_live_stats")
+    return read_grouped_matview(cfg, "role_live_stats").sort("role")
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -1103,7 +1103,8 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
     """Fold each derived view's partials into a single base file."""
     from .derived import VIEWS
 
-    from .matview import MV_PREFIX, compact_mv_files
+    from .matview import GMV_PREFIX, MV_PREFIX, compact_gmv_files, \
+        compact_mv_files
 
     out: dict[str, list[str]] = {}
     for view, files in prev.derived.items():
@@ -1114,6 +1115,11 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
             # latest-wins (tombstones fall away with the rows they mask)
             out[view] = compact_mv_files(state.runs_dir, view, files,
                                          txn)
+            continue
+        if view.startswith(GMV_PREFIX):
+            # grouped matviews: keep each bucket's newest epoch
+            out[view] = compact_gmv_files(state.runs_dir, view, files,
+                                          txn)
             continue
         tbl = pa.concat_tables([pq.read_table(os.path.join(state.runs_dir, f))
                                 for f in files], promote_options="default")

@@ -60,8 +60,11 @@ from ..stages.partition import BUCKET_COL, hash_strings_arrow
 from ..state.manifest import Manifest, TableState
 
 MV_PREFIX = "mv:"
+GMV_PREFIX = "gmv:"
 MV_SEQ_COL = "_mv_seq"
 MV_DEAD_COL = "_mv_dead"
+MV_MARKER_COL = "_mv_marker"
+MV_BUCKET_COL = "_mv_bucket"
 
 
 @dataclass(frozen=True)
@@ -118,6 +121,64 @@ MATVIEWS["conv_live_stats"] = MatView(
     agg_fields=(("n_turns", pa.int64()), ("n_tool_turns", pa.int64()),
                 ("text_chars", pa.int64()), ("max_turn_idx", pa.int64())),
     agg=_conv_live_stats_agg)
+
+
+@dataclass(frozen=True)
+class GroupedMatView:
+    """An aggregate over the resolved table grouped by a NON-partition
+    column (role, tool, ...): per-key exclusivity cannot localize these,
+    so the state is per-(bucket, group) PARTIAL rows. A refresh
+    re-resolves each affected bucket wholesale (bucket-proportional,
+    not key-proportional — the partial depends on every live row of the
+    bucket) and replaces that bucket's partials; reads merge the
+    current partials across buckets with the associative merge_spec.
+    Retraction is free for the same reason as keyed views: partials are
+    re-derived from live rows, never incremented.
+    """
+    name: str
+    group_cols: tuple[str, ...]
+    source_cols: tuple[str, ...]
+    #: resolved live rows of ONE bucket -> one partial row per group
+    partial: Callable[[pa.Table], pa.Table]
+    #: (col, "sum"|"max"|"min") merging partials across buckets
+    merge_spec: tuple[tuple[str, str], ...]
+
+    @property
+    def derived_key(self) -> str:
+        return GMV_PREFIX + self.name
+
+    def empty_result(self) -> pa.Table:
+        cols = {c: pa.array([], pa.string()) for c in self.group_cols}
+        for c, _fn in self.merge_spec:
+            cols[c] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+
+def _role_live_stats_partial(t: pa.Table) -> pa.Table:
+    """Per-role stats of the LIVE rows (null roles — reachable via an
+    upsert-on-absent partial update — are excluded; mirror the filter
+    in any oracle)."""
+    t = t.filter(pc.is_valid(t["role"]))
+    chars = pc.cast(pc.fill_null(pc.utf8_length(t["text"]), 0), pa.int64())
+    g = pa.table({"role": t["role"],
+                  "n_turns": pa.array(np.ones(t.num_rows, np.int64)),
+                  "text_chars": chars,
+                  "max_turn_idx": pc.cast(t["turn_idx"], pa.int64())})
+    agg = pa.TableGroupBy(g, "role").aggregate(
+        [("n_turns", "sum"), ("text_chars", "sum"),
+         ("max_turn_idx", "max")])
+    return agg.select(["role", "n_turns_sum", "text_chars_sum",
+                       "max_turn_idx_max"]).rename_columns(
+        ["role", "n_turns", "text_chars", "max_turn_idx"])
+
+
+GROUPED_MATVIEWS: dict[str, GroupedMatView] = {}
+GROUPED_MATVIEWS["role_live_stats"] = GroupedMatView(
+    name="role_live_stats", group_cols=("role",),
+    source_cols=("role", "text"),
+    partial=_role_live_stats_partial,
+    merge_spec=(("n_turns", "sum"), ("text_chars", "sum"),
+                ("max_turn_idx", "max")))
 
 
 def _view(name: str) -> MatView:
@@ -264,12 +325,15 @@ def _inc_fold(view: MatView, payload: list[str], controls,
 
 
 def refresh_matview(cfg: EngineConfig, name: str) -> Manifest | None:
-    """Bring the named view up to the table's latest committed version.
-    Publishes one manifest (the refresh is itself a transaction); a
-    no-op (already fresh, or an empty delta window) returns None."""
+    """Bring the named view (keyed or grouped) up to the table's latest
+    committed version. Publishes one manifest (the refresh is itself a
+    transaction); a no-op (already fresh, or an empty delta window)
+    returns None."""
     from .ingest import _exchange_by_bucket, _fold_bucket_refs, \
         read_snapshot
 
+    if name in GROUPED_MATVIEWS:
+        return _refresh_grouped(cfg, GROUPED_MATVIEWS[name])
     view = _view(name)
     if view.key != "conv_id":
         # the lake layout is bucketed by conv_id: both the per-bucket
@@ -409,6 +473,238 @@ def read_matview(cfg: EngineConfig, name: str,
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
     return exchange_map_groups(ds, part, P,
                                lambda g: merge_mv_rows(g, view.key))
+
+
+# -- grouped matviews --------------------------------------------------------
+
+@ray.remote
+def _scan_buckets(path: str) -> np.ndarray:
+    """Distinct bucket ids of one delta run file (bucket column only)."""
+    t = pq.read_table(path, columns=[BUCKET_COL])
+    return np.unique(t[BUCKET_COL].to_numpy(zero_copy_only=False))
+
+
+def _grouped_fold(view: GroupedMatView, payload: list[str], controls,
+                  bucket: int, mv_seq: int, runs_dir: str, txn: str):
+    """Per-bucket fold: resolve the WHOLE bucket, derive its partial
+    rows, and ALWAYS emit a marker row so the bucket's refresh epoch
+    advances even when it resolved to zero live rows (otherwise stale
+    partials from an older epoch would keep winning the read-side
+    current-filter)."""
+    from ..stages.apply import resolve_final
+    from ..stages.controls import resolve_with_controls
+
+    def fold(tbl: "pa.Table | None") -> dict:
+        partial = None
+        if tbl is not None and tbl.num_rows:
+            g = tbl.to_pandas()
+            resolved = resolve_with_controls(g, payload, controls,
+                                             sort=False) if controls \
+                else resolve_final(g, payload, sort=False)
+            if not resolved.empty:
+                cols = [*schemas.KEY_COLS,
+                        *[c for c in payload if c in
+                          set(view.source_cols)]]
+                rt = pa.Table.from_pandas(resolved[cols],
+                                          preserve_index=False)
+                partial = view.partial(rt)
+        if partial is None:
+            partial = view.partial(pa.table(
+                {**{c: pa.array([], pa.string())
+                    for c in ("conv_id", *view.source_cols)},
+                 "turn_idx": pa.array([], pa.int64())}))
+        n = partial.num_rows
+        out = partial.append_column(
+            MV_BUCKET_COL, pa.array(np.full(n, bucket, np.int32)))
+        out = _state_cols(out, mv_seq, False)
+        out = out.append_column(MV_MARKER_COL,
+                                pa.array(np.zeros(n, bool)))
+        # the epoch marker row: group cols null, merge cols null
+        marker = {c: pa.nulls(1, out.schema.field(c).type)
+                  for c in out.column_names}
+        marker[MV_BUCKET_COL] = pa.array([bucket], pa.int32())
+        marker[MV_SEQ_COL] = pa.array([mv_seq], pa.int64())
+        marker[MV_DEAD_COL] = pa.array([False])
+        marker[MV_MARKER_COL] = pa.array([True])
+        out = pa.concat_tables([out, pa.table(marker)
+                               .cast(out.schema)])
+        fname = _write_mv_file(out, runs_dir, view, mv_seq, txn)
+        return {"file": fname, "n_rows": n}
+
+    return fold
+
+
+def _refresh_grouped(cfg: EngineConfig,
+                     view: GroupedMatView) -> Manifest | None:
+    """Grouped-view refresh: re-resolve and re-partial the AFFECTED
+    buckets (all buckets on a full fallback); windowing rules shared
+    with the keyed path."""
+    from .ingest import _exchange_by_bucket, _fold_bucket_refs
+
+    state = TableState(cfg.table_dir)
+    cur, m = state.load_latest_versioned()
+    if cur is None:
+        return None
+    last = _last_refreshed(m, view)
+    if last is not None and last >= cur:
+        return None
+
+    payload = schemas.payload_cols(m.schema_version or cfg.schema_version)
+    from ..stages.controls import sorted_controls
+    controls = sorted_controls(m.control_ops)
+    txn = state.new_txn()
+    num_buckets = m.num_buckets or cfg.num_buckets
+
+    delta: list[str] | None = None
+    reason = "first-refresh"
+    if last is not None:
+        delta, reason = _delta_files(state, last, m, cur)
+    if delta is not None and not delta:
+        return None
+
+    if delta is not None:
+        buck_arrays = ray.get([
+            _scan_buckets.remote(os.path.join(state.runs_dir, f))
+            for f in delta])
+        buckets = sorted(int(b) for b in
+                         np.unique(np.concatenate(buck_arrays))) \
+            if buck_arrays else []
+        mode = "incremental"
+    else:
+        buckets = list(range(num_buckets))
+        mode = "full"
+
+    files = [] if mode == "full" \
+        else list(m.derived.get(view.derived_key, []))
+    if buckets:
+        _pruned, scan_cols = _scan_cols_for_grouped(view, payload,
+                                                    controls)
+        want = {str(b) for b in buckets}
+        paths = [os.path.join(state.runs_dir, f)
+                 for b, runs in m.buckets.items()
+                 if mode == "full" or b in want
+                 for f in runs] \
+            + [os.path.join(state.runs_dir, f) for f in m.global_runs]
+        exchanged = _exchange_by_bucket(
+            paths, num_buckets, columns=scan_cols,
+            bucket_subset=buckets)
+        metas = ray.get([
+            _fold_bucket_refs.remote(
+                _grouped_fold(view, _pruned, controls, b, cur,
+                              state.runs_dir, txn),
+                *refs)
+            for b, refs in zip(buckets, exchanged)])
+        files += [mm["file"] for mm in metas]
+
+    derived = {k: list(v) for k, v in m.derived.items()}
+    derived[view.derived_key] = files
+    stats = {"mode": mode, "affected_buckets": len(buckets)}
+    if mode == "full":
+        stats["reason"] = reason
+    return state.publish(expected_parent=cur, manifest=Manifest(
+        txn_id=txn, committed_seq=m.committed_seq,
+        committed_lsn=m.committed_lsn,
+        schema_version=m.schema_version,
+        num_buckets=m.num_buckets,
+        buckets={k: list(v) for k, v in m.buckets.items()},
+        global_runs=list(m.global_runs),
+        derived=derived,
+        control_ops=m.control_ops,
+        wal_consumed=[],
+        metrics={"matview_refresh": {"view": view.name,
+                                     "source_version": cur, **stats}}))
+
+
+def _scan_cols_for_grouped(view: GroupedMatView, payload: list[str],
+                           controls) -> tuple[list[str], list[str]]:
+    need = set(view.source_cols)
+    for c in controls:
+        need.add(c.predicate["col"])
+        for out_col, spec in c.assignments.items():
+            need.add(out_col)
+            if "col" in spec:
+                need.add(spec["col"])
+    pruned = [c for c in payload if c in need]
+    scan = [*schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL,
+            BUCKET_COL, *pruned]
+    return pruned, scan
+
+
+def _bucket_epochs(paths: list[str]) -> dict[int, int]:
+    """bucket -> newest refresh seq across the view's files. Reads just
+    the (bucket, seq) columns; output is num_buckets-sized (tiny)."""
+    epoch = pa.concat_tables(
+        [pq.read_table(p, columns=[MV_BUCKET_COL, MV_SEQ_COL])
+         for p in paths])
+    bmax = pa.TableGroupBy(epoch, MV_BUCKET_COL).aggregate(
+        [(MV_SEQ_COL, "max")])
+    return {int(b): int(s) for b, s in
+            zip(bmax[MV_BUCKET_COL].to_pylist(),
+                bmax[f"{MV_SEQ_COL}_max"].to_pylist())}
+
+
+def _filter_current(tbl: pa.Table, cur_seq: dict[int, int],
+                    keep_markers: bool) -> pa.Table:
+    """Keep each bucket's newest-epoch rows (superseded partials and —
+    unless kept — epoch markers drop)."""
+    b = tbl[MV_BUCKET_COL].to_numpy(zero_copy_only=False)
+    s = tbl[MV_SEQ_COL].to_numpy(zero_copy_only=False)
+    want = np.array([cur_seq[int(x)] for x in b], dtype=np.int64)
+    keep = s == want
+    if not keep_markers:
+        keep &= ~tbl[MV_MARKER_COL].to_numpy(zero_copy_only=False)
+    return tbl.filter(pa.array(keep))
+
+
+def read_grouped_matview(cfg: EngineConfig,
+                         name: str) -> ray.data.Dataset:
+    """Current rows of a grouped view: distributed merge of the
+    buckets' current partials (the epoch map is the only driver-side
+    state — num_buckets entries, broadcast to the filter stage; the
+    partial rows themselves stream through the groupby)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    view = GROUPED_MATVIEWS[name]
+    state = TableState(cfg.table_dir)
+    m = state.load_latest()
+    paths = state.derived_paths(view.derived_key, m)
+    if not paths:
+        return ray.data.from_arrow(view.empty_result())
+    cur_ref = ray.put(_bucket_epochs(paths))
+
+    def keep_current(t: pa.Table) -> pa.Table:
+        from ..stages.joins import fetch_broadcast
+        out = _filter_current(t, fetch_broadcast(cur_ref),
+                              keep_markers=False)
+        return out.drop_columns([MV_BUCKET_COL, MV_SEQ_COL,
+                                 MV_DEAD_COL, MV_MARKER_COL])
+
+    aggs = {"sum": Sum, "max": Max, "min": Min}
+    ds = ray.data.read_parquet(paths) \
+        .map_batches(keep_current, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    if ds.count() == 0:
+        return ray.data.from_arrow(view.empty_result())
+    key = view.group_cols[0] if len(view.group_cols) == 1 \
+        else list(view.group_cols)
+    return ds.groupby(key).aggregate(
+        *[aggs[fn](c, alias_name=c) for c, fn in view.merge_spec])
+
+
+def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],
+                      txn: str) -> list[str]:
+    """Compaction hook for grouped views: keep only each bucket's
+    current epoch (markers included — they carry the epoch for buckets
+    whose partial set is empty) in one base file."""
+    name = view_key[len(GMV_PREFIX):]
+    view = GROUPED_MATVIEWS[name]
+    paths = [os.path.join(runs_dir, f) for f in files]
+    cur_seq = _bucket_epochs(paths)
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                           promote_options="default")
+    out = _filter_current(tbl, cur_seq, keep_markers=True)
+    seq = int(pc.max(out[MV_SEQ_COL]).as_py()) if out.num_rows else 0
+    return [_write_mv_file(out, runs_dir, view, seq, txn)]
 
 
 def compact_mv_files(runs_dir: str, view_key: str, files: list[str],

@@ -218,3 +218,120 @@ def test_empty_table_refresh_and_read(tmp_engine):
 def test_unknown_view_rejected(tmp_engine):
     with pytest.raises(KeyError):
         matview.refresh_matview(tmp_engine, "nope")
+
+
+# -- grouped matviews --------------------------------------------------------
+
+GMV = "role_live_stats"
+
+
+def gmv_oracle(cfg) -> pd.DataFrame:
+    snap = ingest.snapshot_to_pandas(cfg)
+    s = snap[snap["role"].notna()]
+    g = s.groupby("role")
+    return pd.DataFrame({
+        "n_turns": g.size().astype("int64"),
+        "text_chars": g["text"].apply(
+            lambda x: int(x.fillna("").str.len().sum())).astype("int64"),
+        "max_turn_idx": g["turn_idx"].max().astype("int64"),
+    }).reset_index().sort_values("role", ignore_index=True)
+
+
+def read_gview(cfg) -> pd.DataFrame:
+    ds = matview.read_grouped_matview(cfg, GMV)
+    df = ds.to_pandas()
+    if not len(df.columns):  # Ray quirk: zero-row block -> columnless
+        df = pd.DataFrame({f.name: pd.Series(dtype="object")
+                           for f in ds.schema().base_schema})
+    return df.sort_values("role", ignore_index=True)[
+        ["role", "n_turns", "text_chars", "max_turn_idx"]]
+
+
+def assert_gview_matches(cfg):
+    pd.testing.assert_frame_equal(read_gview(cfg), gmv_oracle(cfg),
+                                  check_dtype=False)
+
+
+def test_grouped_full_then_incremental(tmp_engine):
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    m1 = matview.refresh_matview(cfg, GMV)
+    assert _mv_stats(m1)["mode"] == "full"
+    assert_gview_matches(cfg)
+
+    *touched, kill = _live_convs(cfg, 2)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    w.append(_phase2_events(cfg, touched, kill), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    m2 = matview.refresh_matview(cfg, GMV)
+    st = _mv_stats(m2)
+    assert st["mode"] == "incremental"
+    assert st["affected_buckets"] <= cfg.num_buckets
+    assert_gview_matches(cfg)
+    assert matview.refresh_matview(cfg, GMV) is None  # idempotent
+
+
+def _single_conv_batch(conv, turns, op, lsn0):
+    n = len(turns)
+    return pa.table({
+        "lsn": pa.array(range(lsn0, lsn0 + n), pa.int64()),
+        "op": pa.array([op] * n, pa.string()),
+        "conv_id": pa.array([conv] * n, pa.string()),
+        "turn_idx": pa.array(turns, pa.int64()),
+        "role": pa.array([None if op == "delete" else "user"] * n,
+                         pa.string()),
+        "text": pa.array([None if op == "delete" else "hello"] * n,
+                         pa.string()),
+        "tool": pa.array([None] * n, pa.string()),
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * n,
+                       pa.timestamp("us")),
+        "model": pa.array([None] * n, pa.string()),
+    })
+
+
+def test_grouped_full_retraction_empties_view(tmp_engine):
+    """Deleting every live row of a bucket must supersede its stored
+    partials (the epoch-marker path): the view ends EMPTY, not stale."""
+    cfg = tmp_engine
+    w = WalWriter(cfg.wal_dir, segment_rows=100, reorder_slack=8)
+    w.append(_single_conv_batch("conv-solo", [0, 1, 2, 3, 4],
+                                "insert", 1), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, GMV)
+    assert int(read_gview(cfg)["n_turns"].sum()) == 5
+    w = WalWriter(cfg.wal_dir, segment_rows=100, reorder_slack=8)
+    w.append(_single_conv_batch("conv-solo", [0, 1, 2, 3, 4],
+                                "delete", 100), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    m = matview.refresh_matview(cfg, GMV)
+    assert _mv_stats(m)["mode"] == "incremental"
+    assert read_gview(cfg).empty
+    assert_gview_matches(cfg)
+
+
+def test_grouped_compaction_and_run_loop(tmp_engine):
+    cfg = tmp_engine
+    cfg.matviews = (GMV, MV)
+    write_wal(TINY, cfg.wal_dir, segment_rows=300)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    assert_gview_matches(cfg)
+    assert_view_matches(cfg)
+    before = read_gview(cfg)
+    ingest.compact(cfg)
+    key = matview.GMV_PREFIX + GMV
+    assert len(TableState(cfg.table_dir).load_latest().derived[key]) == 1
+    pd.testing.assert_frame_equal(read_gview(cfg), before,
+                                  check_dtype=False)
+    # post-compaction delta refresh stays incremental and correct
+    a, b = _live_convs(cfg, 2)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    w.append(_phase2_events(cfg, [a], b), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    m = matview.refresh_matview(cfg, GMV)
+    assert _mv_stats(m)["mode"] == "incremental"
+    assert_gview_matches(cfg)
