@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_matview_conv_stats": cdc_queries.cdc_matview_conv_stats,
         "cdc_matview_role_stats": cdc_queries.cdc_matview_role_stats,
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
+        "cdc_time_travel": cdc_queries.cdc_time_travel,
+        "cdc_changefeed_delta": cdc_queries.cdc_changefeed_delta,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
@@ -477,6 +479,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
             FROM fin WHERE role IS NOT NULL
             GROUP BY role ORDER BY role
+        """,
+        # time travel: the table AS OF the phase-1 commit (phase split
+        # at the deterministic lsn cutoff max(event_id)//2)
+        "cdc_time_travel": f"""
+            WITH ch AS ({_CDC_CH}),
+            ph1 AS (
+              SELECT * FROM ch
+              WHERE lsn <= (SELECT MAX(event_id) // 2 FROM events)
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ph1
+            )
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ORDER BY conv_id, turn_idx
+        """,
+        # changefeed: collapsed change records of the phase-2 window,
+        # one row per touched key with (op, lsn); op mirrors the fold:
+        # delete if the last event deletes, full if an insert outlives
+        # the last delete, else partial (update with no base in-window)
+        "cdc_changefeed_delta": f"""
+            WITH ch AS ({_CDC_CH}),
+            ph2 AS (
+              SELECT * FROM ch
+              WHERE lsn > (SELECT MAX(event_id) // 2 FROM events)
+            ),
+            k AS (
+              SELECT conv_id, turn_idx, MAX(lsn) AS lsn,
+                     MAX(CASE WHEN op = 'delete' THEN lsn
+                              ELSE -1 END) AS del_lsn,
+                     MAX(CASE WHEN op = 'insert' THEN lsn
+                              ELSE -1 END) AS ins_lsn
+              FROM ph2 GROUP BY conv_id, turn_idx
+            )
+            SELECT p.conv_id, CAST(p.turn_idx AS INTEGER) AS turn_idx,
+                   p.lsn,
+                   CASE WHEN p.op = 'delete' THEN 'delete'
+                        WHEN k.ins_lsn > k.del_lsn THEN 'full'
+                        ELSE 'partial' END AS op,
+                   CASE WHEN p.op = 'delete' THEN NULL
+                        ELSE p.role END AS role,
+                   CASE WHEN p.op = 'delete' THEN NULL
+                        ELSE p.text END AS text,
+                   CASE WHEN p.op = 'delete' THEN NULL
+                        ELSE p.tool END AS tool,
+                   p.ts
+            FROM ph2 p JOIN k
+              ON p.conv_id = k.conv_id AND p.turn_idx = k.turn_idx
+             AND p.lsn = k.lsn
+            ORDER BY p.conv_id, p.turn_idx
         """,
         "ingest_json_staged": f"""
             SELECT event_id, user_id, event_type,

@@ -480,6 +480,66 @@ def cdc_matview_role_stats(sf_dir: str) -> ray.data.Dataset:
     return read_grouped_matview(cfg, "role_live_stats").sort("role")
 
 
+def _two_phase_versions(sf_dir: str, tag: str) -> tuple[EngineConfig,
+                                                        int, int, int]:
+    """Shared harness for the version-window queries: land the derived
+    change stream in two lsn-disjoint phases split at cutoff =
+    max(event_id) // 2 (footer stats, no data scan), each committed as
+    ONE tick, and return (cfg, cutoff, v1, v2). The split is by a
+    deterministic lsn predicate — not file position — so a SQL oracle
+    can name the exact same phase boundary."""
+    from .analytics import _parquet_col_max
+
+    cfg = _fresh_cfg(tag, schema_version=1)
+    path = os.path.join(sf_dir, "events.parquet")
+    cutoff = int(_parquet_col_max(path, "event_id")) // 2
+    src = pq.ParquetFile(path)
+    from ..state.manifest import TableState
+
+    for phase in (0, 1):
+        w = WalWriter(cfg.wal_dir, segment_rows=1_000_000,
+                      reorder_slack=2048)
+        for rb in src.iter_batches(batch_size=65536,
+                                   columns=["event_id", "user_id", "ts"]):
+            t = pa.Table.from_batches([rb])
+            keep = pc.less_equal(t["event_id"], cutoff) if phase == 0 \
+                else pc.greater(t["event_id"], cutoff)
+            part = t.filter(keep)
+            if part.num_rows:
+                w.append(derive_change_batch(part), 1)
+        w.close()
+        ingest.apply_tick(cfg)
+        if phase == 0:
+            v1 = TableState(cfg.table_dir).latest_version()
+    v2 = TableState(cfg.table_dir).latest_version()
+    return cfg, cutoff, v1, v2
+
+
+def cdc_time_travel(sf_dir: str) -> ray.data.Dataset:
+    """TIME TRAVEL: ingest the change stream in two committed phases,
+    then read the table AS OF the first commit — the later phase's
+    inserts/updates/deletes must be invisible. Exercises
+    `ingest.read_snapshot_as_of` (immutable manifests naming their run
+    files; the read honors the pinned version's schema and layout)."""
+    cfg, _cutoff, v1, _v2 = _two_phase_versions(sf_dir, "tt")
+    return ingest.read_snapshot_as_of(cfg, v1).sort(
+        ["conv_id", "turn_idx"])
+
+
+def cdc_changefeed_delta(sf_dir: str) -> ray.data.Dataset:
+    """CDC OUT: the collapsed change records committed AFTER version
+    v1 (`ingest.read_delta`) — the lake table re-exported as a change
+    SOURCE for downstream consumers (reference stream-on-table read,
+    `SnowflakeUtils.scala:96-118`, at the snapshot level). One row per
+    key touched in phase 2, carrying (op, lsn): op is 'delete' when
+    the key's last phase-2 event deletes it, 'full' when an insert
+    outlives the last delete, else 'partial' (update with no base in
+    the window)."""
+    cfg, _cutoff, v1, _v2 = _two_phase_versions(sf_dir, "cf")
+    return ingest.read_delta(cfg, v1).drop_columns([BUCKET_COL]) \
+        .sort(["conv_id", "turn_idx"])
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

@@ -17,7 +17,9 @@ SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "token_counts", "exact_dedup_documents", "ann_topk_cosine",
           "union_tag", "user_journeys", "cdc_render_transcripts",
           "user_moving_sum", "users_view_purchase_setops",
-          "embedding_near_dup_lsh", "minhash_near_dup"]
+          "embedding_near_dup_lsh", "minhash_near_dup",
+          "cdc_matview_role_stats", "cdc_time_travel",
+          "cdc_changefeed_delta"]
 
 
 @pytest.fixture(scope="module")
