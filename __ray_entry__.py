@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_tool_call_stats": cdc_queries.cdc_tool_call_stats,
         "cdc_matview_conv_stats": cdc_queries.cdc_matview_conv_stats,
         "cdc_matview_role_stats": cdc_queries.cdc_matview_role_stats,
+        "cdc_matview_hourly_activity":
+            cdc_queries.cdc_matview_hourly_activity,
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "cdc_time_travel": cdc_queries.cdc_time_travel,
         "cdc_changefeed_delta": cdc_queries.cdc_changefeed_delta,
@@ -479,6 +481,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
             FROM fin WHERE role IS NOT NULL
             GROUP BY role ORDER BY role
+        """,
+        # windowed grouped matview: event-time tumbling (1h) aggregate
+        # over the resolved state; n_convs is a distinct count made
+        # distributive by bucket-exclusive conversation partitioning
+        "cdc_matview_hourly_activity": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, turn_idx, ts
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
+            FROM fin WHERE ts IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         # time travel: the table AS OF the phase-1 commit (phase split
         # at the deterministic lsn cutoff max(event_id)//2)

@@ -51,7 +51,8 @@ QUERY_NAMES = [
     "ann_topk_lsh", "ann_topk_ivf", "media_image_features",
     "embedding_near_dup_lsh", "exact_dedup_incremental",
     "cdc_tool_call_stats", "cdc_matview_conv_stats",
-    "cdc_matview_role_stats",
+    "cdc_matview_role_stats", "cdc_matview_hourly_activity",
+    "cdc_time_travel", "cdc_changefeed_delta",
 ]
 
 

@@ -480,6 +480,40 @@ def cdc_matview_role_stats(sf_dir: str) -> ray.data.Dataset:
     return read_grouped_matview(cfg, "role_live_stats").sort("role")
 
 
+def cdc_matview_hourly_activity(sf_dir: str) -> ray.data.Dataset:
+    """Windowed grouped matview: event-time tumbling (1h) aggregate
+    over the RESOLVED state, maintained incrementally. The group col is
+    DERIVED (floor of ts), so late updates that move a row's timestamp
+    retract from the old window and land in the new one; `n_convs` is a
+    per-window DISTINCT conversation count that merges by plain sum
+    because buckets partition conversations exclusively. Two-phase WAL:
+    full first refresh, incremental second."""
+    from .matview import read_grouped_matview, refresh_matview
+
+    cfg = _fresh_cfg("hmv")
+    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    half = src.metadata.num_rows // 2
+    seen = 0
+    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
+    for rb in src.iter_batches(batch_size=65536,
+                               columns=["event_id", "user_id", "ts"]):
+        t = pa.Table.from_batches([rb])
+        w.append(derive_change_batch(t), 1)
+        seen += t.num_rows
+        if half and seen >= half:
+            half = 0
+            w.close()
+            ingest.run_loop(cfg, stop_when_idle=True)
+            refresh_matview(cfg, "hourly_activity")
+            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
+                          reorder_slack=1024)
+    w.close()
+    ingest.run_loop(cfg, stop_when_idle=True)
+    refresh_matview(cfg, "hourly_activity")
+    return read_grouped_matview(cfg, "hourly_activity") \
+        .sort("window_start")
+
+
 def _two_phase_versions(sf_dir: str, tag: str) -> tuple[EngineConfig,
                                                         int, int, int]:
     """Shared harness for the version-window queries: land the derived

@@ -142,13 +142,18 @@ class GroupedMatView:
     partial: Callable[[pa.Table], pa.Table]
     #: (col, "sum"|"max"|"min") merging partials across buckets
     merge_spec: tuple[tuple[str, str], ...]
+    #: arrow types aligned with group_cols (default: string) — lets a
+    #: group col be DERIVED and non-string (an event-time window, ...)
+    group_types: tuple = ()
 
     @property
     def derived_key(self) -> str:
         return GMV_PREFIX + self.name
 
     def empty_result(self) -> pa.Table:
-        cols = {c: pa.array([], pa.string()) for c in self.group_cols}
+        cols = {c: pa.array([], self.group_types[i]
+                            if i < len(self.group_types) else pa.string())
+                for i, c in enumerate(self.group_cols)}
         for c, _fn in self.merge_spec:
             cols[c] = pa.array([], pa.int64())
         return pa.table(cols)
@@ -172,6 +177,27 @@ def _role_live_stats_partial(t: pa.Table) -> pa.Table:
         ["role", "n_turns", "text_chars", "max_turn_idx"])
 
 
+def _hourly_activity_partial(t: pa.Table) -> pa.Table:
+    """Event-time tumbling window (1h) over the resolved state: the
+    group col is DERIVED (floor of ts), so a late update that moves a
+    row's ts retracts it from the old window and adds it to the new one
+    when its bucket re-partials. `n_convs` is a per-window DISTINCT
+    count that merges by plain SUM because the lake partitions
+    conversations exclusively by bucket — the bucket-partial model
+    makes the distinct aggregate distributive for free. Null ts
+    (upsert-on-absent partial update) excluded; mirror in oracles."""
+    t = t.filter(pc.is_valid(t["ts"]))
+    g = pa.table({"window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                  "conv_id": t["conv_id"],
+                  "turn_idx": pc.cast(t["turn_idx"], pa.int64())})
+    agg = pa.TableGroupBy(g, "window_start").aggregate(
+        [("conv_id", "count_distinct"), ("turn_idx", "count"),
+         ("turn_idx", "max")])
+    return agg.select(["window_start", "conv_id_count_distinct",
+                       "turn_idx_count", "turn_idx_max"]).rename_columns(
+        ["window_start", "n_convs", "n_turns", "max_turn_idx"])
+
+
 GROUPED_MATVIEWS: dict[str, GroupedMatView] = {}
 GROUPED_MATVIEWS["role_live_stats"] = GroupedMatView(
     name="role_live_stats", group_cols=("role",),
@@ -179,6 +205,13 @@ GROUPED_MATVIEWS["role_live_stats"] = GroupedMatView(
     partial=_role_live_stats_partial,
     merge_spec=(("n_turns", "sum"), ("text_chars", "sum"),
                 ("max_turn_idx", "max")))
+GROUPED_MATVIEWS["hourly_activity"] = GroupedMatView(
+    name="hourly_activity", group_cols=("window_start",),
+    source_cols=("ts",),
+    partial=_hourly_activity_partial,
+    merge_spec=(("n_convs", "sum"), ("n_turns", "sum"),
+                ("max_turn_idx", "max")),
+    group_types=(pa.timestamp("us"),))
 
 
 def _view(name: str) -> MatView:
@@ -509,10 +542,13 @@ def _grouped_fold(view: GroupedMatView, payload: list[str], controls,
                                           preserve_index=False)
                 partial = view.partial(rt)
         if partial is None:
+            # typed empty input: non-string source cols (ts, ...) must
+            # keep their lake types or the partial's kernels break
+            base = schemas.table_schema()
             partial = view.partial(pa.table(
-                {**{c: pa.array([], pa.string())
-                    for c in ("conv_id", *view.source_cols)},
-                 "turn_idx": pa.array([], pa.int64())}))
+                {c: pa.array([], base.field(c).type
+                             if c in base.names else pa.string())
+                 for c in (*schemas.KEY_COLS, *view.source_cols)}))
         n = partial.num_rows
         out = partial.append_column(
             MV_BUCKET_COL, pa.array(np.full(n, bucket, np.int32)))
@@ -687,8 +723,22 @@ def read_grouped_matview(cfg: EngineConfig,
         return ray.data.from_arrow(view.empty_result())
     key = view.group_cols[0] if len(view.group_cols) == 1 \
         else list(view.group_cols)
-    return ds.groupby(key).aggregate(
+    out = ds.groupby(key).aggregate(
         *[aggs[fn](c, alias_name=c) for c, fn in view.merge_spec])
+    if not view.group_types:
+        return out
+    want = view.empty_result().schema
+
+    def recast(t: pa.Table) -> pa.Table:
+        # Ray's hash aggregate can demote a non-string group key's
+        # precision (timestamp[us] -> [s]); restore the declared types
+        for i, c in enumerate(view.group_cols):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pc.cast(t[c], want.field(c).type))
+        return t
+
+    return out.map_batches(recast, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],

@@ -335,3 +335,71 @@ def test_grouped_compaction_and_run_loop(tmp_engine):
     m = matview.refresh_matview(cfg, GMV)
     assert _mv_stats(m)["mode"] == "incremental"
     assert_gview_matches(cfg)
+
+
+# -- windowed grouped matview (derived group col) -----------------------------
+
+HMV = "hourly_activity"
+
+
+def hmv_oracle(cfg) -> pd.DataFrame:
+    snap = ingest.snapshot_to_pandas(cfg)
+    s = snap[snap["ts"].notna()].copy()
+    s["window_start"] = s["ts"].dt.floor("h")
+    g = s.groupby("window_start")
+    return pd.DataFrame({
+        "n_convs": g["conv_id"].nunique().astype("int64"),
+        "n_turns": g.size().astype("int64"),
+        "max_turn_idx": g["turn_idx"].max().astype("int64"),
+    }).reset_index().sort_values("window_start", ignore_index=True)
+
+
+def read_hview(cfg) -> pd.DataFrame:
+    df = matview.read_grouped_matview(cfg, HMV).to_pandas()
+    if not len(df.columns):
+        df = pd.DataFrame(columns=["window_start", "n_convs", "n_turns",
+                                   "max_turn_idx"])
+    return df.sort_values("window_start", ignore_index=True)[
+        ["window_start", "n_convs", "n_turns", "max_turn_idx"]]
+
+
+def test_windowed_gmv_late_data_moves_windows(tmp_engine):
+    """An update that MOVES a row's event time must retract it from the
+    old window and land it in the new one on the next incremental
+    refresh (the derived-group-col path)."""
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    m1 = matview.refresh_matview(cfg, HMV)
+    assert _mv_stats(m1)["mode"] == "full"
+    pd.testing.assert_frame_equal(read_hview(cfg), hmv_oracle(cfg),
+                                  check_dtype=False)
+
+    # move one live row five hours forward via a full-payload update
+    snap = ingest.snapshot_to_pandas(cfg)
+    row = snap.iloc[0]
+    base_lsn = int(TableState(cfg.table_dir).committed_lsn) + 1
+    new_ts = (pd.Timestamp(row["ts"]) + pd.Timedelta(hours=5)) \
+        .as_unit("us").to_datetime64()
+    t = pa.table({
+        "lsn": pa.array([base_lsn], pa.int64()),
+        "op": pa.array(["update"], pa.string()),
+        "conv_id": pa.array([row["conv_id"]], pa.string()),
+        "turn_idx": pa.array([int(row["turn_idx"])], pa.int64()),
+        "role": pa.array([row["role"]], pa.string()),
+        "text": pa.array([row["text"]], pa.string()),
+        "tool": pa.array([row["tool"]], pa.string()),
+        "ts": pa.array([new_ts], pa.timestamp("us")),
+        "model": pa.array([None], pa.string()),
+    })
+    w = WalWriter(cfg.wal_dir, segment_rows=100, reorder_slack=8)
+    w.append(t, 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    m2 = matview.refresh_matview(cfg, HMV)
+    st = _mv_stats(m2)
+    assert st["mode"] == "incremental"
+    got = read_hview(cfg)
+    pd.testing.assert_frame_equal(got, hmv_oracle(cfg), check_dtype=False)
+    # the moved row's new window really is present
+    assert pd.Timestamp(new_ts).floor("h") in set(got["window_start"])
