@@ -403,3 +403,45 @@ def test_windowed_gmv_late_data_moves_windows(tmp_engine):
     pd.testing.assert_frame_equal(got, hmv_oracle(cfg), check_dtype=False)
     # the moved row's new window really is present
     assert pd.Timestamp(new_ts).floor("h") in set(got["window_start"])
+
+
+def test_gmv_refresh_conflict_and_orphan_gc(tmp_engine, monkeypatch):
+    """A grouped-view refresh racing a table tick: the refresh computed
+    against the pre-tick version must LOSE (CommitConflict), leave no
+    visible view state, be GC-reclaimable, and succeed on retry against
+    the new table version."""
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import (
+        CommitConflict)
+
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    st = TableState(cfg.table_dir)
+    orig = TableState.publish
+    fired = {}
+
+    def racing(self, manifest, *a, **k):
+        if "matview_refresh" in manifest.metrics and not fired:
+            fired["x"] = True          # a real competing writer ticks
+            a2, b = _live_convs(cfg, 2)
+            w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+            w.append(_phase2_events(cfg, [a2], b), 3)
+            w.close()
+            ingest.apply_tick(cfg)
+        return orig(self, manifest, *a, **k)
+
+    monkeypatch.setattr(TableState, "publish", racing)
+    with pytest.raises(CommitConflict):
+        matview.refresh_matview(cfg, GMV)
+    assert matview.GMV_PREFIX + GMV not in st.load_latest().derived
+
+    # retry recomputes against the post-tick state and wins
+    m = matview.refresh_matview(cfg, GMV)
+    assert m is not None
+    assert_gview_matches(cfg)
+
+    # the aborted attempt's run files are referenced by nothing: GC
+    # reclaims them, and the view still reads correctly afterwards
+    removed = st.gc_orphan_runs(keep_versions=10)
+    assert removed, "aborted refresh left no GC-able orphans?"
+    assert_gview_matches(cfg)
