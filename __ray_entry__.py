@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # all-kinds fake-decoder pipelines remain rows-only ---
         "media_image_features": multimodal.media_image_features,
         "media_image_resized": multimodal.media_image_resized,
+        "media_audio_features": multimodal.media_audio_features,
         "multimodal_features": multimodal.multimodal_features,   # rows-only
         "media_resized": multimodal.media_resized,               # rows-only
         "video_frame_samples": multimodal.video_frame_samples,
@@ -1441,6 +1442,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(v) AS BIGINT) AS pixel_min,
                    CAST(MAX(v) AS BIGINT) AS pixel_max
             FROM px GROUP BY media_id, width, height ORDER BY media_id
+        """,
+        # REAL WAV/PCM16 decode: the oracle regenerates the
+        # deterministic sample train s[i] = (id*31 + i*17) % 65536
+        # - 32768 with generate_series and recomputes the stats
+        "media_audio_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     doc_id % 1500 + 64 AS n_samples,
+                     8000 + ((doc_id // 3) % 3) * 4000 AS sample_rate
+              FROM documents WHERE doc_id % 3 = 1
+            ),
+            g AS (SELECT unnest(range(1564)) AS i),
+            s AS (
+              SELECT m.media_id,
+                     ((m.media_id * 31 + g.i * 17) % 65536) - 32768 AS v
+              FROM m JOIN g ON g.i < m.n_samples
+            )
+            SELECT m.media_id,
+                   CAST(m.n_samples AS BIGINT) AS n_samples,
+                   CAST(m.sample_rate AS BIGINT) AS sample_rate,
+                   CAST(m.n_samples * 1000000 // m.sample_rate AS BIGINT)
+                     AS duration_us,
+                   CAST(MAX(ABS(s.v)) AS BIGINT) AS peak_abs,
+                   CAST(SUM(ABS(s.v)) AS BIGINT) AS sum_abs,
+                   CAST(((m.media_id * 31) % 65536) - 32768 AS BIGINT)
+                     AS first_sample,
+                   CAST(((m.media_id * 31 + (m.n_samples - 1) * 17)
+                         % 65536) - 32768 AS BIGINT) AS last_sample
+            FROM m JOIN s ON s.media_id = m.media_id
+            GROUP BY m.media_id, m.n_samples, m.sample_rate
+            ORDER BY m.media_id
         """,
         # decode -> nearest-neighbor resize to 16x12: resized[ty,tx] =
         # grid((ty*h)//12, (tx*w)//16) -- the index math in SQL

@@ -52,7 +52,7 @@ QUERY_NAMES = [
     "embedding_near_dup_lsh", "exact_dedup_incremental",
     "cdc_tool_call_stats", "cdc_matview_conv_stats",
     "cdc_matview_role_stats", "cdc_matview_hourly_activity",
-    "cdc_time_travel", "cdc_changefeed_delta",
+    "cdc_time_travel", "cdc_changefeed_delta", "media_audio_features",
 ]
 
 

@@ -5,10 +5,12 @@ The IMAGE decode step is REAL: synthetic media rows carry genuine
 BMP/PNG grayscale-8 payloads and `MediaDecoder(use_real_codec=True)`
 decodes them with the engine's pure-numpy codec
 (`functions/imagecodec.py` -- the container has no PIL/cv2, so the
-engine carries its own). Audio/video decode remains the loudly-stubbed
-boundary (NotImplementedError, never silent fakes); the deterministic
-fake decoder (`use_real_codec=False`) stays for plumbing tests across
-all kinds.
+engine carries its own). The AUDIO decode step is REAL too: audio rows
+carry genuine RIFF/WAVE PCM16 payloads parsed by `AudioFeatures` via
+`functions/audiocodec.py`. VIDEO decode is the one remaining
+loudly-stubbed boundary (NotImplementedError, never silent fakes); the
+deterministic fake decoder (`use_real_codec=False`) stays for plumbing
+tests across all kinds.
 
 Schema:  media(media_id:int64, kind:string{image,audio,video},
                payload:binary, width:int32, height:int32, n_frames:int32)
@@ -51,11 +53,27 @@ def synth_image(media_id: int, width: int, height: int) -> np.ndarray:
     return ((media_id * 7 + y * 5 + x * 3) % 256).astype(np.uint8)
 
 
+def synth_audio(media_id: int) -> tuple[np.ndarray, int]:
+    """The deterministic PCM16 sample train behind every synthetic
+    audio row -- mirrored literally by the SQL oracle:
+    ``s[i] = (media_id*31 + i*17) % 65536 - 32768`` over
+    ``n = media_id % 1500 + 64`` samples at
+    ``rate = 8000 + ((media_id // 3) % 3) * 4000``."""
+    n = media_id % 1500 + 64
+    i = np.arange(n, dtype=np.int64)
+    samples = ((media_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+    rate = 8000 + ((media_id // 3) % 3) * 4000
+    return samples, rate
+
+
 def synth_media_batch(t: pa.Table) -> pa.Table:
     """Deterministic media rows derived from documents. Image rows
     (media_id % 3 == 0) carry REAL encoded BMP/PNG payloads of the
     synth_image grid (alternating by id, exercising both decoders);
-    audio/video rows keep doc text bytes as opaque stand-in payloads."""
+    audio rows (media_id % 3 == 1) carry REAL RIFF/WAVE PCM16 payloads
+    of the synth_audio train; video rows keep doc text bytes as opaque
+    stand-in payloads (the one genuinely-stubbed codec)."""
+    from .audiocodec import encode_wav_pcm16
     from .imagecodec import encode_bmp_gray8, encode_png_gray8
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     text = t["text"].to_pylist()
@@ -69,6 +87,8 @@ def synth_media_batch(t: pa.Table) -> pa.Table:
             img = synth_image(int(mid), int(widths[i]), int(heights[i]))
             enc = encode_bmp_gray8 if mid % 6 == 0 else encode_png_gray8
             payload.append(enc(img))
+        elif k == "audio":
+            payload.append(encode_wav_pcm16(*synth_audio(int(mid))))
         else:
             payload.append(text[i].encode("utf-8") if text[i] else b"")
     return pa.table({
@@ -128,9 +148,11 @@ class MediaDecoder:
         if self.use_real_codec:
             if kind != "image":
                 raise NotImplementedError(
-                    f"real {kind} decode needs a codec library; only the "
-                    "image (BMP/PNG) codec is implemented -- filter to "
-                    "kind == 'image' or use the fake decoder")
+                    f"MediaDecoder extracts PIXEL features; real {kind} "
+                    "payloads don't decode to a pixel grid. Audio has its "
+                    "own real codec stage (AudioFeatures / audiocodec.py); "
+                    "video decode needs a codec library and stays stubbed "
+                    "-- filter to kind == 'image' or use the fake decoder")
             return self._decode_image(payload)
         return self._fake_decode(payload, width, height)
 
@@ -261,6 +283,61 @@ def media_image_resized(sf_dir: str, target_w: int = 16,
             "height": pa.compute.cast(t["height"], pa.int64()),
             "pixel_sum": t["pixel_sum"]}),
         batch_format="pyarrow", zero_copy_batch=True).sort("media_id")
+
+
+class AudioFeatures:
+    """Actor-pool REAL audio decode stage: RIFF/WAVE PCM16 payloads
+    parse through the engine's pure-stdlib codec (`audiocodec.py`) and
+    emit integer-exact sample stats -- value-checkable in SQL because
+    the sample train is (id*31 + i*17) % 65536 - 32768. Codec bound
+    once per actor; per-row decode is inherent (variable-length
+    payloads), the stats kernels are numpy."""
+
+    def __init__(self):
+        from .audiocodec import decode_wav
+        self._decode = decode_wav
+        self.decoded_batches = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.decoded_batches += 1
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        n_samples = np.empty(n, dtype=np.int64)
+        rates = np.empty(n, dtype=np.int64)
+        peak = np.empty(n, dtype=np.int64)
+        sum_abs = np.empty(n, dtype=np.int64)
+        first = np.empty(n, dtype=np.int64)
+        last = np.empty(n, dtype=np.int64)
+        for i, p in enumerate(payloads):
+            s, rate = self._decode(p)
+            a = np.abs(s.astype(np.int64))
+            n_samples[i] = len(s)
+            rates[i] = rate
+            peak[i] = int(a.max()) if len(s) else 0
+            sum_abs[i] = int(a.sum())
+            first[i] = int(s[0]) if len(s) else 0
+            last[i] = int(s[-1]) if len(s) else 0
+        return pa.table({
+            "media_id": batch["media_id"],
+            "n_samples": pa.array(n_samples),
+            "sample_rate": pa.array(rates),
+            "duration_us": pa.array(n_samples * 1_000_000 // rates),
+            "peak_abs": pa.array(peak),
+            "sum_abs": pa.array(sum_abs),
+            "first_sample": pa.array(first),
+            "last_sample": pa.array(last),
+        })
+
+
+def media_audio_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL-codec audio pipeline: WAV/PCM16 payloads decode through the
+    pure-stdlib RIFF parser and emit integer sample stats (SQL oracle
+    regenerates the deterministic sample train with generate_series)."""
+    media = media_dataset(sf_dir, kinds=("audio",))
+    feats = media.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=512,
+        concurrency=2, zero_copy_batch=True)
+    return feats.sort("media_id")
 
 
 def frame_sample_batch(t: pa.Table, every_k: int = 5) -> pa.Table:

@@ -1152,3 +1152,49 @@ def test_exact_dedup_incremental_planted(tmp_path):
     assert by.loc[7, "is_dup"] == 0            # 'delta' novel
     assert by.loc[3, "is_dup"] == 0            # 'gamma' novel
     assert by.loc[5, "is_dup"] == 0 and pd.isna(by.loc[5, "dup_of"])  # null
+
+
+def test_audiocodec_roundtrip_and_loud_fail():
+    import struct
+
+    from techtalk_data_pipeline_snowpark_ray.functions import audiocodec as ac
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32768, size=301, dtype=np.int16)
+    s, rate = ac.decode_wav(ac.encode_wav_pcm16(mono, 16000))
+    assert rate == 16000 and (s == mono).all()
+    stereo = rng.integers(-32768, 32768, size=(40, 2), dtype=np.int16)
+    s2, r2 = ac.decode_wav(ac.encode_wav_pcm16(stereo, 44100))
+    assert r2 == 44100 and s2.shape == (40, 2) and (s2 == stereo).all()
+    # foreign-writer layout: an extra LIST chunk before data must skip
+    enc = bytearray(ac.encode_wav_pcm16(mono, 8000))
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = bytes(enc[:36]) + extra + bytes(enc[36:])
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    s3, r3 = ac.decode_wav(patched)
+    assert r3 == 8000 and (s3 == mono).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        ac.decode_wav(b"not-audio-at-all")
+    # 8-bit / non-PCM formats fail loudly, never mis-parse
+    bad = bytearray(ac.encode_wav_pcm16(mono, 8000))
+    struct.pack_into("<H", bad, 34, 8)     # bits-per-sample field
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        ac.decode_wav(bytes(bad))
+
+
+def test_media_audio_features_real_decode_exact():
+    """The WAV pipeline's stats must equal a direct recompute of the
+    deterministic sample train (the same function the SQL oracle
+    regenerates)."""
+    out = multimodal.media_audio_features(SF_TINY).to_pandas()
+    assert len(out) > 0
+    for _, r in out.head(5).iterrows():
+        mid = int(r["media_id"])
+        want, rate = multimodal.synth_audio(mid)
+        a = np.abs(want.astype(np.int64))
+        assert r["n_samples"] == len(want)
+        assert r["sample_rate"] == rate
+        assert r["duration_us"] == len(want) * 1_000_000 // rate
+        assert r["peak_abs"] == int(a.max())
+        assert r["sum_abs"] == int(a.sum())
+        assert r["first_sample"] == int(want[0])
+        assert r["last_sample"] == int(want[-1])
