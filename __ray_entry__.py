@@ -170,6 +170,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": multimodal.media_image_features,
         "media_image_resized": multimodal.media_image_resized,
         "media_audio_features": multimodal.media_audio_features,
+        "media_video_frame_features":
+            multimodal.media_video_frame_features,
         "multimodal_features": multimodal.multimodal_features,   # rows-only
         "media_resized": multimodal.media_resized,               # rows-only
         "video_frame_samples": multimodal.video_frame_samples,
@@ -1473,6 +1475,33 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN s ON s.media_id = m.media_id
             GROUP BY m.media_id, m.n_samples, m.sample_rate
             ORDER BY m.media_id
+        """,
+        # REAL Y4M decode: the oracle regenerates the deterministic
+        # luma grid px[f,y,x] = (id*11 + f*13 + y*5 + x*3) % 256 for
+        # the sampled frames (every 5th) with range joins
+        "media_video_frame_features": """
+            WITH m AS (
+              SELECT doc_id AS media_id, doc_id % 30 + 1 AS n_frames
+              FROM documents WHERE doc_id % 3 = 2
+            ),
+            fr AS (SELECT unnest(range(30)) AS f),
+            ys AS (SELECT unnest(range(12)) AS y),
+            xs AS (SELECT unnest(range(16)) AS x),
+            px AS (
+              SELECT m.media_id, fr.f, m.n_frames,
+                     (m.media_id * 11 + fr.f * 13 + ys.y * 5
+                      + xs.x * 3) % 256 AS v
+              FROM m
+              JOIN fr ON fr.f < m.n_frames AND fr.f % 5 = 0
+              CROSS JOIN ys CROSS JOIN xs
+            )
+            SELECT media_id, CAST(f AS BIGINT) AS frame_idx,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST(SUM(v) AS BIGINT) AS frame_sum,
+                   CAST(MIN(v) AS BIGINT) AS frame_min,
+                   CAST(MAX(v) AS BIGINT) AS frame_max
+            FROM px GROUP BY media_id, f, n_frames
+            ORDER BY media_id, frame_idx
         """,
         # decode -> nearest-neighbor resize to 16x12: resized[ty,tx] =
         # grid((ty*h)//12, (tx*w)//16) -- the index math in SQL

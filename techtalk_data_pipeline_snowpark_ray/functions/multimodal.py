@@ -1,16 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata,
 processed by actor-pool map_batches stages.
 
-The IMAGE decode step is REAL: synthetic media rows carry genuine
-BMP/PNG grayscale-8 payloads and `MediaDecoder(use_real_codec=True)`
-decodes them with the engine's pure-numpy codec
-(`functions/imagecodec.py` -- the container has no PIL/cv2, so the
-engine carries its own). The AUDIO decode step is REAL too: audio rows
-carry genuine RIFF/WAVE PCM16 payloads parsed by `AudioFeatures` via
-`functions/audiocodec.py`. VIDEO decode is the one remaining
-loudly-stubbed boundary (NotImplementedError, never silent fakes); the
-deterministic fake decoder (`use_real_codec=False`) stays for plumbing
-tests across all kinds.
+ALL THREE decode steps are REAL parsers of public formats: image rows
+carry genuine BMP/PNG grayscale-8 payloads decoded by the pure-numpy
+codec (`functions/imagecodec.py` -- the container has no PIL/cv2, so
+the engine carries its own), audio rows carry genuine RIFF/WAVE PCM16
+payloads parsed by `AudioFeatures` (`functions/audiocodec.py`), and
+video rows carry genuine Y4M/YUV4MPEG2 payloads parsed by
+`VideoFrameFeatures` (`functions/videocodec.py` -- the standard
+UNCOMPRESSED interchange container; compressed codecs like H.264 need
+an av library and fail loudly at the format check, never a silent
+fake). The deterministic fake decoder (`use_real_codec=False`) stays
+for plumbing tests across all kinds.
 
 Schema:  media(media_id:int64, kind:string{image,audio,video},
                payload:binary, width:int32, height:int32, n_frames:int32)
@@ -53,6 +54,20 @@ def synth_image(media_id: int, width: int, height: int) -> np.ndarray:
     return ((media_id * 7 + y * 5 + x * 3) % 256).astype(np.uint8)
 
 
+def synth_video(media_id: int) -> tuple[np.ndarray, int]:
+    """The deterministic luma frames behind every synthetic video row
+    -- mirrored literally by the SQL oracle:
+    ``px[f, y, x] = (media_id*11 + f*13 + y*5 + x*3) % 256`` over
+    ``n_frames = media_id % 30 + 1`` frames of a fixed 16x12 grid
+    (nominal width/height metadata stay per-row; the payload grid is
+    normalized, as a thumbnail/proxy stream would be)."""
+    n = media_id % 30 + 1
+    f, y, x = np.mgrid[0:n, 0:12, 0:16]
+    frames = ((media_id * 11 + f * 13 + y * 5 + x * 3) % 256) \
+        .astype(np.uint8)
+    return frames, 25
+
+
 def synth_audio(media_id: int) -> tuple[np.ndarray, int]:
     """The deterministic PCM16 sample train behind every synthetic
     audio row -- mirrored literally by the SQL oracle:
@@ -71,12 +86,12 @@ def synth_media_batch(t: pa.Table) -> pa.Table:
     (media_id % 3 == 0) carry REAL encoded BMP/PNG payloads of the
     synth_image grid (alternating by id, exercising both decoders);
     audio rows (media_id % 3 == 1) carry REAL RIFF/WAVE PCM16 payloads
-    of the synth_audio train; video rows keep doc text bytes as opaque
-    stand-in payloads (the one genuinely-stubbed codec)."""
+    of the synth_audio train; video rows (media_id % 3 == 2) carry REAL
+    Y4M (YUV4MPEG2 Cmono) payloads of the synth_video frames."""
     from .audiocodec import encode_wav_pcm16
     from .imagecodec import encode_bmp_gray8, encode_png_gray8
+    from .videocodec import encode_y4m_mono
     ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    text = t["text"].to_pylist()
     widths = (ids % 64 + 8).astype(np.int32)
     heights = (ids % 48 + 8).astype(np.int32)
     kind, payload = [], []
@@ -90,7 +105,7 @@ def synth_media_batch(t: pa.Table) -> pa.Table:
         elif k == "audio":
             payload.append(encode_wav_pcm16(*synth_audio(int(mid))))
         else:
-            payload.append(text[i].encode("utf-8") if text[i] else b"")
+            payload.append(encode_y4m_mono(*synth_video(int(mid))))
     return pa.table({
         "media_id": pa.array(ids, pa.int64()),
         "kind": pa.array(kind, pa.string()),
@@ -103,7 +118,7 @@ def synth_media_batch(t: pa.Table) -> pa.Table:
 
 def media_dataset(sf_dir: str, kinds: tuple = KINDS) -> ray.data.Dataset:
     from ..sources.tables import read_table
-    docs = read_table(sf_dir, "documents", ["doc_id", "text"])
+    docs = read_table(sf_dir, "documents", ["doc_id"])
     ds = docs.map_batches(synth_media_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
     if set(kinds) != set(KINDS):
@@ -149,10 +164,10 @@ class MediaDecoder:
             if kind != "image":
                 raise NotImplementedError(
                     f"MediaDecoder extracts PIXEL features; real {kind} "
-                    "payloads don't decode to a pixel grid. Audio has its "
-                    "own real codec stage (AudioFeatures / audiocodec.py); "
-                    "video decode needs a codec library and stays stubbed "
-                    "-- filter to kind == 'image' or use the fake decoder")
+                    "payloads don't decode to a single pixel grid. Use "
+                    "the kind's own real codec stage (AudioFeatures / "
+                    "VideoFrameFeatures) -- filter to kind == 'image' "
+                    "here, or use the fake decoder for plumbing tests")
             return self._decode_image(payload)
         return self._fake_decode(payload, width, height)
 
@@ -338,6 +353,58 @@ def media_audio_features(sf_dir: str) -> ray.data.Dataset:
         AudioFeatures, batch_format="pyarrow", batch_size=512,
         concurrency=2, zero_copy_batch=True)
     return feats.sort("media_id")
+
+
+class VideoFrameFeatures:
+    """Actor-pool REAL video decode stage: Y4M payloads parse through
+    the engine's pure-numpy container parser (`videocodec.py`), frames
+    are SAMPLED (every k-th — the standard proxy/keyframe pattern) and
+    each sampled frame emits integer-exact luma stats (flat_map shape:
+    one output row per sampled frame)."""
+
+    def __init__(self, every_k: int = 5):
+        from .videocodec import decode_y4m
+        self._decode = decode_y4m
+        self.k = int(every_k)
+        self.decoded_batches = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        self.decoded_batches += 1
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        payloads = batch["payload"].to_pylist()
+        mid_out, fidx, nfr, fsum, fmin, fmax = [], [], [], [], [], []
+        for i, p in enumerate(payloads):
+            frames, _fps = self._decode(p)
+            n = frames.shape[0]
+            sampled = frames[::self.k]              # numpy slice, no copy
+            s = sampled.reshape(sampled.shape[0], -1).astype(np.int64)
+            mid_out.append(np.full(len(sampled), ids[i], np.int64))
+            fidx.append(np.arange(len(sampled), dtype=np.int64) * self.k)
+            nfr.append(np.full(len(sampled), n, np.int64))
+            fsum.append(s.sum(axis=1))
+            fmin.append(s.min(axis=1))
+            fmax.append(s.max(axis=1))
+        cat = (lambda xs: np.concatenate(xs) if xs
+               else np.array([], np.int64))
+        return pa.table({
+            "media_id": pa.array(cat(mid_out)),
+            "frame_idx": pa.array(cat(fidx)),
+            "n_frames": pa.array(cat(nfr)),
+            "frame_sum": pa.array(cat(fsum)),
+            "frame_min": pa.array(cat(fmin)),
+            "frame_max": pa.array(cat(fmax)),
+        })
+
+
+def media_video_frame_features(sf_dir: str) -> ray.data.Dataset:
+    """REAL-codec video pipeline: Y4M payloads decode through the
+    pure-numpy container parser, every 5th frame emits luma stats (SQL
+    oracle regenerates the deterministic frame grid with range joins)."""
+    media = media_dataset(sf_dir, kinds=("video",))
+    feats = media.map_batches(
+        VideoFrameFeatures, batch_format="pyarrow", batch_size=256,
+        concurrency=2, zero_copy_batch=True)
+    return feats.sort(["media_id", "frame_idx"])
 
 
 def frame_sample_batch(t: pa.Table, every_k: int = 5) -> pa.Table:

@@ -1198,3 +1198,39 @@ def test_media_audio_features_real_decode_exact():
         assert r["sum_abs"] == int(a.sum())
         assert r["first_sample"] == int(want[0])
         assert r["last_sample"] == int(want[-1])
+
+
+def test_videocodec_roundtrip_and_loud_fail():
+    from techtalk_data_pipeline_snowpark_ray.functions import videocodec as vc
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 256, size=(7, 12, 16), dtype=np.uint8)
+    dec, fps = vc.decode_y4m(vc.encode_y4m_mono(frames, fps=30))
+    assert fps == 30 and dec.shape == (7, 12, 16) and (dec == frames).all()
+    # 420 layout from a foreign writer: luma comes back, chroma skipped
+    head = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420jpeg XYSCSS=420JPEG\n"
+    luma = bytes(range(8))
+    chroma = b"\x80" * (2 * (2 * 1))
+    p = head + b"FRAME\n" + luma + chroma + b"FRAME\n" + luma + chroma
+    d2, _ = vc.decode_y4m(p)
+    assert d2.shape == (2, 2, 4) and bytes(d2[0].ravel()) == luma
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        vc.decode_y4m(b"RIFF....nope")
+    with pytest.raises(ValueError, match="colorspace"):
+        vc.decode_y4m(b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="truncated"):
+        vc.decode_y4m(vc.encode_y4m_mono(frames)[:-5])
+
+
+def test_media_video_frame_features_real_decode_exact():
+    out = multimodal.media_video_frame_features(SF_TINY).to_pandas()
+    assert len(out) > 0
+    mid = int(out["media_id"].iloc[0])
+    frames, _fps = multimodal.synth_video(mid)
+    mine = out[out["media_id"] == mid].sort_values("frame_idx")
+    assert list(mine["frame_idx"]) == list(range(0, frames.shape[0], 5))
+    for _, r in mine.iterrows():
+        f = frames[int(r["frame_idx"])].astype(np.int64)
+        assert r["n_frames"] == frames.shape[0]
+        assert r["frame_sum"] == int(f.sum())
+        assert r["frame_min"] == int(f.min())
+        assert r["frame_max"] == int(f.max())
