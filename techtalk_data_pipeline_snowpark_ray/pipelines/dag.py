@@ -134,3 +134,20 @@ def ingest_step(name: str, cfg, depends_on: tuple = ()) -> Step:
         return apply_tick(cfg)
 
     return Step(name=name, fn=run, depends_on=tuple(depends_on))
+
+
+def matview_step(name: str, cfg, view: str,
+                 depends_on: tuple = ()) -> Step:
+    """Convenience: keep a materialized view (keyed, grouped or
+    windowed) fresh as a DAG step downstream of its table's ingest —
+    the reference's ingest >> derived-view chain
+    (`SamplePipeline.scala:19-31`) with incremental refresh instead of
+    per-tick recompute. Returns None when already fresh (the DAG idle
+    contract), so `run_continuous(stop_when_idle=True)` drains
+    ingest + views together."""
+    from .matview import refresh_matview
+
+    def run(ctx: DagContext):
+        return refresh_matview(cfg, view)
+
+    return Step(name=name, fn=run, depends_on=tuple(depends_on))

@@ -1296,3 +1296,43 @@ def test_storage_shim_primitives_and_commit_path(tmp_path):
     for op in ("makedirs", "create_exclusive", "write_atomic",
                "read_text", "exists", "list", "remove"):
         assert op in Instrumented.calls, op
+
+
+def test_dag_matview_step_keeps_view_fresh(tmp_path):
+    """ingest >> matview refresh as a DAG chain: the continuous runner
+    drains WAL ticks and view refreshes together (idle contract), and
+    the view matches a snapshot recompute after every drain."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    from techtalk_data_pipeline_snowpark_ray.pipelines import matview
+    from techtalk_data_pipeline_snowpark_ray.pipelines.dag import (
+        DagRunner, ingest_step, matview_step)
+
+    cfg = EngineConfig(table_dir=str(tmp_path / "t" / "table"),
+                       wal_dir=str(tmp_path / "t" / "wal"), num_buckets=4)
+    cfg.ensure_dirs()
+    write_wal(GenSpec(n_events=900, n_conversations=25, seed=11),
+              cfg.wal_dir, segment_rows=300)
+    dag = DagRunner([
+        ingest_step("ing", cfg),
+        matview_step("mv_role", cfg, "role_live_stats",
+                     depends_on=("ing",)),
+    ])
+    passes = dag.run_continuous(interval_s=0.01, stop_when_idle=True)
+    assert all(v is None for v in passes[-1].results.values())
+    got = matview.read_grouped_matview(cfg, "role_live_stats") \
+        .to_pandas().sort_values("role", ignore_index=True)
+    snap = ingest.snapshot_to_pandas(cfg)
+    s = snap[snap["role"].notna()]
+    g = s.groupby("role")
+    want = pd.DataFrame({
+        "n_turns": g.size().astype("int64"),
+        "text_chars": g["text"].apply(
+            lambda x: int(x.fillna("").str.len().sum())).astype("int64"),
+        "max_turn_idx": g["turn_idx"].max().astype("int64"),
+    }).reset_index().sort_values("role", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["role", "n_turns", "text_chars", "max_turn_idx"]], want,
+        check_dtype=False)
+    # already-fresh view reports idle on the next pass
+    again = dag.evaluate()
+    assert again.results["mv_role"] is None
