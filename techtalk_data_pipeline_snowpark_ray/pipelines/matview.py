@@ -483,10 +483,31 @@ def merge_mv_rows(df: pd.DataFrame, key: str,
              .reset_index(drop=True)
 
 
+#: a view whose current files measure under this merges in ONE Ray
+#: task instead of an exchange — a measured-size serving-latency gate
+#: (mirrors stages/joins.py's auto_join): the exchange's fixed task
+#: fan-out costs ~1 s that a few-MB view never amortizes, while a
+#: big view takes the distributed path untouched.
+SMALL_VIEW_BYTES = 32 * 1024 * 1024
+
+
+def _view_bytes(paths: list[str]) -> int:
+    return sum(os.stat(p).st_size for p in paths)
+
+
+@ray.remote
+def _merge_small_view(paths: list[str], key: str) -> pa.Table:
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                           promote_options="default")
+    return pa.Table.from_pandas(merge_mv_rows(tbl.to_pandas(), key),
+                                preserve_index=False)
+
+
 def read_matview(cfg: EngineConfig, name: str,
                  num_partitions: int | None = None) -> ray.data.Dataset:
     """Dataset of the view's current rows (distributed latest-wins
-    merge across refresh generations)."""
+    merge across refresh generations; measured-small views short-cut
+    to a single-task merge)."""
     from ..stages.exchange import exchange_map_groups
 
     view = _view(name)
@@ -495,6 +516,11 @@ def read_matview(cfg: EngineConfig, name: str,
     paths = state.derived_paths(view.derived_key, m)
     if not paths:
         return ray.data.from_arrow(view.empty_result())
+    # explicit num_partitions forces the exchange (test hook, same as
+    # auto_join's forced-partitioned path)
+    if num_partitions is None and _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        return ray.data.from_arrow_refs(
+            [_merge_small_view.remote(paths, view.key)])
     P = num_partitions or min(32, m.num_buckets or cfg.num_buckets)
     part = "_mv_part"
 
@@ -692,12 +718,35 @@ def _filter_current(tbl: pa.Table, cur_seq: dict[int, int],
     return tbl.filter(pa.array(keep))
 
 
-def read_grouped_matview(cfg: EngineConfig,
-                         name: str) -> ray.data.Dataset:
+@ray.remote
+def _merge_small_gview(paths: list[str], name: str) -> pa.Table:
+    """Single-task merge of a measured-small grouped view (same gate
+    rationale as `_merge_small_view`)."""
+    view = GROUPED_MATVIEWS[name]
+    cur = _bucket_epochs(paths)
+    tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                           promote_options="default")
+    t = _filter_current(tbl, cur, keep_markers=False).drop_columns(
+        [MV_BUCKET_COL, MV_SEQ_COL, MV_DEAD_COL, MV_MARKER_COL])
+    if t.num_rows == 0:
+        return view.empty_result()
+    agg = pa.TableGroupBy(t, list(view.group_cols)).aggregate(
+        [(c, fn) for c, fn in view.merge_spec])
+    return agg.select(
+        [*view.group_cols,
+         *[f"{c}_{fn}" for c, fn in view.merge_spec]]).rename_columns(
+        [*view.group_cols, *[c for c, _fn in view.merge_spec]])
+
+
+def read_grouped_matview(cfg: EngineConfig, name: str,
+                         force_distributed: bool = False
+                         ) -> ray.data.Dataset:
     """Current rows of a grouped view: distributed merge of the
     buckets' current partials (the epoch map is the only driver-side
     state — num_buckets entries, broadcast to the filter stage; the
-    partial rows themselves stream through the groupby)."""
+    partial rows themselves stream through the groupby). Measured-small
+    views short-cut to a single-task merge; `force_distributed` is the
+    test hook for the exchange path."""
     from ray.data.aggregate import Max, Min, Sum
 
     view = GROUPED_MATVIEWS[name]
@@ -706,6 +755,9 @@ def read_grouped_matview(cfg: EngineConfig,
     paths = state.derived_paths(view.derived_key, m)
     if not paths:
         return ray.data.from_arrow(view.empty_result())
+    if not force_distributed and _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        return ray.data.from_arrow_refs(
+            [_merge_small_gview.remote(paths, name)])
     cur_ref = ray.put(_bucket_epochs(paths))
 
     def keep_current(t: pa.Table) -> pa.Table:

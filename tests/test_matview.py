@@ -114,6 +114,11 @@ def test_full_then_incremental_matches_recompute(tmp_engine):
     assert kill not in set(view["conv_id"])
     assert int(view.loc[view.conv_id == touched[0], "max_turn_idx"]
                .iloc[0]) == 99
+    # the forced-exchange path (big-view branch) agrees with the
+    # measured-small single-task merge
+    dist = matview.read_matview(cfg, MV, num_partitions=4).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)[view.columns.tolist()]
+    pd.testing.assert_frame_equal(dist, view, check_dtype=False)
 
 
 def test_refresh_is_idempotent(tmp_engine):
@@ -271,6 +276,13 @@ def test_grouped_full_then_incremental(tmp_engine):
     assert st["affected_buckets"] <= cfg.num_buckets
     assert_gview_matches(cfg)
     assert matview.refresh_matview(cfg, GMV) is None  # idempotent
+    # forced-distributed read (big-view branch) agrees with the
+    # measured-small single-task merge
+    dist = matview.read_grouped_matview(cfg, GMV, force_distributed=True) \
+        .to_pandas().sort_values("role", ignore_index=True)
+    pd.testing.assert_frame_equal(
+        dist[["role", "n_turns", "text_chars", "max_turn_idx"]],
+        read_gview(cfg), check_dtype=False)
 
 
 def _single_conv_batch(conv, turns, op, lsn0):
