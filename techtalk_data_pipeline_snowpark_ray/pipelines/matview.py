@@ -198,7 +198,26 @@ def _hourly_activity_partial(t: pa.Table) -> pa.Table:
         ["window_start", "n_convs", "n_turns", "max_turn_idx"])
 
 
+def _role_tool_stats_partial(t: pa.Table) -> pa.Table:
+    """Multi-column grouping ((role, tool) pair) — exercises the
+    generic N-col group path end-to-end. Null roles excluded (same
+    contract as role_live_stats); null tools are a REAL group (non-tool
+    turns)."""
+    t = t.filter(pc.is_valid(t["role"]))
+    g = pa.table({"role": t["role"], "tool": t["tool"],
+                  "n_turns": pa.array(np.ones(t.num_rows, np.int64))})
+    agg = pa.TableGroupBy(g, ["role", "tool"]).aggregate(
+        [("n_turns", "sum")])
+    return agg.select(["role", "tool", "n_turns_sum"]).rename_columns(
+        ["role", "tool", "n_turns"])
+
+
 GROUPED_MATVIEWS: dict[str, GroupedMatView] = {}
+GROUPED_MATVIEWS["role_tool_stats"] = GroupedMatView(
+    name="role_tool_stats", group_cols=("role", "tool"),
+    source_cols=("role", "tool"),
+    partial=_role_tool_stats_partial,
+    merge_spec=(("n_turns", "sum"),))
 GROUPED_MATVIEWS["role_live_stats"] = GroupedMatView(
     name="role_live_stats", group_cols=("role",),
     source_cols=("role", "text"),
@@ -490,6 +509,11 @@ def merge_mv_rows(df: pd.DataFrame, key: str,
 #: big view takes the distributed path untouched.
 SMALL_VIEW_BYTES = 32 * 1024 * 1024
 
+#: sentinel standing in for a NULL group member through Ray's sort
+#: shuffle (which cannot order null keys); \x00 prefix keeps it out of
+#: any real transcript string's value space
+_NULL_GROUP = "\x00__mv_null_group__"
+
 
 def _view_bytes(paths: list[str]) -> int:
     return sum(os.stat(p).st_size for p in paths)
@@ -759,13 +783,23 @@ def read_grouped_matview(cfg: EngineConfig, name: str,
         return ray.data.from_arrow_refs(
             [_merge_small_gview.remote(paths, name)])
     cur_ref = ray.put(_bucket_epochs(paths))
+    want = view.empty_result().schema
+    str_groups = [c for c in view.group_cols
+                  if pa.types.is_string(want.field(c).type)]
 
     def keep_current(t: pa.Table) -> pa.Table:
         from ..stages.joins import fetch_broadcast
         out = _filter_current(t, fetch_broadcast(cur_ref),
                               keep_markers=False)
-        return out.drop_columns([MV_BUCKET_COL, MV_SEQ_COL,
-                                 MV_DEAD_COL, MV_MARKER_COL])
+        out = out.drop_columns([MV_BUCKET_COL, MV_SEQ_COL,
+                                MV_DEAD_COL, MV_MARKER_COL])
+        # Ray's sort-based group shuffle cannot order null keys; a null
+        # group member (e.g. "no tool") is legitimate view state, so
+        # sentinel-encode it through the exchange and restore after
+        for c in str_groups:
+            out = out.set_column(out.schema.get_field_index(c), c,
+                                 pc.fill_null(out[c], _NULL_GROUP))
+        return out
 
     aggs = {"sum": Sum, "max": Max, "min": Min}
     ds = ray.data.read_parquet(paths) \
@@ -777,19 +811,24 @@ def read_grouped_matview(cfg: EngineConfig, name: str,
         else list(view.group_cols)
     out = ds.groupby(key).aggregate(
         *[aggs[fn](c, alias_name=c) for c, fn in view.merge_spec])
-    if not view.group_types:
+    if not view.group_types and not str_groups:
         return out
-    want = view.empty_result().schema
 
-    def recast(t: pa.Table) -> pa.Table:
-        # Ray's hash aggregate can demote a non-string group key's
-        # precision (timestamp[us] -> [s]); restore the declared types
-        for i, c in enumerate(view.group_cols):
+    def restore(t: pa.Table) -> pa.Table:
+        # undo the null sentinel, and restore declared group types
+        # (Ray's hash aggregate can demote a non-string key's
+        # precision, timestamp[us] -> [s])
+        for c in str_groups:
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, pc.if_else(
+                pc.equal(t[c], _NULL_GROUP),
+                pa.nulls(t.num_rows, t.schema.field(c).type), t[c]))
+        for c in view.group_cols:
             t = t.set_column(t.schema.get_field_index(c), c,
                              pc.cast(t[c], want.field(c).type))
         return t
 
-    return out.map_batches(recast, batch_format="pyarrow",
+    return out.map_batches(restore, batch_format="pyarrow",
                            zero_copy_batch=True)
 
 

@@ -457,3 +457,29 @@ def test_gmv_refresh_conflict_and_orphan_gc(tmp_engine, monkeypatch):
     removed = st.gc_orphan_runs(keep_versions=10)
     assert removed, "aborted refresh left no GC-able orphans?"
     assert_gview_matches(cfg)
+
+
+def test_grouped_multicolumn_group(tmp_engine):
+    """(role, tool) pair grouping: the generic N-col group path, with a
+    NULL group member (non-tool turns) as a real group; small-path and
+    forced-distributed reads agree with a snapshot recompute."""
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, "role_tool_stats")
+
+    snap = ingest.snapshot_to_pandas(cfg)
+    s = snap[snap["role"].notna()]
+    want = s.groupby(["role", "tool"], dropna=False).size() \
+        .rename("n_turns").reset_index() \
+        .sort_values(["role", "tool"], ignore_index=True)
+    got = matview.read_grouped_matview(cfg, "role_tool_stats") \
+        .to_pandas().sort_values(["role", "tool"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[["role", "tool", "n_turns"]], want,
+                                  check_dtype=False)
+    assert want["tool"].isna().any()      # the null group is exercised
+    dist = matview.read_grouped_matview(cfg, "role_tool_stats",
+                                        force_distributed=True) \
+        .to_pandas().sort_values(["role", "tool"], ignore_index=True)
+    pd.testing.assert_frame_equal(dist[["role", "tool", "n_turns"]], want,
+                                  check_dtype=False)
