@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_matview_role_stats": cdc_queries.cdc_matview_role_stats,
         "cdc_matview_hourly_activity":
             cdc_queries.cdc_matview_hourly_activity,
+        "cdc_matview_role_tool_stats":
+            cdc_queries.cdc_matview_role_tool_stats,
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "cdc_time_travel": cdc_queries.cdc_time_travel,
         "cdc_changefeed_delta": cdc_queries.cdc_changefeed_delta,
@@ -505,6 +507,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(turn_idx) AS BIGINT) AS max_turn_idx
             FROM fin WHERE ts IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        # multi-column grouped matview ((role, tool) pair; NULL tool is
+        # a real group — deleted turns drop, non-tool turns group as
+        # NULL, mirrored by SQL's null-preserving GROUP BY)
+        "cdc_matview_role_tool_stats": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT role, tool
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT role, tool, CAST(COUNT(*) AS BIGINT) AS n_turns
+            FROM fin WHERE role IS NOT NULL
+            GROUP BY role, tool ORDER BY role, tool
         """,
         # time travel: the table AS OF the phase-1 commit (phase split
         # at the deterministic lsn cutoff max(event_id)//2)

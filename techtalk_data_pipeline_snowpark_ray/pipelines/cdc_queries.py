@@ -480,6 +480,37 @@ def cdc_matview_role_stats(sf_dir: str) -> ray.data.Dataset:
     return read_grouped_matview(cfg, "role_live_stats").sort("role")
 
 
+def cdc_matview_role_tool_stats(sf_dir: str) -> ray.data.Dataset:
+    """Multi-column grouped matview: (role, tool) pair aggregate over
+    the RESOLVED state — exercises the generic N-col group path where
+    the tool member is legitimately NULL for deletes-then-reinserts and
+    non-tool turns. Two-phase WAL like the other matview queries."""
+    from .matview import read_grouped_matview, refresh_matview
+
+    cfg = _fresh_cfg("rtmv")
+    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
+    half = src.metadata.num_rows // 2
+    seen = 0
+    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
+    for rb in src.iter_batches(batch_size=65536,
+                               columns=["event_id", "user_id", "ts"]):
+        t = pa.Table.from_batches([rb])
+        w.append(derive_change_batch(t), 1)
+        seen += t.num_rows
+        if half and seen >= half:
+            half = 0
+            w.close()
+            ingest.run_loop(cfg, stop_when_idle=True)
+            refresh_matview(cfg, "role_tool_stats")
+            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
+                          reorder_slack=1024)
+    w.close()
+    ingest.run_loop(cfg, stop_when_idle=True)
+    refresh_matview(cfg, "role_tool_stats")
+    return read_grouped_matview(cfg, "role_tool_stats") \
+        .sort(["role", "tool"])
+
+
 def cdc_matview_hourly_activity(sf_dir: str) -> ray.data.Dataset:
     """Windowed grouped matview: event-time tumbling (1h) aggregate
     over the RESOLVED state, maintained incrementally. The group col is
