@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "cdc_time_travel": cdc_queries.cdc_time_travel,
         "cdc_changefeed_delta": cdc_queries.cdc_changefeed_delta,
+        "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
+        "cdc_replicated_table": cdc_queries.cdc_replicated_table,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
         "curation_pipeline": _curation_pipeline,
         # --- derived analytics (SURVEY §2.2/2.4/2.6/2.7) ---
@@ -345,6 +347,22 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cdc_apply_full": _CDC_FINAL,
+        # export round-trip: written-then-reread snapshot == resolve
+        "cdc_export_roundtrip": _CDC_FINAL,
+        # replicated table B == full resolve (v1 schema: no model,
+        # int32 turn_idx)
+        "cdc_replicated_table": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            )
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ORDER BY conv_id, turn_idx
+        """,
         "cdc_exactly_once": _CDC_FINAL,   # duplicates must not change it
         "cdc_out_of_order": _CDC_FINAL,   # order must not change it
         "cdc_schema_evolution": _CDC_EVOLUTION,

@@ -53,7 +53,8 @@ QUERY_NAMES = [
     "cdc_tool_call_stats", "cdc_matview_conv_stats",
     "cdc_matview_role_stats", "cdc_matview_hourly_activity",
     "cdc_time_travel", "cdc_changefeed_delta", "media_audio_features",
-    "media_video_frame_features",
+    "media_video_frame_features", "cdc_export_roundtrip",
+    "cdc_replicated_table",
 ]
 
 

@@ -175,6 +175,41 @@ def cdc_apply_full(sf_dir: str, cleanup: bool = False) -> ray.data.Dataset:
             shutil.rmtree(os.path.dirname(cfg.table_dir), ignore_errors=True)
 
 
+def cdc_export_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Resumable training-data export: full replay -> snapshot ->
+    `sinks.write_partitioned` (bucket=NNNNN dirs with completion
+    markers, so a re-run skips finished buckets) -> read the exported
+    parquet back. The round-trip must equal the resolved final state —
+    value-gates the export sink itself, not just the snapshot."""
+    from .sinks import read_partitioned, write_partitioned
+
+    cfg = _fresh_cfg("exp")
+    _write_events_wal(sf_dir, cfg)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    out_dir = os.path.join(os.path.dirname(cfg.table_dir), "export")
+    write_partitioned(ingest.read_snapshot(cfg), out_dir,
+                      key="conv_id", num_buckets=16)
+    assert not write_partitioned(   # resumability: second run = no-op
+        ingest.read_snapshot(cfg), out_dir, key="conv_id",
+        num_buckets=16)
+    return read_partitioned(out_dir).sort(list(schemas.KEY_COLS))
+
+
+def cdc_replicated_table(sf_dir: str) -> ray.data.Dataset:
+    """Cascaded CDC: replay into table A in two committed phases, then
+    replicate each delta window A -> B (`ingest.replicate_delta`, the
+    stream-on-table -> second-sink chain of the reference); B's
+    resolved snapshot must equal the full-resolve oracle. The second
+    window is re-applied once to prove idempotence."""
+    cfg_a, _cut, v1, v2 = _two_phase_versions(sf_dir, "repl-a")
+    cfg_b = _fresh_cfg("repl-b", schema_version=1)
+    ingest.replicate_delta(cfg_a, cfg_b, from_version=-1, to_version=v1)
+    ingest.replicate_delta(cfg_a, cfg_b, from_version=v1, to_version=v2)
+    ingest.replicate_delta(cfg_a, cfg_b, from_version=v1,
+                           to_version=v2)   # idempotent re-apply
+    return ingest.read_snapshot(cfg_b).sort(list(schemas.KEY_COLS))
+
+
 def cdc_schema_evolution(sf_dir: str) -> ray.data.Dataset:
     """Column-add evolution through the engine: v1 segments (no `model`)
     below the threshold lsn, v2 segments above; normalize null-fills old

@@ -19,7 +19,8 @@ SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "user_moving_sum", "users_view_purchase_setops",
           "embedding_near_dup_lsh", "minhash_near_dup",
           "cdc_matview_role_stats", "cdc_time_travel",
-          "cdc_changefeed_delta"]
+          "cdc_changefeed_delta", "cdc_export_roundtrip",
+          "cdc_replicated_table"]
 
 
 @pytest.fixture(scope="module")
