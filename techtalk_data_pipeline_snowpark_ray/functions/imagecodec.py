@@ -108,12 +108,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     pos, w = 8, None
     idat = bytearray()
     while pos < len(payload):
-        ln, tag = struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8: pos + 8 + ln]
-        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        try:
+            ln, tag = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8: pos + 8 + ln]
+            crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        except struct.error as e:
+            raise ValueError(f"truncated PNG chunk at offset {pos}") from e
         if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR length {len(data)} != 13")
             w, h, depth, ctype, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
             if (depth, ctype, comp, filt, interlace) != (8, 0, 0, 0, 0):
@@ -128,7 +133,10 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + ln
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    try:
+        raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    except zlib.error as e:
+        raise ValueError("corrupt PNG IDAT stream") from e
     raw = raw.reshape(h, w + 1)
     out = np.zeros((h, w), dtype=np.uint8)
     prev = np.zeros(w, dtype=np.uint8)

@@ -49,3 +49,41 @@ def test_y4m_roundtrip(seed, n, h, w, fps):
     dec, r = videocodec.decode_y4m(videocodec.encode_y4m_mono(f, fps=fps))
     assert r == fps
     assert dec.shape == (n, h, w) and (dec == f).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.sampled_from(["wav", "y4m", "png"]))
+def test_corrupt_payloads_fail_loudly_not_weirdly(seed, kind):
+    """Random byte mutations / truncations / appends on a valid payload
+    must either decode or raise ValueError (or the documented
+    NotImplementedError for valid-but-unsupported headers) -- never a
+    struct/zlib/index error leaking out of the codec boundary."""
+    import random
+
+    from techtalk_data_pipeline_snowpark_ray.functions import (
+        audiocodec as ac, imagecodec as ic, videocodec as vc)
+    base = {
+        "wav": (ac.encode_wav_pcm16(np.arange(100, dtype=np.int16), 8000),
+                ac.decode_wav),
+        "y4m": (vc.encode_y4m_mono(np.zeros((3, 4, 5), np.uint8)),
+                vc.decode_y4m),
+        "png": (ic.encode_png_gray8(np.arange(20, dtype=np.uint8)
+                                    .reshape(5, 4)), ic.decode_image),
+    }
+    payload, dec = base[kind]
+    rng = random.Random(seed)
+    b = bytearray(payload)
+    for _ in range(rng.randint(1, 6)):
+        if len(b) < 2:
+            break
+        op = rng.random()
+        if op < 0.5:
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        elif op < 0.8:
+            del b[rng.randrange(1, len(b)):]
+        else:
+            b += bytes([rng.randrange(256)])
+    try:
+        dec(bytes(b))
+    except (ValueError, NotImplementedError):
+        pass
