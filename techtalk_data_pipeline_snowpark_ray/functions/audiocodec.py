@@ -76,6 +76,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError(
             f"only 16-bit PCM supported (format={audio_format}, "
             f"bits={bits})")
+    if n_channels <= 0:
+        raise ValueError(f"bad WAV channel count {n_channels}")
     samples = np.frombuffer(data[:len(data) - len(data) % (2 * n_channels)],
                             dtype="<i2")
     if n_channels > 1:

@@ -323,8 +323,12 @@ class AudioFeatures:
         sum_abs = np.empty(n, dtype=np.int64)
         first = np.empty(n, dtype=np.int64)
         last = np.empty(n, dtype=np.int64)
+        frames = np.empty(n, dtype=np.int64)
         for i, p in enumerate(payloads):
             s, rate = self._decode(p)
+            frames[i] = s.shape[0]   # per-channel frame count
+            if s.ndim > 1:           # multi-channel: stats over ALL
+                s = s.reshape(-1)    # samples, interleaved frame order
             a = np.abs(s.astype(np.int64))
             n_samples[i] = len(s)
             rates[i] = rate
@@ -336,7 +340,7 @@ class AudioFeatures:
             "media_id": batch["media_id"],
             "n_samples": pa.array(n_samples),
             "sample_rate": pa.array(rates),
-            "duration_us": pa.array(n_samples * 1_000_000 // rates),
+            "duration_us": pa.array(frames * 1_000_000 // rates),
             "peak_abs": pa.array(peak),
             "sum_abs": pa.array(sum_abs),
             "first_sample": pa.array(first),

@@ -58,6 +58,8 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
             h = int(val)
         elif tag == b"F":
             num, den = val.split(b":")
+            if int(den) <= 0:
+                raise ValueError(f"bad Y4M frame rate {val.decode()!r}")
             fps = int(round(int(num) / int(den)))
         elif tag == b"C":
             cs = val

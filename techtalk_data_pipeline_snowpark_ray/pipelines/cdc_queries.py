@@ -448,19 +448,16 @@ def cdc_turn_windows(sf_dir: str, w: int = 4,
         .sort(["conv_id", "window_idx"])
 
 
-def cdc_matview_conv_stats(sf_dir: str) -> ray.data.Dataset:
-    """Materialized-view maintenance through the engine: the
-    per-conversation live-stats aggregate (turn count, tool-turn count,
-    text characters, max turn index over the RESOLVED state) is kept by
-    delta-proportional refreshes. The WAL lands in two phases so the
-    gated result comes from a FULL first refresh followed by an
-    INCREMENTAL one (affected-keys-only re-resolution, retractions
-    included) -- the retraction-aware view shape the additive derived
-    sinks cannot express (`TopRestaurantsLast30Days.scala:38` recomputes
-    its view from scratch each tick; this maintains it)."""
-    from .matview import read_matview, refresh_matview
+def _two_phase_matview(sf_dir: str, tag: str, view: str,
+                       sort_cols) -> "ray.data.Dataset":
+    """Shared matview-query harness: land the derived change stream in
+    two phases with an engine tick + view refresh at the boundary (so
+    the gated result comes from a FULL first refresh followed by an
+    INCREMENTAL one), then read the view's current rows."""
+    from .matview import (GROUPED_MATVIEWS, read_grouped_matview,
+                          read_matview, refresh_matview)
 
-    cfg = _fresh_cfg("mv")
+    cfg = _fresh_cfg(tag)
     src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
     half = src.metadata.num_rows // 2
     seen = 0
@@ -474,13 +471,29 @@ def cdc_matview_conv_stats(sf_dir: str) -> ray.data.Dataset:
             half = 0            # phase boundary: tick + first refresh
             w.close()
             ingest.run_loop(cfg, stop_when_idle=True)
-            refresh_matview(cfg, "conv_live_stats")
+            refresh_matview(cfg, view)
             w = WalWriter(cfg.wal_dir, segment_rows=100_000,
                           reorder_slack=1024)
     w.close()
     ingest.run_loop(cfg, stop_when_idle=True)
-    refresh_matview(cfg, "conv_live_stats")
-    return read_matview(cfg, "conv_live_stats").sort("conv_id")
+    refresh_matview(cfg, view)
+    read = read_grouped_matview if view in GROUPED_MATVIEWS \
+        else read_matview
+    return read(cfg, view).sort(sort_cols)
+
+
+def cdc_matview_conv_stats(sf_dir: str) -> ray.data.Dataset:
+    """Materialized-view maintenance through the engine: the
+    per-conversation live-stats aggregate (turn count, tool-turn count,
+    text characters, max turn index over the RESOLVED state) is kept by
+    delta-proportional refreshes. The WAL lands in two phases so the
+    gated result comes from a FULL first refresh followed by an
+    INCREMENTAL one (affected-keys-only re-resolution, retractions
+    included) -- the retraction-aware view shape the additive derived
+    sinks cannot express (`TopRestaurantsLast30Days.scala:38` recomputes
+    its view from scratch each tick; this maintains it)."""
+    return _two_phase_matview(sf_dir, 'mv', 'conv_live_stats',
+                               'conv_id')
 
 
 def cdc_matview_role_stats(sf_dir: str) -> ray.data.Dataset:
@@ -490,29 +503,8 @@ def cdc_matview_role_stats(sf_dir: str) -> ray.data.Dataset:
     refresh re-partials only the buckets the delta touched and the read
     merges current per-bucket partials. Two-phase WAL: full first
     refresh, incremental second."""
-    from .matview import read_grouped_matview, refresh_matview
-
-    cfg = _fresh_cfg("gmv")
-    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
-    half = src.metadata.num_rows // 2
-    seen = 0
-    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
-    for rb in src.iter_batches(batch_size=65536,
-                               columns=["event_id", "user_id", "ts"]):
-        t = pa.Table.from_batches([rb])
-        w.append(derive_change_batch(t), 1)
-        seen += t.num_rows
-        if half and seen >= half:
-            half = 0
-            w.close()
-            ingest.run_loop(cfg, stop_when_idle=True)
-            refresh_matview(cfg, "role_live_stats")
-            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
-                          reorder_slack=1024)
-    w.close()
-    ingest.run_loop(cfg, stop_when_idle=True)
-    refresh_matview(cfg, "role_live_stats")
-    return read_grouped_matview(cfg, "role_live_stats").sort("role")
+    return _two_phase_matview(sf_dir, 'gmv', 'role_live_stats',
+                               'role')
 
 
 def cdc_matview_role_tool_stats(sf_dir: str) -> ray.data.Dataset:
@@ -520,30 +512,8 @@ def cdc_matview_role_tool_stats(sf_dir: str) -> ray.data.Dataset:
     the RESOLVED state — exercises the generic N-col group path where
     the tool member is legitimately NULL for deletes-then-reinserts and
     non-tool turns. Two-phase WAL like the other matview queries."""
-    from .matview import read_grouped_matview, refresh_matview
-
-    cfg = _fresh_cfg("rtmv")
-    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
-    half = src.metadata.num_rows // 2
-    seen = 0
-    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
-    for rb in src.iter_batches(batch_size=65536,
-                               columns=["event_id", "user_id", "ts"]):
-        t = pa.Table.from_batches([rb])
-        w.append(derive_change_batch(t), 1)
-        seen += t.num_rows
-        if half and seen >= half:
-            half = 0
-            w.close()
-            ingest.run_loop(cfg, stop_when_idle=True)
-            refresh_matview(cfg, "role_tool_stats")
-            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
-                          reorder_slack=1024)
-    w.close()
-    ingest.run_loop(cfg, stop_when_idle=True)
-    refresh_matview(cfg, "role_tool_stats")
-    return read_grouped_matview(cfg, "role_tool_stats") \
-        .sort(["role", "tool"])
+    return _two_phase_matview(sf_dir, 'rtmv', 'role_tool_stats',
+                               ['role', 'tool'])
 
 
 def cdc_matview_hourly_activity(sf_dir: str) -> ray.data.Dataset:
@@ -554,30 +524,8 @@ def cdc_matview_hourly_activity(sf_dir: str) -> ray.data.Dataset:
     per-window DISTINCT conversation count that merges by plain sum
     because buckets partition conversations exclusively. Two-phase WAL:
     full first refresh, incremental second."""
-    from .matview import read_grouped_matview, refresh_matview
-
-    cfg = _fresh_cfg("hmv")
-    src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
-    half = src.metadata.num_rows // 2
-    seen = 0
-    w = WalWriter(cfg.wal_dir, segment_rows=100_000, reorder_slack=1024)
-    for rb in src.iter_batches(batch_size=65536,
-                               columns=["event_id", "user_id", "ts"]):
-        t = pa.Table.from_batches([rb])
-        w.append(derive_change_batch(t), 1)
-        seen += t.num_rows
-        if half and seen >= half:
-            half = 0
-            w.close()
-            ingest.run_loop(cfg, stop_when_idle=True)
-            refresh_matview(cfg, "hourly_activity")
-            w = WalWriter(cfg.wal_dir, segment_rows=100_000,
-                          reorder_slack=1024)
-    w.close()
-    ingest.run_loop(cfg, stop_when_idle=True)
-    refresh_matview(cfg, "hourly_activity")
-    return read_grouped_matview(cfg, "hourly_activity") \
-        .sort("window_start")
+    return _two_phase_matview(sf_dir, 'hmv', 'hourly_activity',
+                               'window_start')
 
 
 def _two_phase_versions(sf_dir: str, tag: str) -> tuple[EngineConfig,

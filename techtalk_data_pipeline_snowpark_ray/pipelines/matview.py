@@ -663,8 +663,9 @@ def _refresh_grouped(cfg: EngineConfig,
     files = [] if mode == "full" \
         else list(m.derived.get(view.derived_key, []))
     if buckets:
-        _pruned, scan_cols = _scan_cols_for_grouped(view, payload,
-                                                    controls)
+        # duck-typed: _scan_cols_for only touches source_cols, which
+        # keyed and grouped views share
+        _pruned, scan_cols = _scan_cols_for(view, payload, controls)
         want = {str(b) for b in buckets}
         paths = [os.path.join(state.runs_dir, f)
                  for b, runs in m.buckets.items()
@@ -699,21 +700,6 @@ def _refresh_grouped(cfg: EngineConfig,
         wal_consumed=[],
         metrics={"matview_refresh": {"view": view.name,
                                      "source_version": cur, **stats}}))
-
-
-def _scan_cols_for_grouped(view: GroupedMatView, payload: list[str],
-                           controls) -> tuple[list[str], list[str]]:
-    need = set(view.source_cols)
-    for c in controls:
-        need.add(c.predicate["col"])
-        for out_col, spec in c.assignments.items():
-            need.add(out_col)
-            if "col" in spec:
-                need.add(spec["col"])
-    pruned = [c for c in payload if c in need]
-    scan = [*schemas.KEY_COLS, schemas.LSN_COL, schemas.OP_COL,
-            BUCKET_COL, *pruned]
-    return pruned, scan
 
 
 def _bucket_epochs(paths: list[str]) -> dict[int, int]:
@@ -802,9 +788,13 @@ def read_grouped_matview(cfg: EngineConfig, name: str,
         return out
 
     aggs = {"sum": Sum, "max": Max, "min": Min}
+    # materialize the filtered partials: they are (groups x buckets)
+    # rows — far smaller than the raw files — and both the emptiness
+    # probe and the groupby then share ONE scan instead of re-running
+    # the read+filter lineage twice
     ds = ray.data.read_parquet(paths) \
         .map_batches(keep_current, batch_format="pyarrow",
-                     zero_copy_batch=True)
+                     zero_copy_batch=True).materialize()
     if ds.count() == 0:
         return ray.data.from_arrow(view.empty_result())
     key = view.group_cols[0] if len(view.group_cols) == 1 \
