@@ -18,9 +18,11 @@ SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "union_tag", "user_journeys", "cdc_render_transcripts",
           "user_moving_sum", "users_view_purchase_setops",
           "embedding_near_dup_lsh", "minhash_near_dup",
-          "cdc_matview_role_stats", "cdc_time_travel",
+          "cdc_matview_role_stats", "cdc_matview_hourly_activity",
+          "cdc_matview_role_tool_stats", "cdc_time_travel",
           "cdc_changefeed_delta", "cdc_export_roundtrip",
-          "cdc_replicated_table"]
+          "cdc_replicated_table", "media_audio_features",
+          "media_video_frame_features"]
 
 
 @pytest.fixture(scope="module")
