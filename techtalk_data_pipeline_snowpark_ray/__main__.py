@@ -1,0 +1,114 @@
+"""`ray job submit` entry point: `python -m techtalk_data_pipeline_snowpark_ray <cmd>`.
+
+The north-star deployment runs the replay on a fixed-size multi-node
+Ray cluster via `ray job submit -- python -m
+techtalk_data_pipeline_snowpark_ray replay --wal-dir ... --table-dir ...`;
+this module is that job payload. It owns the Ray session (guarded —
+under `ray job submit` the cluster is already initialized and
+`ray.init` auto-attaches), drives the engine's public API, and prints
+one JSON line of metrics so the job log is machine-readable.
+
+Commands:
+  replay    tail the WAL and apply ticks (bounded with --stop-when-idle,
+            continuous otherwise); optional --matviews kept fresh per tick
+  compact   fold delta runs into per-bucket bases
+  refresh   bring one materialized view up to the latest table version
+  export    resumable bucket-partitioned snapshot export
+  metrics   per-version throughput/lag history from the manifest lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _cfg(args) -> "EngineConfig":
+    from .config import EngineConfig
+    cfg = EngineConfig(table_dir=args.table_dir, wal_dir=args.wal_dir,
+                       num_buckets=args.num_buckets,
+                       salt_factor=args.salt_factor,
+                       hot_key_threshold=args.hot_key_threshold,
+                       schema_version=args.schema_version)
+    if getattr(args, "matviews", ""):
+        cfg.matviews = tuple(v for v in args.matviews.split(",") if v)
+    cfg.ensure_dirs()
+    return cfg
+
+
+def _init_ray() -> None:
+    import ray
+    if not ray.is_initialized():      # ray job submit pre-initializes
+        ray.init(include_dashboard=False)
+
+
+def main(argv: "list[str] | None" = None) -> int:
+    p = argparse.ArgumentParser(prog="techtalk_data_pipeline_snowpark_ray")
+    p.add_argument("--table-dir", default="/tmp/ttdps/table")
+    p.add_argument("--wal-dir", default="/tmp/ttdps/wal")
+    p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--salt-factor", type=int, default=4)
+    p.add_argument("--hot-key-threshold", type=int, default=0)
+    p.add_argument("--schema-version", type=int, default=3)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("replay", help="tail WAL, apply ticks, commit")
+    sp.add_argument("--stop-when-idle", action="store_true")
+    sp.add_argument("--max-ticks", type=int, default=None)
+    sp.add_argument("--compact-every", type=int, default=0)
+    sp.add_argument("--matviews", default="",
+                    help="comma-separated view names kept fresh per tick")
+
+    sub.add_parser("compact", help="fold delta runs into bucket bases")
+
+    sp = sub.add_parser("refresh", help="refresh one materialized view")
+    sp.add_argument("--view", required=True)
+
+    sp = sub.add_parser("export", help="resumable partitioned export")
+    sp.add_argument("--out-dir", required=True)
+    sp.add_argument("--key", default="conv_id")
+    sp.add_argument("--export-buckets", type=int, default=64)
+
+    sub.add_parser("metrics", help="per-version metrics history (JSON)")
+
+    args = p.parse_args(argv)
+    cfg = _cfg(args)
+    _init_ray()
+    from .pipelines import ingest
+
+    if args.cmd == "replay":
+        results = ingest.run_loop(cfg, max_ticks=args.max_ticks,
+                                  compact_every=args.compact_every,
+                                  stop_when_idle=args.stop_when_idle)
+        out = {"cmd": "replay", "ticks": len(results),
+               "events": sum(r.events_applied for r in results),
+               "version": ingest.TableState(cfg.table_dir).latest_version()}
+    elif args.cmd == "compact":
+        m = ingest.compact(cfg)
+        out = {"cmd": "compact",
+               "version": None if m is None else m.version}
+    elif args.cmd == "refresh":
+        from .pipelines.matview import refresh_matview
+        m = refresh_matview(cfg, args.view)
+        out = {"cmd": "refresh", "view": args.view,
+               "refreshed": m is not None,
+               **({} if m is None else m.metrics.get("matview_refresh", {}))}
+    elif args.cmd == "export":
+        from .pipelines.sinks import write_partitioned
+        written = write_partitioned(ingest.read_snapshot(cfg),
+                                    args.out_dir, key=args.key,
+                                    num_buckets=args.export_buckets)
+        out = {"cmd": "export", "out_dir": args.out_dir,
+               "buckets_written": len(written),
+               "rows_written": int(sum(written.values()))}
+    else:                                    # metrics
+        hist = ingest.metrics_history(cfg)
+        out = {"cmd": "metrics",
+               "versions": json.loads(hist.to_json(orient="records"))}
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1336,3 +1336,37 @@ def test_dag_matview_step_keeps_view_fresh(tmp_path):
     # already-fresh view reports idle on the next pass
     again = dag.evaluate()
     assert again.results["mv_role"] is None
+
+
+def test_job_submit_cli_surface(tmp_path, capsys):
+    """The `ray job submit` payload (python -m package <cmd>): replay
+    with a matview kept fresh, refresh, compact, export and metrics all
+    drive the public API and emit one machine-readable JSON line."""
+    import json
+
+    from techtalk_data_pipeline_snowpark_ray.__main__ import main
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    from techtalk_data_pipeline_snowpark_ray.pipelines import matview
+
+    base = ["--table-dir", str(tmp_path / "t"), "--wal-dir",
+            str(tmp_path / "w"), "--num-buckets", "4"]
+    write_wal(GenSpec(n_events=800, n_conversations=30, seed=3),
+              str(tmp_path / "w"), segment_rows=400)
+
+    def run(*args):
+        assert main([*base, *args]) == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    r = run("replay", "--stop-when-idle", "--matviews", "role_live_stats")
+    assert r["events"] > 0 and r["version"] is not None
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"), num_buckets=4)
+    assert matview.read_grouped_matview(cfg, "role_live_stats").count() > 0
+    assert run("refresh", "--view", "hourly_activity")["refreshed"]
+    assert not run("refresh", "--view", "hourly_activity")["refreshed"]
+    assert run("compact")["version"] is not None
+    e = run("export", "--out-dir", str(tmp_path / "exp"),
+            "--export-buckets", "4")
+    assert e["rows_written"] == len(ingest.snapshot_to_pandas(cfg))
+    m = run("metrics")
+    assert len(m["versions"]) >= 2
