@@ -8,6 +8,9 @@ so this is the honest way to make the engine's VIDEO decode step real
 in a container with no av libs, completing the imagecodec (BMP/PNG) /
 audiocodec (WAV) trio. Compressed codecs (H.264 & co) remain out of
 scope and fail loudly at the format check, never a silent fake.
+(Reference boundary: payloads are opaque bytes end-to-end in the
+reference's ingest utilities, HttpClientUtils.scala:24-75; decoding is
+new engine surface mandated by the multimodal operator suite.)
 
 Scope: `Cmono` (one grayscale plane per frame) and `C420`-family
 (Y plane used, chroma skipped) colorspaces; anything else raises.
