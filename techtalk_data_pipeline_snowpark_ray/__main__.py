@@ -32,7 +32,14 @@ def _cfg(args) -> "EngineConfig":
                        hot_key_threshold=args.hot_key_threshold,
                        schema_version=args.schema_version)
     if getattr(args, "matviews", ""):
-        cfg.matviews = tuple(v for v in args.matviews.split(",") if v)
+        from .pipelines.matview import GROUPED_MATVIEWS, MATVIEWS
+        views = tuple(v for v in args.matviews.split(",") if v)
+        known = set(MATVIEWS) | set(GROUPED_MATVIEWS)
+        bad = [v for v in views if v not in known]
+        if bad:          # fail fast, before any tick commits
+            raise SystemExit(
+                f"unknown matview(s) {bad}; registered: {sorted(known)}")
+        cfg.matviews = views
     cfg.ensure_dirs()
     return cfg
 
@@ -78,16 +85,36 @@ def main(argv: "list[str] | None" = None) -> int:
     from .pipelines import ingest
 
     if args.cmd == "replay":
-        results = ingest.run_loop(cfg, max_ticks=args.max_ticks,
-                                  compact_every=args.compact_every,
-                                  stop_when_idle=args.stop_when_idle)
+        # continuous mode only ends on SIGTERM/SIGINT (ray job stop);
+        # still emit the machine-readable summary line on the way out
+        import signal
+
+        def _term(*_):
+            raise KeyboardInterrupt
+
+        signal.signal(signal.SIGTERM, _term)
+        interrupted = False
+        results = []
+        try:
+            results = ingest.run_loop(cfg, max_ticks=args.max_ticks,
+                                      compact_every=args.compact_every,
+                                      stop_when_idle=args.stop_when_idle)
+        except KeyboardInterrupt:
+            interrupted = True
         out = {"cmd": "replay", "ticks": len(results),
                "events": sum(r.events_applied for r in results),
+               "interrupted": interrupted,
                "version": ingest.TableState(cfg.table_dir).latest_version()}
     elif args.cmd == "compact":
         m = ingest.compact(cfg)
+        # same hygiene as run_loop's post-compaction sweep: a CLI-driven
+        # compaction cadence must not accumulate superseded runs forever
+        removed = ingest.TableState(cfg.table_dir).gc_orphan_runs(
+            keep_versions=cfg.gc_keep_versions,
+            min_age_s=cfg.gc_min_age_s)
         out = {"cmd": "compact",
-               "version": None if m is None else m.version}
+               "version": None if m is None else m.version,
+               "gc_removed": len(removed)}
     elif args.cmd == "refresh":
         from .pipelines.matview import refresh_matview
         m = refresh_matview(cfg, args.view)

@@ -80,8 +80,30 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
                       num_buckets: int = 64) -> dict[int, int]:
     """Write `ds` under ``out_dir/bucket=NNNNN/`` by key hash; skip
     buckets already marked complete. Returns rows written per bucket
-    (only the buckets written THIS run)."""
+    (only the buckets written THIS run).
+
+    `bucket = H(key) % num_buckets` is a PERSISTED layout (the same
+    contract as the lake's manifest `num_buckets`): a resume with a
+    different count or key would silently mis-place or double-count
+    rows, so the first run writes a layout marker and every resume
+    validates against it."""
+    import json
     os.makedirs(out_dir, exist_ok=True)
+    meta_path = os.path.join(out_dir, "_export_meta.json")
+    meta = {"key": key, "num_buckets": int(num_buckets)}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise ValueError(
+                f"export layout mismatch: {out_dir} was started with "
+                f"{prev}, resume requested {meta}; finish with the "
+                "original parameters or export to a fresh directory")
+    else:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, meta_path)
     done = finished_buckets(out_dir)
     todo = [b for b in range(num_buckets) if b not in done]
     if not todo:

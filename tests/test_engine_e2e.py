@@ -1370,3 +1370,42 @@ def test_job_submit_cli_surface(tmp_path, capsys):
     assert e["rows_written"] == len(ingest.snapshot_to_pandas(cfg))
     m = run("metrics")
     assert len(m["versions"]) >= 2
+
+
+def test_export_layout_marker_rejects_mismatched_resume(tmp_engine):
+    """A resumed export with a different bucket count or key must be
+    REFUSED (persisted-layout contract), not silently mis-placed."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.sinks import (
+        read_partitioned, write_partitioned)
+
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+    ingest.apply_tick(cfg)
+    out = os.path.join(os.path.dirname(cfg.table_dir), "exp")
+    write_partitioned(ingest.read_snapshot(cfg), out, key="conv_id",
+                      num_buckets=8)
+    n = read_partitioned(out).count()
+    with pytest.raises(ValueError, match="layout mismatch"):
+        write_partitioned(ingest.read_snapshot(cfg), out, key="conv_id",
+                          num_buckets=4)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        write_partitioned(ingest.read_snapshot(cfg), out, key="role",
+                          num_buckets=8)
+    # matching resume stays a clean no-op
+    assert write_partitioned(ingest.read_snapshot(cfg), out,
+                             key="conv_id", num_buckets=8) == {}
+    assert read_partitioned(out).count() == n
+
+
+def test_cli_rejects_unknown_matview_before_any_tick(tmp_path, capsys):
+    from techtalk_data_pipeline_snowpark_ray.__main__ import main
+
+    write_wal(TINY, str(tmp_path / "w"), segment_rows=500)
+    with pytest.raises(SystemExit, match="unknown matview"):
+        main(["--table-dir", str(tmp_path / "t"), "--wal-dir",
+              str(tmp_path / "w"), "replay", "--stop-when-idle",
+              "--matviews", "role_live_stat"])
+    # fail-fast: nothing was committed
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import (
+        TableState)
+    assert TableState(str(tmp_path / "t")).latest_version() is None
