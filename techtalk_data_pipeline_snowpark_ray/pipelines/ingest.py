@@ -1246,6 +1246,18 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
     (`SnowflakeUtils.scala:120-128`); in tests a bounded replay."""
     import time
 
+    if cfg.matviews:
+        # fail fast on a typo'd view name BEFORE any tick commits --
+        # the per-tick refresh would otherwise KeyError mid-run with
+        # WAL partially consumed
+        from .matview import GROUPED_MATVIEWS, MATVIEWS
+        bad = [v for v in cfg.matviews
+               if v not in MATVIEWS and v not in GROUPED_MATVIEWS]
+        if bad:
+            raise KeyError(
+                f"unknown matview(s) {bad}; registered: "
+                f"{sorted({*MATVIEWS, *GROUPED_MATVIEWS})}")
+
     results: list[TickResult] = []
     ticks = 0
     while max_ticks is None or ticks < max_ticks:
