@@ -103,6 +103,17 @@ class EngineConfig:
     #: deleted by run_loop after each compaction.
     gc_keep_versions: int = 2
 
+    #: compaction hot-bucket salting gate: a bucket whose input rows
+    #: (exact parallel count of the bucket column) exceed BOTH this
+    #: floor and 2x the mean folds in `max(2, salt_factor)` parallel
+    #: key-exclusive sub-shards (hash(turn_idx) % S — the same salt as
+    #: the apply stage) instead of one straggler task; each sub-shard
+    #: writes its own base file (manifests already carry per-bucket
+    #: file LISTS, so every reader is unaffected). Measured: a 2.4M-row
+    #: hot bucket (one long conversation) compacted 18.4 s -> see
+    #: BENCH A/B. 0 disables.
+    compact_salt_rows: int = 1_500_000
+
     # --- generator / determinism -----------------------------------------
     seed: int = 42
 

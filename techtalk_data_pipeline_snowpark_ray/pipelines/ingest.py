@@ -76,7 +76,10 @@ def tail_changes(cfg: EngineConfig, committed_seq: int, normalize: bool = True,
     if normalize:
         ds = ds.map_batches(
             SchemaNormalizer(target, keep_extra=_BOOKKEEPING),
-            batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+            # batch_size=None: 1:1 with blocks -- every stage upstream
+            # of the per-block collapse must preserve block contiguity
+            # (bundling interleaves non-consecutive blocks)
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
     return ds, segments
 
@@ -224,8 +227,12 @@ class DirectApplier:
 
     def _scan(self, paths: list[str]) -> pa.Table:
         import pyarrow.dataset as pads
+        # single-threaded per-task scan: parallelism comes from the
+        # task fan-out; nested arrow IO pools (workers x io threads)
+        # oversubscribe the host at high parallelism (pinned by A/B)
         return pads.dataset(paths, format="parquet",
-                            schema=self.scan_schema).to_table()
+                            schema=self.scan_schema) \
+            .to_table(use_threads=False)
 
     def _apply_one(self, batch: pa.Table) -> pd.DataFrame:
         for stage in self.pre_stages:   # manually fused normalize/partition
@@ -265,9 +272,43 @@ class DirectApplier:
             "n_full": int(op_counts.get(0, 0)),
             "n_partial": int(op_counts.get(1, 0)),
             "n_delete": int(op_counts.get(2, 0)),
-            "max_lsn": int(pc.max(out[schemas.LSN_COL]).as_py()),
+            # (min, max) input lsn: the driver verifies all batches'
+            # ranges are pairwise disjoint BEFORE publishing -- the
+            # fold's interval precondition made checkable
+            "min_lsn": int(pc.min(batch[schemas.LSN_COL]).as_py()),
+            "max_lsn": int(pc.max(batch[schemas.LSN_COL]).as_py()),
             "derived_file": derived_file,
         }])
+
+
+def _check_batch_intervals(metrics: pd.DataFrame) -> None:
+    """Verify the direct-mode fold precondition: every batch's input
+    lsn range [min, max] must be pairwise disjoint (boundary EQUALITY
+    is allowed — a duplicate re-delivery, confined to reorder-slack
+    distance by the WAL writer's contract, can legally straddle a
+    batch split as two equal-lsn records, which the terminal fold's
+    (key, lsn) dedup resolves). A violation means the executor handed
+    a task non-consecutive blocks; the tick aborts BEFORE publish (its
+    written runs are unreferenced orphans, GC-sweepable), so nothing
+    corrupt ever commits."""
+    if "min_lsn" not in metrics.columns:
+        return
+    m = metrics.dropna(subset=["min_lsn", "max_lsn"])
+    if len(m) < 2:
+        return
+    lo = m["min_lsn"].to_numpy(dtype=np.int64)
+    hi = m["max_lsn"].to_numpy(dtype=np.int64)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    bad = np.flatnonzero(lo[1:] < hi[:-1])
+    if bad.size:
+        i = int(bad[0])
+        raise RuntimeError(
+            "direct-apply batch interval violation: batch "
+            f"[{lo[i + 1]}, {hi[i + 1]}] overlaps [{lo[i]}, {hi[i]}] — "
+            "the executor delivered non-consecutive blocks to one fold "
+            "task; tick aborted before publish (no corrupt state "
+            "committed; orphan runs are GC-sweepable)")
 
 
 def _empty_metrics() -> pd.DataFrame:
@@ -276,6 +317,7 @@ def _empty_metrics() -> pd.DataFrame:
         "file": pd.Series(dtype="object"), "events_in": pd.Series(dtype="int64"),
         "records_out": pd.Series(dtype="int64"), "n_full": pd.Series(dtype="int64"),
         "n_partial": pd.Series(dtype="int64"), "n_delete": pd.Series(dtype="int64"),
+        "min_lsn": pd.Series(dtype="int64"),
         "max_lsn": pd.Series(dtype="int64"),
         "derived_file": pd.Series(dtype="object"),
     })
@@ -313,21 +355,25 @@ def write_derived_partials(batch: pa.Table, view_names, runs_dir: str,
 # the tick (one consumed delta, one atomic commit)
 # --------------------------------------------------------------------------
 
-def _segment_groups(segments: list[wal.Segment], cfg: EngineConfig,
-                    target_group_bytes: int = 32 * 1024 * 1024) -> list[list[str]]:
+def _segment_groups(segments: list[wal.Segment],
+                    cfg: EngineConfig) -> list[list[str]]:
     """Partition the (seq-ordered) segment list into consecutive groups
-    of ~target_group_bytes compressed input each: the unit of fused
-    read+apply work. Consecutive seqs => each group is an lsn interval."""
+    of ~cfg.direct_batch_rows rows each (exact footer counts, no data
+    read): the unit of fused read+apply work. Consecutive seqs => each
+    group is an lsn interval (the fold's soundness precondition).
+    Sizing by ROWS, not compressed bytes — transcript text compresses
+    ~6x, so a byte target makes groups too big and starves the task
+    fan-out."""
     groups: list[list[str]] = []
     cur: list[str] = []
-    cur_bytes = 0
+    cur_rows = 0
     for s in segments:
-        size = os.path.getsize(s.path)
-        if cur and cur_bytes + size > target_group_bytes:
+        rows = pq.read_metadata(s.path).num_rows
+        if cur and cur_rows + rows > cfg.direct_batch_rows:
             groups.append(cur)
-            cur, cur_bytes = [], 0
+            cur, cur_rows = [], 0
         cur.append(s.path)
-        cur_bytes += size
+        cur_rows += rows
     if cur:
         groups.append(cur)
     return groups
@@ -434,7 +480,7 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         key_extractor = cfg.extras.get("key_extractor")
         if key_extractor is not None:
             ds = ds.map_batches(key_extractor, batch_format="pyarrow",
-                                batch_size=cfg.batch_size,
+                                batch_size=None,   # block contiguity
                                 zero_copy_batch=True)
         if hot_convs is None and cfg.hot_key_threshold > 0:
             hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold,
@@ -478,33 +524,42 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                 scan_schema=schemas.change_schema(cfg.schema_version),
                                 derived_views=tuple(view_names),
                                 barriers=barriers)
-        # Default: Ray's read operator feeds the fused apply stage (one
-        # object-store hop). The in-task-scan variant (fused_read=True)
-        # avoids even that hop but oversubscribes arrow IO threads
-        # (workers x io_thread_count) and measurably degrades the whole
-        # host at high parallelism -- pinned by the A/B in BENCH notes.
-        if cfg.extras.get("fused_read", False):
-            groups = _segment_groups(segments, cfg)
-            paths_ds = ray.data.from_items([{"paths": g} for g in groups])
-            metrics_ds = paths_ds.map_batches(applier, batch_format="pyarrow",
-                                              batch_size=1)
-        else:
-            # Build the scan from the ALREADY-listed segments: re-listing
-            # here would race a live WAL writer (a segment published
-            # between the two listings gets applied but excluded from
-            # committed_seq/wal_consumed, double-counting it next tick in
-            # the additive derived sinks and in the metrics).
+        # DEFAULT: explicit consecutive-segment groups, each scanned
+        # and folded IN ONE TASK (`_segment_groups` → DirectApplier's
+        # fused-read path). This is the only batching whose interval
+        # soundness is guaranteed BY CONSTRUCTION: the fold's collapse
+        # is associative only over lsn-interval inputs, and letting Ray
+        # form the fold units violates that two different ways —
+        # cross-block bundles (batch_size=N) mix whichever blocks
+        # complete first (observed corrupting nullable columns on a
+        # 490-segment WAL at 32 cpus), and per-block mapping
+        # (batch_size=None) under read→map fusion degrades to the
+        # parquet scanner's ~10k-row mini-batches (28x the run files).
+        # The historical io-thread oversubscription of in-task scans is
+        # fixed by single-threaded per-task reads (parallelism comes
+        # from the task fan-out, not nested arrow thread pools).
+        # `_check_batch_intervals` still verifies the invariant on
+        # every tick before anything publishes.
+        if cfg.extras.get("ray_read", False):
+            # escape hatch for A/B: Ray read + per-block folds (sound,
+            # but fold-unit size is at the scanner's mercy)
             ds = ray.data.read_parquet(
                 [s.path for s in segments],
                 schema=schemas.change_schema(cfg.schema_version))
-            # coalesce the read's (often tiny, per-row-group) blocks
-            # into direct_batch_rows fold units: fewer+bigger run files
-            # and a better within-task fold ratio. Consecutive blocks
-            # of one task are consecutive segment rows, so each batch
-            # is still an lsn interval (fold precondition).
             metrics_ds = ds.map_batches(applier, batch_format="pyarrow",
-                                        batch_size=cfg.direct_batch_rows,
+                                        batch_size=None,
                                         zero_copy_batch=True)
+        else:
+            # group size targets ~direct_batch_rows of decompressed
+            # rows via compressed bytes; built from the ALREADY-listed
+            # segments (re-listing would race a live WAL writer)
+            groups = _segment_groups(segments, cfg)
+            paths_ds = ray.data.from_items(
+                [{"paths": g} for g in groups],
+                override_num_blocks=max(1, len(groups)))
+            metrics_ds = paths_ds.map_batches(applier,
+                                              batch_format="pyarrow",
+                                              batch_size=1)
     else:
         # key_extractor already applied (before skew detection)
         if cfg.bad_record_policy != "none":
@@ -515,11 +570,11 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                 ChangeValidator(cfg.bad_record_policy,
                                 os.path.join(cfg.table_dir,
                                              QUARANTINE_SUBDIR), txn),
-                batch_format="pyarrow", batch_size=cfg.batch_size,
+                batch_format="pyarrow", batch_size=None,
                 zero_copy_batch=True)
         ds = ds.map_batches(
             Partitioner(cfg.num_buckets, cfg.salt_factor, hot_ref),
-            batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True,
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
         if pre_collapse:
             # combiner before the shuffle (same interval precondition)
@@ -548,7 +603,21 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
             # shuffle: shards only need co-location, not global order
             metrics_ds = exchange_map_groups(ds, SHARD_COL, cfg.num_shards,
                                              apply_shard, keep_part_col=True)
+    # The per-batch collapse (DirectApplier fold / shuffle-mode
+    # pre-collapse combiner) is only associative over lsn-INTERVAL
+    # inputs, which is why every collapse unit above is exactly ONE
+    # block (batch_size=None; blocks are contiguous by construction)
+    # and never a bundle — Ray's streaming executor hands a map task
+    # whichever blocks complete first, and a NON-consecutive bundle
+    # lets the collapse merge an update onto a stale absolute across a
+    # gap another batch owns, silently corrupting nullable columns
+    # (observed on a 490-segment WAL at 32 cpus; preserve_order does
+    # NOT prevent it — bundle composition is unordered either way).
+    # The disjointness check verifies the invariant on every direct
+    # tick before anything publishes.
     metrics = metrics_ds.to_pandas()  # one row per shard/task -- tiny
+    if direct and len(metrics):
+        _check_batch_intervals(metrics)
     if metrics.empty:
         if cfg.bad_record_policy != "quarantine":
             return None
@@ -711,6 +780,29 @@ def _fold_bucket_refs(fn, *parts):
     if not parts:
         return fn(None)
     return fn(pa.concat_tables(parts, promote_options="default"))
+
+
+@ray.remote
+def _bucket_hist_of(path: str, num_buckets: int) -> np.ndarray:
+    t = pq.read_table(path, columns=[BUCKET_COL])
+    b = t[BUCKET_COL].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = b[(b >= 0) & (b < num_buckets)]
+    return np.bincount(b, minlength=num_buckets)
+
+
+def _bucket_rows_estimate(paths: list[str],
+                          num_buckets: int) -> np.ndarray:
+    """EXACT per-bucket input-row counts for the hot-bucket compaction
+    salting gate: parallel tasks each scan ONE int column of their file
+    (a few percent of the bytes the compaction itself is about to
+    read) and return a num_buckets-sized histogram; the driver sums.
+    Footer row-group stats cannot localize this — a default-sized row
+    group spans every bucket, spreading the count uniformly."""
+    if not paths:
+        return np.zeros(num_buckets, dtype=np.int64)
+    hists = ray.get([_bucket_hist_of.remote(p, num_buckets)
+                     for p in paths])
+    return np.sum(hists, axis=0).astype(np.int64)
 
 
 def _exchange_by_bucket(paths: list[str], num_buckets: int,
@@ -1134,9 +1226,11 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
 
 def compact(cfg: EngineConfig, waves: int = 1,
             rebucket: bool = False) -> Manifest | None:
-    """Fold every bucket's runs into a single base run (one file per
-    bucket, sorted by (conv_id, turn_idx) -- the reference's 'stable
-    turn ordering' invariant), drop tombstones, publish a new manifest.
+    """Fold every bucket's runs into base runs (one file per bucket —
+    or `max(2, salt_factor)` key-exclusive sub-shard files for a
+    measured HOT bucket, see cfg.compact_salt_rows — each sorted by
+    (conv_id, turn_idx), the reference's 'stable turn ordering'
+    invariant), drop tombstones, publish a new manifest.
 
     Safe because compaction folds a bucket's COMPLETE run list and no
     event at lsn <= committed can ever be re-applied (checkpoint rule).
@@ -1180,7 +1274,8 @@ def compact(cfg: EngineConfig, waves: int = 1,
 
     cols = RUN_COLS_FIXED + payload
 
-    def compact_bucket(group: "pa.Table | None") -> "dict | None":
+    def compact_bucket(group: "pa.Table | None",
+                       shard: "int | None" = None) -> "dict | None":
         if group is None or group.num_rows == 0:
             return None
         bucket = group[BUCKET_COL][0].as_py()
@@ -1197,13 +1292,40 @@ def compact(cfg: EngineConfig, waves: int = 1,
         # the compacted base runs
         out = out.take(pc.sort_indices(out, sort_keys=[
             ("conv_id", "ascending"), ("turn_idx", "ascending")]))
-        fname = f"base-b{bucket:05d}-x{txn}.parquet"
+        sfx = "" if shard is None else f"-s{shard:02d}"
+        fname = f"base-b{bucket:05d}{sfx}-x{txn}.parquet"
         tmp = os.path.join(runs_dir, fname + f".tmp-{uuid.uuid4().hex[:8]}")
         pq.write_table(out, tmp, compression="zstd")
         os.replace(tmp, os.path.join(runs_dir, fname))
         return {"bucket": int(bucket), "file": fname, "rows": out.num_rows}
 
+    def sub_fold(shard: int, n_shards: int):
+        # key-exclusive sub-shard of a HOT bucket's fold: the full PK
+        # (conv_id, turn_idx) determines the shard via the same
+        # multiplicative turn hash the apply-stage salt uses, so every
+        # record of a key folds in exactly one sub-task
+        def fold(group: "pa.Table | None") -> "dict | None":
+            if group is None or group.num_rows == 0:
+                return None
+            turn = group["turn_idx"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            keep = (turn * np.uint64(2654435761)) % np.uint64(n_shards) \
+                == np.uint64(shard)
+            return compact_bucket(group.filter(pa.array(keep)),
+                                  shard=shard)
+        return fold
+
     paths = state.run_paths(prev)
+    # hot-bucket salting gate: measured (footer-stats) skew only; a
+    # rebucket migration recomputes bucket routing, so stored-bucket
+    # estimates would lie — skip salting there
+    hot: set[int] = set()
+    n_shards = max(2, cfg.salt_factor)
+    if cfg.compact_salt_rows and not rebucket:
+        est = _bucket_rows_estimate(paths, cfg.num_buckets)
+        mean = max(1.0, float(est[est > 0].mean())) if est.any() else 1.0
+        hot = {int(b) for b in np.flatnonzero(
+            (est > cfg.compact_salt_rows) & (est > 2 * mean))}
     waves = max(1, min(int(waves), cfg.num_buckets))
     metas = []
     for w in range(waves):
@@ -1211,11 +1333,22 @@ def compact(cfg: EngineConfig, waves: int = 1,
         per_bucket = _exchange_by_bucket(paths, cfg.num_buckets,
                                          bucket_subset=subset,
                                          rebucket=rebucket)
-        metas += [m for m in ray.get(
-            [_fold_bucket_refs.remote(compact_bucket, *refs)
-             for refs in per_bucket]) if m]
+        bucket_ids = subset if subset is not None \
+            else list(range(cfg.num_buckets))
+        tasks = []
+        for b, refs in zip(bucket_ids, per_bucket):
+            if b in hot:
+                tasks += [_fold_bucket_refs.remote(sub_fold(s, n_shards),
+                                                   *refs)
+                          for s in range(n_shards)]
+            else:
+                tasks.append(_fold_bucket_refs.remote(compact_bucket,
+                                                      *refs))
+        metas += [m for m in ray.get(tasks) if m]
 
-    buckets = {str(m["bucket"]): [m["file"]] for m in metas}
+    buckets: dict[str, list[str]] = {}
+    for m in metas:          # hot buckets legitimately carry S files
+        buckets.setdefault(str(m["bucket"]), []).append(m["file"])
     manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn,
         committed_seq=prev.committed_seq,

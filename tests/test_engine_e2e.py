@@ -1409,3 +1409,39 @@ def test_cli_rejects_unknown_matview_before_any_tick(tmp_path, capsys):
     from techtalk_data_pipeline_snowpark_ray.state.manifest import (
         TableState)
     assert TableState(str(tmp_path / "t")).latest_version() is None
+
+
+def test_batch_interval_check():
+    """The direct-fold precondition checker: overlapping batch lsn
+    ranges abort the tick; touching boundaries (a duplicate straddling
+    a block split) are legal."""
+    ok = pd.DataFrame({"min_lsn": [0, 100, 200], "max_lsn": [99, 200, 300]})
+    ingest._check_batch_intervals(ok)          # boundary equality OK
+    bad = pd.DataFrame({"min_lsn": [0, 150], "max_lsn": [199, 400]})
+    with pytest.raises(RuntimeError, match="interval violation"):
+        ingest._check_batch_intervals(bad)
+    ingest._check_batch_intervals(pd.DataFrame({"a": [1]}))  # no cols: skip
+
+
+def test_direct_apply_many_tiny_segments_matches_oracle(tmp_engine):
+    """Many small WAL segments (the shape that surfaced the
+    non-contiguous-bundle fold corruption): per-block folds + the
+    interval check must yield exact oracle state."""
+    cfg = tmp_engine
+    cfg.apply_mode = "direct"
+    spec = GenSpec(n_events=6000, n_conversations=30, max_turns=2000,
+                   zipf_s=1.6, ooo_window=8, dup_fraction=0.02,
+                   partial_update_fraction=0.3, seed=13)
+    write_wal(spec, cfg.wal_dir, segment_rows=100)   # 60 tiny segments
+    r = ingest.apply_tick(cfg)
+    assert r is not None
+    got = ingest.snapshot_to_pandas(cfg)
+    want = wal_oracle(cfg.wal_dir)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True))
+    # and through compaction
+    ingest.compact(cfg)
+    got2 = ingest.snapshot_to_pandas(cfg)
+    pd.testing.assert_frame_equal(got2.reset_index(drop=True),
+                                  got.reset_index(drop=True))
