@@ -42,7 +42,7 @@ from ..stages.normalize import SchemaNormalizer, normalize_batch
 from ..stages.partition import (BUCKET_COL, KEY_HASH_COL, SHARD_COL,
                                 Partitioner, add_partition_cols,
                                 hash_strings_arrow, key_hash)
-from ..state.manifest import Manifest, TableState
+from ..state.manifest import CommitConflict, Manifest, TableState
 
 _BOOKKEEPING = (schemas.LSN_COL, schemas.OP_COL)
 
@@ -394,6 +394,214 @@ def _check_bucket_layout(prev: Manifest, cfg: EngineConfig) -> None:
             "old count first, or keep the committed value.")
 
 
+# --------------------------------------------------------------------------
+# optimistic concurrency: commutable-conflict rebase (the retry half of U7)
+# --------------------------------------------------------------------------
+#
+# `TableState.publish` gives conflict DETECTION (exactly one winner per
+# version; the loser's runs stay invisible). The helpers below add
+# conflict RESOLUTION: a losing transaction whose effects COMMUTE with
+# every winner re-publishes its already-written run files on top of the
+# new latest manifest instead of recomputing the whole transaction.
+# Soundness rests on the layout's separation of content from position:
+# delta runs are per-key LWW-collapsed records of THEIR OWN WAL window
+# only (they never read the parent snapshot), and compacted bases fold
+# a frozen run list, so in both cases the parent manifest contributes
+# bookkeeping (file lists, watermarks), not data. What can NOT commute,
+# and always raises:
+#   * two WAL-consuming ticks (both tails started at the same
+#     committed_seq, so their windows overlap -> duplicate application);
+#   * a winner that ADDED control ops vs a tick whose folds were
+#     collapsed without those barriers (epoch assignment would differ);
+#   * competing compactions / matview refreshes (both REWRITE file
+#     lists -- detected as a non-prefix change) and bucket-layout
+#     migrations (routing key changes under the loser's feet).
+
+
+def _op_keys(ops: list | None) -> set:
+    import json as _json
+    return {_json.dumps(d, sort_keys=True) for d in (ops or [])}
+
+
+def _is_prefix(a: list, b: list) -> bool:
+    return len(a) <= len(b) and list(b[:len(a)]) == list(a)
+
+
+@dataclass
+class _AppendTxn:
+    """The reusable products of an append-shaped transaction (ingest
+    tick, control-only tick, replication window): everything needed to
+    rebuild its manifest on a DIFFERENT parent without recomputing."""
+    txn_id: str
+    num_buckets: int
+    bucket_appends: list          # [(bucket_str, run_file), ...]
+    global_appends: list          # [run_file, ...]
+    derived_appends: dict         # view -> [run_file, ...] (additive)
+    new_control_ops: list         # ControlOp dicts ADDED by this txn
+    wal_consumed: list
+    committed_seq: int
+    committed_lsn: int
+    schema_version: int
+    metrics: dict
+    #: False for replication windows: they are seq-independent, so a
+    #: concurrent WAL-consuming tick on the destination still commutes
+    consumes_wal: bool = True
+
+
+def _build_append_manifest(prev: Manifest, t: _AppendTxn) -> Manifest:
+    from ..stages.controls import sorted_controls
+    buckets = {k: list(v) for k, v in prev.buckets.items()}
+    for b, f in t.bucket_appends:
+        buckets.setdefault(b, []).append(f)
+    derived = {k: list(v) for k, v in prev.derived.items()}
+    for view, files in t.derived_appends.items():
+        derived.setdefault(view, []).extend(files)
+    ops = [c.to_dict() for c in sorted_controls(
+        list(prev.control_ops or []) + list(t.new_control_ops))]
+    return Manifest(
+        txn_id=t.txn_id,
+        committed_seq=max(prev.committed_seq, t.committed_seq),
+        committed_lsn=max(prev.committed_lsn, t.committed_lsn),
+        schema_version=max(prev.schema_version, t.schema_version),
+        num_buckets=max(prev.num_buckets, t.num_buckets),
+        buckets=buckets,
+        global_runs=list(prev.global_runs) + list(t.global_appends),
+        derived=derived,
+        control_ops=ops,
+        wal_consumed=list(t.wal_consumed),
+        metrics=t.metrics,
+    )
+
+
+def _publish_append_rebased(state: TableState, cfg: EngineConfig,
+                            prev_version: int | None, prev: Manifest,
+                            t: _AppendTxn) -> Manifest:
+    """Publish an append txn, rebasing over commutable winners (see the
+    section comment above) up to ``cfg.commit_retries`` times."""
+    for attempt in range(max(0, cfg.commit_retries) + 1):
+        try:
+            return state.publish(expected_parent=prev_version,
+                                 manifest=_build_append_manifest(prev, t))
+        except CommitConflict:
+            if attempt >= cfg.commit_retries:
+                raise
+            new_version, new_prev = state.load_latest_versioned()
+            if t.consumes_wal and new_prev.committed_seq != prev.committed_seq:
+                raise CommitConflict(
+                    f"concurrent transaction advanced committed_seq "
+                    f"{prev.committed_seq} -> {new_prev.committed_seq} "
+                    f"while txn {t.txn_id} consumed the same WAL window; "
+                    "not rebasable (would apply the window twice) -- "
+                    "reload state and re-run the tick")
+            if _op_keys(new_prev.control_ops) - _op_keys(prev.control_ops):
+                raise CommitConflict(
+                    f"concurrent transaction added control ops; txn "
+                    f"{t.txn_id}'s folds were collapsed without those "
+                    "barriers -- reload state and re-run the tick")
+            if new_prev.num_buckets and t.num_buckets \
+                    and new_prev.num_buckets != t.num_buckets:
+                raise CommitConflict(
+                    "concurrent bucket-layout migration; not rebasable")
+            t.metrics = {**t.metrics, "rebased_onto": new_version}
+            prev_version, prev = new_version, new_prev
+    raise AssertionError("unreachable")
+
+
+def _publish_compaction_rebased(state: TableState, cfg: EngineConfig,
+                                prev_version: int | None, prev: Manifest,
+                                txn: str,
+                                my_buckets: dict,
+                                my_derived: dict,
+                                keep_ops: list,
+                                my_schema: int,
+                                num_buckets: int,
+                                metrics: dict,
+                                rebucket: bool) -> Manifest:
+    """Publish a compaction, rebasing over concurrent APPEND winners:
+    the compaction folded the base manifest's frozen run list, so any
+    files a winner appended after it are simply carried forward on top
+    of the new bases. Winners that REWROTE lists (another compaction, a
+    matview refresh) or consumed absorbed-op territory do not commute
+    and raise. A `rebucket` migration never rebases: the routing key
+    itself changed, so concurrent appends under the old layout would
+    land mis-bucketed next to the new bases."""
+    import json as _json
+
+    from ..stages.controls import sorted_controls
+    base = prev                   # the manifest whose runs were folded
+    absorbed = _op_keys(base.control_ops) - _op_keys(keep_ops)
+
+    def _manifest_on(parent: Manifest) -> Manifest:
+        """This compaction's manifest rebuilt on `parent` (== base on
+        the first attempt): my bases + every file a winner appended
+        AFTER the base snapshot (per-bucket / global / per-view tails),
+        ops = my keeps + winner additions. Always derived from the
+        ORIGINAL base products, so repeated rebases never double-count
+        an earlier winner's tail."""
+        buckets = {b: list(v) for b, v in my_buckets.items()}
+        for b, runs in parent.buckets.items():
+            tail = runs[len(base.buckets.get(b, [])):]
+            if tail:
+                buckets.setdefault(b, []).extend(tail)
+        derived = {v: list(f) for v, f in my_derived.items()}
+        for v, files in parent.derived.items():
+            tail = files[len(base.derived.get(v, [])):] \
+                if v in base.derived or v in derived else list(files)
+            if tail:
+                derived.setdefault(v, []).extend(tail)
+        ops = [d for d in parent.control_ops
+               if _json.dumps(d, sort_keys=True) not in absorbed] \
+            if parent is not base else list(keep_ops)
+        return Manifest(
+            txn_id=txn,
+            committed_seq=parent.committed_seq,
+            committed_lsn=parent.committed_lsn,
+            schema_version=max(my_schema, parent.schema_version),
+            num_buckets=num_buckets,
+            buckets=buckets,
+            global_runs=parent.global_runs[len(base.global_runs):],
+            derived=derived,
+            control_ops=[c.to_dict() for c in sorted_controls(ops)],
+            wal_consumed=[],
+            metrics=metrics,
+        )
+
+    for attempt in range(max(0, cfg.commit_retries) + 1):
+        try:
+            return state.publish(expected_parent=prev_version,
+                                 manifest=_manifest_on(prev))
+        except CommitConflict:
+            if attempt >= cfg.commit_retries or rebucket:
+                raise
+            new_version, new_prev = state.load_latest_versioned()
+            # winners must be pure appends over the base this
+            # compaction folded: every base list a prefix, no op
+            # removed, layout unchanged
+            if new_prev.num_buckets != base.num_buckets \
+                    and base.num_buckets:
+                raise CommitConflict(
+                    "concurrent bucket-layout migration; not rebasable")
+            if not _is_prefix(base.global_runs, new_prev.global_runs) \
+                    or any(not _is_prefix(runs,
+                                          new_prev.buckets.get(b, []))
+                           for b, runs in base.buckets.items()) \
+                    or any(not _is_prefix(files,
+                                          new_prev.derived.get(v, []))
+                           for v, files in base.derived.items()):
+                raise CommitConflict(
+                    "concurrent transaction rewrote run lists this "
+                    "compaction folded (competing compaction, matview "
+                    "refresh or migration); not rebasable -- re-run "
+                    "compaction from the new state")
+            if _op_keys(base.control_ops) - _op_keys(new_prev.control_ops):
+                raise CommitConflict(
+                    "concurrent transaction removed control ops this "
+                    "compaction still carries; not rebasable")
+            metrics = {**metrics, "rebased_onto": new_version}
+            prev_version, prev = new_version, new_prev
+    raise AssertionError("unreachable")
+
+
 @dataclass
 class TickResult:
     manifest: Manifest
@@ -442,15 +650,19 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
     barriers = [c.lsn for c in all_controls] or None
     if new_controls and not wal.list_segments(cfg.wal_dir,
                                               after_seq=prev.committed_seq):
-        # control-only tick: nothing to fold, just commit the ops
-        manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
-            txn_id=state.new_txn(), committed_seq=prev.committed_seq,
+        # control-only tick: nothing to fold, just commit the ops.
+        # consumes_wal=True is deliberate: an op's lsn position was
+        # validated against prev.committed_lsn, so a concurrent
+        # WAL-consuming winner invalidates it (rebase would commit an
+        # op at/below the new watermark) -- conflict instead.
+        manifest = _publish_append_rebased(state, cfg, prev_version, prev, _AppendTxn(
+            txn_id=state.new_txn(), num_buckets=cfg.num_buckets,
+            bucket_appends=[], global_appends=[], derived_appends={},
+            new_control_ops=[c.to_dict() for c in new_controls],
+            wal_consumed=[], committed_seq=prev.committed_seq,
             committed_lsn=prev.committed_lsn,
             schema_version=prev.schema_version,
-            num_buckets=cfg.num_buckets, buckets=prev.buckets,
-            global_runs=prev.global_runs, derived=prev.derived,
-            control_ops=[c.to_dict() for c in all_controls],
-            wal_consumed=[], metrics={"control_only": True}))
+            metrics={"control_only": True}))
         return TickResult(manifest, 0, 0, 0)
     direct_mode = cfg.apply_mode == "direct"
     if direct_mode:
@@ -628,21 +840,21 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         # segment forever and stall every later segment behind it
         metrics = _empty_metrics()
 
-    buckets = {k: list(v) for k, v in prev.buckets.items()}
-    global_runs = list(prev.global_runs)
+    bucket_appends: list[tuple[str, str]] = []
+    global_appends: list[str] = []
     if direct:
-        global_runs.extend(metrics["file"].dropna().tolist())
+        global_appends = metrics["file"].dropna().tolist()
     else:
-        for rec in metrics.sort_values("shard").itertuples():
-            buckets.setdefault(str(int(rec.bucket)), []).append(rec.file)
-    derived = {k: list(v) for k, v in prev.derived.items()}
+        bucket_appends = [(str(int(rec.bucket)), rec.file)
+                          for rec in metrics.sort_values("shard").itertuples()]
+    derived_appends: dict[str, list[str]] = {}
     if view_names and "derived_file" in metrics.columns:
         import json as _json
         for blob in metrics["derived_file"].tolist():
             if not blob:
                 continue
             for view, fname in _json.loads(blob).items():
-                derived.setdefault(view, []).append(fname)
+                derived_appends.setdefault(view, []).append(fname)
 
     committed = max(int(metrics["max_lsn"].max()) if len(metrics) else -1,
                     max(s.hi for s in segments), prev.committed_lsn)
@@ -654,17 +866,17 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
         n_rejected = sum(
             pq.read_metadata(p).num_rows for p in _glob.glob(os.path.join(
                 cfg.table_dir, QUARANTINE_SUBDIR, f"dead-x{txn}-*.parquet")))
-    manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
+    manifest = _publish_append_rebased(state, cfg, prev_version, prev, _AppendTxn(
         txn_id=txn,
+        num_buckets=cfg.num_buckets,
+        bucket_appends=bucket_appends,
+        global_appends=global_appends,
+        derived_appends=derived_appends,
+        new_control_ops=[c.to_dict() for c in new_controls],
+        wal_consumed=[s.name for s in segments],
         committed_seq=max(s.seq for s in segments),
         committed_lsn=committed,
         schema_version=cfg.schema_version,
-        num_buckets=cfg.num_buckets,
-        buckets=buckets,
-        global_runs=global_runs,
-        derived=derived,
-        control_ops=[c.to_dict() for c in all_controls],
-        wal_consumed=[s.name for s in segments],
         metrics={
             "events_applied": int(metrics["events_in"].sum()),
             "records_written": int(metrics["records_out"].sum()),
@@ -1079,16 +1291,17 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
     # replica's lag metric and its control-op positioning if it also
     # ingests its own WAL -- a replica mixing domains is on the user,
     # but the engine must not corrupt its own bookkeeping)
-    return state.publish(expected_parent=prev_version, manifest=Manifest(
-        txn_id=txn, committed_seq=prev.committed_seq,
+    # consumes_wal=False: a replicated window is seq-independent, so it
+    # commutes even with a concurrent WAL-consuming tick on the
+    # destination (both are pure delta appends; LWW resolves by lsn)
+    return _publish_append_rebased(state, cfg_dst, prev_version, prev, _AppendTxn(
+        txn_id=txn, num_buckets=cfg_dst.num_buckets,
+        bucket_appends=[], global_appends=metrics["file"].tolist(),
+        derived_appends={}, new_control_ops=[],
+        wal_consumed=[], committed_seq=prev.committed_seq,
         committed_lsn=prev.committed_lsn,
         schema_version=cfg_dst.schema_version,
-        num_buckets=cfg_dst.num_buckets,
-        buckets={k: list(v) for k, v in prev.buckets.items()},
-        global_runs=list(prev.global_runs) + metrics["file"].tolist(),
-        derived={k: list(v) for k, v in prev.derived.items()},
-        control_ops=prev.control_ops,
-        wal_consumed=[],
+        consumes_wal=False,
         metrics={"replicated_from": {
                      "table_dir": cfg_src.table_dir,
                      "versions": [from_version, to_version]},
@@ -1349,19 +1562,17 @@ def compact(cfg: EngineConfig, waves: int = 1,
     buckets: dict[str, list[str]] = {}
     for m in metas:          # hot buckets legitimately carry S files
         buckets.setdefault(str(m["bucket"]), []).append(m["file"])
-    manifest = state.publish(expected_parent=prev_version, manifest=Manifest(
-        txn_id=txn,
-        committed_seq=prev.committed_seq,
-        committed_lsn=prev.committed_lsn,
-        schema_version=prev.schema_version,
+    manifest = _publish_compaction_rebased(
+        state, cfg, prev_version, prev, txn,
+        my_buckets=buckets,
+        my_derived=_compact_derived(state, prev, txn),
+        keep_ops=keep_ops,
+        my_schema=prev.schema_version,
         num_buckets=cfg.num_buckets,
-        buckets=buckets,
-        derived=_compact_derived(state, prev, txn),
-        control_ops=keep_ops,
-        wal_consumed=[],
         metrics={"compaction": True,
                  "live_rows": int(sum(m["rows"] for m in metas))},
-    ))
+        rebucket=rebucket,
+    )
     return manifest
 
 

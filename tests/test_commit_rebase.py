@@ -1,0 +1,231 @@
+"""Optimistic-concurrency REBASE tests (the retry half of U7): a
+commit that loses the version race to a COMMUTABLE winner re-publishes
+its already-written run files on the new latest instead of recomputing
+(ingest._publish_append_rebased / _publish_compaction_rebased); any
+non-commutable pair still raises CommitConflict. Every rebased outcome
+is checked for serial equivalence against the dict oracle over the
+full WAL."""
+
+import pandas as pd
+import pytest
+from unittest import mock
+
+from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+from techtalk_data_pipeline_snowpark_ray.pipelines import ingest
+from techtalk_data_pipeline_snowpark_ray.sources.generate import (
+    GenSpec, generate_chunks, write_wal)
+from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+from techtalk_data_pipeline_snowpark_ray.state.manifest import (
+    CommitConflict, Manifest, TableState)
+
+from test_engine_e2e import TINY, assert_matches_oracle
+
+_PUBLISH = TableState.publish
+
+
+def _mk_cfg(tmp_path, name="t", **kw):
+    cfg = EngineConfig(table_dir=str(tmp_path / name),
+                       wal_dir=str(tmp_path / f"w-{name}"),
+                       num_buckets=4, apply_mode="direct", **kw)
+    cfg.ensure_dirs()
+    return cfg
+
+
+def _two_phase_wal(wal_dir, spec=TINY):
+    """Write the spec's WAL in two batches; returns after phase 1 with
+    a closure that appends phase 2."""
+    chunks = list(generate_chunks(spec))
+    mid = len(chunks) // 2 or 1
+    w = WalWriter(wal_dir, segment_rows=300, reorder_slack=64)
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+
+    def phase2():
+        for t, v in chunks[mid:]:
+            w.append(t, v)
+        w.close()
+    return phase2
+
+
+def _hook(winner_fn):
+    """One-shot publish hook: the first publish call runs `winner_fn`
+    (whose own publishes pass straight through) before the original
+    publish proceeds with its now-stale expected_parent."""
+    state = {"fired": False}
+
+    def race(self, manifest, expected_parent=None, **kw):
+        if not state["fired"]:
+            state["fired"] = True
+            winner_fn()
+        return _PUBLISH(self, manifest, expected_parent=expected_parent)
+    return race
+
+
+def test_tick_rebases_over_concurrent_compaction(tmp_path):
+    """ingest append vs compaction commute: the losing tick keeps its
+    delta runs, rebuilds bookkeeping on the compacted manifest and
+    commits -- final state identical to the serial schedule."""
+    cfg = _mk_cfg(tmp_path)
+    phase2 = _two_phase_wal(cfg.wal_dir)
+    assert ingest.apply_tick(cfg) is not None          # v0: phase-1 data
+    phase2()
+
+    with mock.patch.object(TableState, "publish",
+                           _hook(lambda: ingest.compact(cfg))):
+        res = ingest.apply_tick(cfg)                   # loses to compact
+    assert res is not None
+    assert res.manifest.metrics["rebased_onto"] == 1   # onto the compaction
+    assert res.manifest.parent == 1
+    # the compaction's bases AND the tick's delta runs are both live
+    assert res.manifest.buckets and res.manifest.global_runs
+    assert_matches_oracle(cfg)
+    assert ingest.apply_tick(cfg) is None              # exactly-once
+
+
+def test_compaction_rebases_over_concurrent_tick(tmp_path):
+    """compaction vs ingest append, the other direction: the losing
+    compaction carries the winner's appended runs forward on top of its
+    bases, and the winner's WAL consumption (committed_seq) survives."""
+    cfg = _mk_cfg(tmp_path)
+    phase2 = _two_phase_wal(cfg.wal_dir)
+    assert ingest.apply_tick(cfg) is not None          # v0: phase-1 data
+    phase2()
+
+    with mock.patch.object(TableState, "publish",
+                           _hook(lambda: ingest.apply_tick(cfg))):
+        m = ingest.compact(cfg)                        # loses to the tick
+    assert m is not None
+    assert m.metrics["rebased_onto"] == 1
+    winner = TableState(cfg.table_dir).load(1)
+    assert winner.wal_consumed                         # v1 was the tick
+    # the winner's consumption survives the rebase...
+    assert m.committed_seq == winner.committed_seq
+    # ...and its appended delta runs ride on top of the new bases
+    new_tail = [f for f in winner.global_runs if f not in
+                TableState(cfg.table_dir).load(0).global_runs]
+    assert m.global_runs == new_tail and m.buckets
+    assert_matches_oracle(cfg)
+    assert ingest.apply_tick(cfg) is None              # nothing re-consumed
+
+
+def test_competing_ticks_same_wal_conflict(tmp_path):
+    """Two ticks consuming the same WAL window can NEVER rebase
+    (duplicate application); the loser raises and the winner's state
+    stands exactly-once correct."""
+    cfg = _mk_cfg(tmp_path)
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+
+    with mock.patch.object(TableState, "publish",
+                           _hook(lambda: ingest.apply_tick(cfg))):
+        with pytest.raises(CommitConflict, match="committed_seq"):
+            ingest.apply_tick(cfg)
+    assert_matches_oracle(cfg)                         # winner's commit rules
+    assert ingest.apply_tick(cfg) is None
+    # the loser's orphaned runs are sweepable, not referenced
+    st = TableState(cfg.table_dir)
+    orphans = st.gc_orphan_runs(keep_versions=2)
+    assert_matches_oracle(cfg)                         # GC didn't hurt state
+    assert orphans                                     # loser left orphans
+
+
+def test_competing_compactions_conflict(tmp_path):
+    """Two compactions rewrite the same run lists -- never rebasable."""
+    cfg = _mk_cfg(tmp_path)
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+    assert ingest.apply_tick(cfg) is not None
+
+    with mock.patch.object(TableState, "publish",
+                           _hook(lambda: ingest.compact(cfg))):
+        with pytest.raises(CommitConflict, match="rewrote run lists"):
+            ingest.compact(cfg)
+    assert_matches_oracle(cfg)
+
+
+def test_winner_control_op_blocks_tick_rebase(tmp_path):
+    """A winner that ADDED a control op invalidates the loser's folds
+    (they collapsed without that barrier) -> conflict, not rebase."""
+    from techtalk_data_pipeline_snowpark_ray.stages.controls import ControlOp
+    cfg = _mk_cfg(tmp_path)
+    phase2 = _two_phase_wal(cfg.wal_dir)
+    assert ingest.apply_tick(cfg) is not None
+    phase2()
+
+    def winner_adds_op():
+        st = TableState(cfg.table_dir)
+        v, prev = st.load_latest_versioned()
+        op = ControlOp(lsn=prev.committed_lsn + 1, kind="delete",
+                       predicate={"col": "role", "fn": "eq",
+                                  "value": "__nobody__"})
+        st.publish(expected_parent=v, manifest=Manifest(
+            txn_id="op-winner", committed_seq=prev.committed_seq,
+            committed_lsn=prev.committed_lsn,
+            schema_version=prev.schema_version,
+            num_buckets=prev.num_buckets, buckets=prev.buckets,
+            global_runs=prev.global_runs, derived=prev.derived,
+            control_ops=list(prev.control_ops) + [op.to_dict()],
+            wal_consumed=[], metrics={"control_only": True}))
+
+    with mock.patch.object(TableState, "publish", _hook(winner_adds_op)):
+        with pytest.raises(CommitConflict, match="control ops"):
+            ingest.apply_tick(cfg)
+    # rebuild from fresh state succeeds with the barrier in place
+    assert ingest.apply_tick(cfg) is not None
+
+
+def test_replication_rebases_over_destination_tick(tmp_path):
+    """A replicated window is seq-independent (consumes_wal=False): it
+    rebases even over a winner that consumed the DESTINATION's WAL."""
+    src = _mk_cfg(tmp_path, "src")
+    write_wal(TINY, src.wal_dir, segment_rows=500)
+    assert ingest.apply_tick(src) is not None
+
+    dst = _mk_cfg(tmp_path, "dst")
+    spec2 = GenSpec(n_events=400, n_conversations=10, max_turns=6,
+                    zipf_s=1.2, ooo_window=8, dup_fraction=0.0,
+                    partial_update_fraction=0.2, schema_add_at=100,
+                    schema_widen_at=200, seed=7)
+    write_wal(spec2, dst.wal_dir, segment_rows=200)
+
+    with mock.patch.object(TableState, "publish",
+                           _hook(lambda: ingest.apply_tick(dst))):
+        m = ingest.replicate_delta(src, dst, from_version=-1)
+    assert m is not None
+    assert m.metrics["rebased_onto"] == 0              # onto the dst tick
+    assert m.committed_seq == TableState(dst.table_dir) \
+        .load(0).committed_seq                         # dst offsets intact
+    assert ingest.apply_tick(dst) is None              # nothing re-consumed
+    # dst resolves to: its own WAL's rows + the replicated src rows
+    got = ingest.snapshot_to_pandas(dst)
+    src_rows = ingest.snapshot_to_pandas(src)
+    assert len(got) >= len(src_rows)
+    merged = got.merge(src_rows, on=["conv_id", "turn_idx"], how="inner",
+                       suffixes=("", "_src"))
+    assert len(merged) == len(src_rows)                # every src row landed
+    pd.testing.assert_series_equal(merged["text"], merged["text_src"],
+                                   check_names=False)
+
+
+def test_serial_equivalence_of_rebased_schedule(tmp_path):
+    """The rebased concurrent schedule produces byte-identical resolved
+    state to the serial schedule over the same WAL."""
+    # concurrent: tick1 | (tick2 racing compact, tick2 rebases)
+    cfg_a = _mk_cfg(tmp_path, "a")
+    phase2_a = _two_phase_wal(cfg_a.wal_dir)
+    ingest.apply_tick(cfg_a)
+    phase2_a()
+    with mock.patch.object(TableState, "publish",
+                           _hook(lambda: ingest.compact(cfg_a))):
+        assert ingest.apply_tick(cfg_a) is not None
+
+    # serial: tick1, compact, tick2
+    cfg_b = _mk_cfg(tmp_path, "b")
+    phase2_b = _two_phase_wal(cfg_b.wal_dir)
+    ingest.apply_tick(cfg_b)
+    ingest.compact(cfg_b)
+    phase2_b()
+    ingest.apply_tick(cfg_b)
+
+    a = ingest.snapshot_to_pandas(cfg_a).reset_index(drop=True)
+    b = ingest.snapshot_to_pandas(cfg_b).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)

@@ -1085,36 +1085,58 @@ def test_publish_optimistic_concurrency(tmp_path):
     assert s1.load_latest().txn_id == "b"
 
 
-def test_concurrent_tick_loses_cleanly(tmp_path):
-    """An apply_tick built on stale table state must conflict, not
-    silently commit over the interloper; after a retry the final state
-    is exactly-once correct."""
+def test_concurrent_tick_conflict_rebases_or_raises(tmp_path):
+    """An apply_tick built on stale table state must never silently
+    commit over the interloper. With the commutable-conflict retry
+    enabled (default) it REBASES onto a commutable winner and commits
+    exactly-once-correct state; with commit_retries=0 it raises on the
+    first conflict (the pre-rebase behavior)."""
     from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
     from techtalk_data_pipeline_snowpark_ray.state.manifest import (
         CommitConflict, Manifest, TableState)
-    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
-                       wal_dir=str(tmp_path / "w"), num_buckets=4,
-                       apply_mode="direct")
-    cfg.ensure_dirs()
-    write_wal(TINY, cfg.wal_dir, segment_rows=500)
-    # interloper commits a version between this tick's load and publish
-    orig = TableState.publish
-    state = {"fired": False}
-    def race(self, manifest, expected_parent=None, **kw):
-        if not state["fired"]:
-            state["fired"] = True
-            TableState(cfg.table_dir).publish(Manifest(txn_id="interloper"))
-        return orig(self, manifest, expected_parent=expected_parent)
     import pytest as _pytest
     from unittest import mock
-    with mock.patch.object(TableState, "publish", race):
-        with _pytest.raises(CommitConflict):
-            ingest.apply_tick(cfg)
-    # retry from fresh state succeeds and matches the oracle
-    res = ingest.apply_tick(cfg)
+
+    def run(table, retries):
+        cfg = EngineConfig(table_dir=str(tmp_path / table),
+                           wal_dir=str(tmp_path / f"w-{table}"),
+                           num_buckets=4, apply_mode="direct",
+                           commit_retries=retries)
+        cfg.ensure_dirs()
+        write_wal(TINY, cfg.wal_dir, segment_rows=500)
+        orig = TableState.publish
+        state = {"fired": False}
+
+        def race(self, manifest, expected_parent=None, **kw):
+            # interloper commits a (commutable: empty, no WAL consumed)
+            # version between this tick's load and publish
+            if not state["fired"]:
+                state["fired"] = True
+                TableState(cfg.table_dir).publish(
+                    Manifest(txn_id="interloper"))
+            return orig(self, manifest, expected_parent=expected_parent)
+
+        with mock.patch.object(TableState, "publish", race):
+            if retries == 0:
+                with _pytest.raises(CommitConflict):
+                    ingest.apply_tick(cfg)
+                return cfg, None
+            return cfg, ingest.apply_tick(cfg)
+
+    # retries disabled: first conflict raises; retry from fresh state ok
+    cfg0, _ = run("t0", retries=0)
+    res = ingest.apply_tick(cfg0)
     assert res is not None
-    assert_matches_oracle(cfg)
-    assert ingest.apply_tick(cfg) is None       # exactly-once intact
+    assert_matches_oracle(cfg0)
+    assert ingest.apply_tick(cfg0) is None      # exactly-once intact
+
+    # default: the tick rebases onto the commutable winner and commits
+    cfg1, res1 = run("t1", retries=3)
+    assert res1 is not None
+    assert res1.manifest.metrics.get("rebased_onto") == 0
+    assert res1.manifest.parent == 0            # built on the interloper
+    assert_matches_oracle(cfg1)
+    assert ingest.apply_tick(cfg1) is None      # exactly-once intact
 
 
 def test_all_invalid_segment_advances_offset(tmp_path):
