@@ -1583,11 +1583,27 @@ def compact(cfg: EngineConfig, waves: int = 1,
 def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
              poll_interval_s: float = 0.2,
              compact_every: int = 0,
-             stop_when_idle: bool = False) -> list[TickResult]:
+             stop_when_idle: bool = False,
+             background_compaction: bool = False) -> list[TickResult]:
     """Driver micro-batch loop: poll WAL -> apply tick -> commit ->
     (periodic compaction). The analogue of `Pipeline.asContinuous`
     (`Pipeline.scala:6-20`) + `waitStreamAsData`
-    (`SnowflakeUtils.scala:120-128`); in tests a bounded replay."""
+    (`SnowflakeUtils.scala:120-128`); in tests a bounded replay.
+
+    `background_compaction=True` runs each triggered compaction in a
+    driver-side thread CONCURRENTLY with subsequent ticks instead of
+    stalling the loop for it -- the production shape at scale, where a
+    full-table compaction takes orders of magnitude longer than a
+    tick. Safe because commits rebase on commutable conflicts
+    (`_publish_append_rebased` / `_publish_compaction_rebased`):
+    whichever side loses the version race re-points its run files and
+    retries; a compaction that loses non-commutably (retries
+    exhausted) just yields -- the next trigger re-attempts from fresh
+    state. At most ONE compaction is in flight (a live thread defers
+    new triggers), and the in-thread GC runs only when
+    `cfg.gc_min_age_s > 0` (the age guard is what protects a
+    concurrent tick's written-but-unpublished runs from the sweep)."""
+    import threading
     import time
 
     if cfg.matviews:
@@ -1601,6 +1617,21 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
             raise KeyError(
                 f"unknown matview(s) {bad}; registered: "
                 f"{sorted({*MATVIEWS, *GROUPED_MATVIEWS})}")
+
+    compactor: list = [None]
+    bg_errors: list = []
+
+    def _bg_compact():
+        try:
+            compact(cfg)
+            if cfg.gc_min_age_s > 0:
+                TableState(cfg.table_dir).gc_orphan_runs(
+                    keep_versions=cfg.gc_keep_versions,
+                    min_age_s=cfg.gc_min_age_s)
+        except CommitConflict:
+            pass          # non-commutable loss; next trigger re-attempts
+        except Exception as e:  # noqa: BLE001 -- surfaced after the loop
+            bg_errors.append(e)
 
     results: list[TickResult] = []
     ticks = 0
@@ -1616,17 +1647,38 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
         if cfg.matviews:
             from .matview import refresh_matview
             for mv in cfg.matviews:
-                refresh_matview(cfg, mv)
+                # a refresh can lose the version race to a background
+                # compaction; each retry is a fresh transaction built
+                # on the new latest (refresh reloads state internally)
+                for attempt in range(max(0, cfg.commit_retries) + 1):
+                    try:
+                        refresh_matview(cfg, mv)
+                        break
+                    except CommitConflict:
+                        if attempt >= cfg.commit_retries:
+                            raise
         backlog = (cfg.auto_compact_runs and
                    len(res.manifest.table_run_files()) > cfg.auto_compact_runs)
         if backlog or (compact_every and ticks % compact_every == 0):
-            compact(cfg)
-            # sweep run files no manifest in the retention window
-            # references (aborted txns, superseded compactions) -- a
-            # long-running deployment must not accumulate them forever
-            TableState(cfg.table_dir).gc_orphan_runs(
-                keep_versions=cfg.gc_keep_versions,
-                min_age_s=cfg.gc_min_age_s)
+            if background_compaction:
+                t = compactor[0]
+                if t is None or not t.is_alive():
+                    t = threading.Thread(target=_bg_compact, daemon=True,
+                                         name="bg-compaction")
+                    compactor[0] = t
+                    t.start()
+            else:
+                compact(cfg)
+                # sweep run files no manifest in the retention window
+                # references (aborted txns, superseded compactions) --
+                # a long-running deployment must not accumulate them
+                TableState(cfg.table_dir).gc_orphan_runs(
+                    keep_versions=cfg.gc_keep_versions,
+                    min_age_s=cfg.gc_min_age_s)
+    if compactor[0] is not None:
+        compactor[0].join()
+    if bg_errors:
+        raise bg_errors[0]
     return results
 
 

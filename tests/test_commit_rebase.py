@@ -206,6 +206,94 @@ def test_replication_rebases_over_destination_tick(tmp_path):
                                    check_names=False)
 
 
+def test_run_loop_background_compaction_with_live_writer(tmp_path):
+    """The production shape the rebase enables: run_loop with
+    `background_compaction=True` compacts in a driver thread while
+    ticks keep consuming a LIVE WAL writer. Whatever interleaving the
+    scheduler picks, the final state must match the oracle, stay
+    exactly-once, and at least one compaction must have committed."""
+    import threading
+    import time
+
+    spec = GenSpec(n_events=6000, n_conversations=80, max_turns=10,
+                   zipf_s=1.2, ooo_window=16, dup_fraction=0.04,
+                   partial_update_fraction=0.25, schema_add_at=1500,
+                   schema_widen_at=4000, seed=11)
+    cfg = _mk_cfg(tmp_path)
+    chunks = list(generate_chunks(spec))
+    w = WalWriter(cfg.wal_dir, segment_rows=250, reorder_slack=64)
+    # phase 1 pre-written so the first tick has work immediately
+    head = max(1, len(chunks) // 4)
+    for t, v in chunks[:head]:
+        w.append(t, v)
+    w.flush()
+
+    def feed():
+        for t, v in chunks[head:]:
+            w.append(t, v)
+            w.flush()
+            time.sleep(0.02)       # keep the WAL arriving across ticks
+        w.close()
+
+    writer = threading.Thread(target=feed, name="wal-writer")
+    writer.start()
+    try:
+        # chase the live writer: each pass consumes whatever has
+        # arrived, compacting in the background while later ticks of
+        # the same pass commit; hang-proof because every pass is
+        # stop_when_idle
+        while writer.is_alive():
+            ingest.run_loop(cfg, compact_every=1,
+                            background_compaction=True,
+                            poll_interval_s=0.01, stop_when_idle=True)
+            time.sleep(0.02)
+        writer.join()
+        # drain whatever arrived after the last pass exited
+        ingest.run_loop(cfg, stop_when_idle=True,
+                        background_compaction=True, compact_every=1)
+    finally:
+        if writer.is_alive():
+            writer.join()
+    assert_matches_oracle(cfg)
+    assert ingest.apply_tick(cfg) is None          # exactly-once intact
+    lineage = TableState(cfg.table_dir).lineage()
+    assert any(m.metrics.get("compaction") for m in lineage)
+    assert len(lineage) > 2                        # genuinely multi-tick
+
+
+def test_run_loop_retries_matview_refresh_on_conflict(tmp_path):
+    """A matview refresh losing the version race to a background
+    compaction must be retried by run_loop as a fresh transaction, not
+    crash the loop."""
+    cfg = _mk_cfg(tmp_path, matviews=("conv_live_stats",))
+    write_wal(TINY, cfg.wal_dir, segment_rows=500)
+
+    def compact_wins():
+        ingest.compact(cfg)
+
+    fired = {"n": 0}
+
+    def race(self, manifest, expected_parent=None, **kw):
+        # fire on the FIRST matview-refresh publish only
+        if not fired["n"] and "matview_refresh" in (manifest.metrics or {}):
+            fired["n"] = 1
+            compact_wins()
+        return _PUBLISH(self, manifest, expected_parent=expected_parent)
+
+    with mock.patch.object(TableState, "publish", race):
+        res = ingest.run_loop(cfg, stop_when_idle=True)
+    assert fired["n"] == 1 and len(res) == 1
+    # the retried refresh committed on top of the compaction
+    m = TableState(cfg.table_dir).load_latest()
+    assert "matview_refresh" in m.metrics
+    assert m.buckets and not m.global_runs       # compaction state rules
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import \
+        read_matview
+    mv = read_matview(cfg, "conv_live_stats").to_pandas()
+    assert len(mv) > 0
+    assert_matches_oracle(cfg)
+
+
 def test_serial_equivalence_of_rebased_schedule(tmp_path):
     """The rebased concurrent schedule produces byte-identical resolved
     state to the serial schedule over the same WAL."""
