@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": cdc_queries.cdc_point_lookup,
         "cdc_time_travel": cdc_queries.cdc_time_travel,
         "cdc_changefeed_delta": cdc_queries.cdc_changefeed_delta,
+        "cdc_rollback_restore": cdc_queries.cdc_rollback_restore,
+        "cdc_rollback_rewind": cdc_queries.cdc_rollback_rewind,
+        "cdc_clone_divergence": cdc_queries.cdc_clone_divergence,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
@@ -556,6 +559,55 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
                                            ORDER BY lsn DESC) AS rn
               FROM ph1
+            )
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ORDER BY conv_id, turn_idx
+        """,
+        # rollback (restore): the table after rolling back to the
+        # phase-1 commit = the phase-1 resolved state (and the engine
+        # asserts in-code that the kept offset does NOT re-consume)
+        "cdc_rollback_restore": f"""
+            WITH ch AS ({_CDC_CH}),
+            ph1 AS (
+              SELECT * FROM ch
+              WHERE lsn <= (SELECT MAX(event_id) // 2 FROM events)
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ph1
+            )
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ORDER BY conv_id, turn_idx
+        """,
+        # rollback (rewind): offset rewinds with the content, the next
+        # tick re-consumes phase 2, and the idempotent LWW fold
+        # converges back to the FULL-stream resolved state
+        "cdc_rollback_rewind": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            )
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                   role, text, tool, ts
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ORDER BY conv_id, turn_idx
+        """,
+        # zero-copy clone forked at phase 1, then fed phase 2 from the
+        # shared WAL: the diverged clone holds the full-stream state
+        # (the engine asserts in-code the source stayed at phase 1)
+        "cdc_clone_divergence": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
             )
             SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
                    role, text, tool, ts

@@ -54,7 +54,7 @@ QUERY_NAMES = [
     "cdc_matview_role_stats", "cdc_matview_hourly_activity",
     "cdc_time_travel", "cdc_changefeed_delta", "media_audio_features",
     "media_video_frame_features", "cdc_export_roundtrip",
-    "cdc_replicated_table",
+    "cdc_replicated_table", "cdc_rollback_rewind", "cdc_clone_divergence",
 ]
 
 

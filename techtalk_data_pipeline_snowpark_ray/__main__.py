@@ -79,6 +79,22 @@ def main(argv: "list[str] | None" = None) -> int:
 
     sub.add_parser("metrics", help="per-version metrics history (JSON)")
 
+    sp = sub.add_parser("rollback",
+                        help="restore the table to a prior version")
+    sp.add_argument("--to-version", type=int, required=True)
+    sp.add_argument("--rewind-stream", action="store_true",
+                    help="also rewind the WAL offset so the undone "
+                         "segments re-apply on the next tick")
+
+    sp = sub.add_parser("clone",
+                        help="zero-copy clone a committed version into "
+                             "a new table dir")
+    sp.add_argument("--dest-table-dir", required=True)
+    sp.add_argument("--dest-wal-dir", default="",
+                    help="clone's WAL (default: share the source WAL, "
+                         "resuming at the cloned offset)")
+    sp.add_argument("--at-version", type=int, default=None)
+
     args = p.parse_args(argv)
     cfg = _cfg(args)
     _init_ray()
@@ -129,6 +145,20 @@ def main(argv: "list[str] | None" = None) -> int:
         out = {"cmd": "export", "out_dir": args.out_dir,
                "buckets_written": len(written),
                "rows_written": int(sum(written.values()))}
+    elif args.cmd == "rollback":
+        m = ingest.rollback(cfg, args.to_version,
+                            rewind_stream=args.rewind_stream)
+        out = {"cmd": "rollback", "version": m.version,
+               **{k: v for k, v in m.metrics.items()
+                  if k.startswith("rollback")}}
+    elif args.cmd == "clone":
+        from dataclasses import replace
+        dst = replace(cfg, table_dir=args.dest_table_dir,
+                      wal_dir=args.dest_wal_dir or cfg.wal_dir)
+        m = ingest.clone_table(cfg, dst, version=args.at_version)
+        out = {"cmd": "clone", "dest_table_dir": dst.table_dir,
+               **m.metrics["cloned_from"],
+               "files_shared": len(m.run_files())}
     else:                                    # metrics
         hist = ingest.metrics_history(cfg)
         out = {"cmd": "metrics",

@@ -598,6 +598,80 @@ def cdc_changefeed_delta(sf_dir: str) -> ray.data.Dataset:
         .sort(["conv_id", "turn_idx"])
 
 
+def cdc_rollback_restore(sf_dir: str) -> ray.data.Dataset:
+    """ROLLBACK (restore mode): ingest the change stream as two
+    committed ticks, then `ingest.rollback` to the phase-1 version —
+    a pure metadata commit re-pointing LATEST at the old file set.
+    Restore keeps the stream offset, so phase 2's effects are dropped
+    and must NOT be re-consumed (checked in-code: the next tick is
+    idle). Result = the restored snapshot = the table as of phase 1."""
+    cfg, _cutoff, v1, _v2 = _two_phase_versions(sf_dir, "rb")
+    ingest.rollback(cfg, v1)
+    if ingest.apply_tick(cfg) is not None:
+        raise AssertionError("restore must keep the WAL offset "
+                             "(phase 2 was re-consumed)")
+    return ingest.read_snapshot(cfg).sort(["conv_id", "turn_idx"])
+
+
+def cdc_rollback_rewind(sf_dir: str) -> ray.data.Dataset:
+    """ROLLBACK (rewind mode): same two-phase ingest, but the rollback
+    also rewinds ``committed_seq`` to the phase-1 watermark, so the
+    next tick RE-CONSUMES the phase-2 WAL segments (the Kafka
+    offset-rewind move). The LWW fold is idempotent, so reprocessing
+    converges to the full-stream state — the gated result proves
+    rewind + replay is lossless end-to-end."""
+    cfg, _cutoff, v1, _v2 = _two_phase_versions(sf_dir, "rw")
+    ingest.rollback(cfg, v1, rewind_stream=True)
+    if ingest.apply_tick(cfg) is None:
+        raise AssertionError("rewind must re-consume the phase-2 WAL")
+    return ingest.read_snapshot(cfg).sort(["conv_id", "turn_idx"])
+
+
+def cdc_clone_divergence(sf_dir: str) -> ray.data.Dataset:
+    """ZERO-COPY CLONE fork: ingest phase 1 into the source table,
+    `ingest.clone_table` it (hardlinked run files + copied stream
+    offsets), land phase 2 in the SHARED WAL and tick ONLY the clone.
+    The clone resumes at the source's exact offset and resolves the
+    full stream; the source stays frozen at phase 1 (checked in-code).
+    Gated result = the diverged clone's resolved snapshot."""
+    from .analytics import _parquet_col_max
+
+    cfg = _fresh_cfg("cl", schema_version=1)
+    path = os.path.join(sf_dir, "events.parquet")
+    cutoff = int(_parquet_col_max(path, "event_id")) // 2
+    src_pf = pq.ParquetFile(path)
+    clone_cfg = EngineConfig(
+        table_dir=cfg.table_dir + "-clone", wal_dir=cfg.wal_dir,
+        num_buckets=cfg.num_buckets, salt_factor=cfg.salt_factor,
+        hot_key_threshold=cfg.hot_key_threshold,
+        schema_version=cfg.schema_version, apply_mode=cfg.apply_mode)
+    n_src = 0
+    for phase in (0, 1):
+        w = WalWriter(cfg.wal_dir, segment_rows=1_000_000,
+                      reorder_slack=2048)
+        for rb in src_pf.iter_batches(batch_size=65536,
+                                      columns=["event_id", "user_id", "ts"]):
+            t = pa.Table.from_batches([rb])
+            keep = pc.less_equal(t["event_id"], cutoff) if phase == 0 \
+                else pc.greater(t["event_id"], cutoff)
+            part = t.filter(keep)
+            if part.num_rows:
+                w.append(derive_change_batch(part), 1)
+        w.close()
+        if phase == 0:
+            ingest.apply_tick(cfg)
+            n_src = ingest.read_snapshot(cfg).count()
+            ingest.clone_table(cfg, clone_cfg)
+        else:
+            if ingest.apply_tick(clone_cfg) is None:
+                raise AssertionError("clone failed to resume the shared "
+                                     "WAL at the source's offset")
+    if ingest.read_snapshot(cfg).count() != n_src:
+        raise AssertionError("source table changed after the clone "
+                             "diverged (clone is not independent)")
+    return ingest.read_snapshot(clone_cfg).sort(["conv_id", "turn_idx"])
+
+
 def cdc_exactly_once(sf_dir: str) -> ray.data.Dataset:
     """Duplicate delivery: every change event delivered twice; the
     (key, lsn) dedup inside the fold must yield the identical table."""

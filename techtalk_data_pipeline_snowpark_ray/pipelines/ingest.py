@@ -1234,6 +1234,11 @@ def read_delta(cfg: EngineConfig, from_version: int,
             raise ValueError(
                 f"version window ({from_version}, {hi}] spans compaction "
                 f"v{v}; deltas are only defined between compactions")
+        if m.metrics.get("rollback_to") is not None:
+            raise ValueError(
+                f"version window ({from_version}, {hi}] spans rollback "
+                f"v{v}; a restore rewrites visible history, so the "
+                f"window's file lineage is not a change stream")
         new_files.extend(f for f in m.table_run_files()
                          if f not in base and f not in new_files)
     if not new_files:
@@ -1308,6 +1313,131 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
                  "events_applied": int(metrics["events_in"].sum()),
                  "records_written": int(metrics["records_out"].sum()),
                  "lag": 0}))
+
+
+def rollback(cfg: EngineConfig, to_version: int,
+             rewind_stream: bool = False) -> Manifest:
+    """RESTORE the table to a prior committed version, as a NEW commit
+    (the lake analogue of time travel made writable: Delta RESTORE /
+    Snowflake UNDROP-style administrative recovery — the reference
+    delegates this to the warehouse; here it is one manifest publish).
+
+    Manifests are immutable and name their run files, so restoring is
+    pure metadata: the new version re-points at `to_version`'s exact
+    file set (table runs, derived sinks, pending control ops, schema
+    and bucket layout). Nothing is rewritten, nothing rewinds history
+    — lineage keeps every intermediate version, and the restored files
+    become referenced by LATEST again, which re-protects them from GC.
+    Only versions still inside the GC retention window are restorable;
+    a version whose files were swept raises before publishing.
+
+    Stream-offset semantics (the CDC-specific design point):
+
+    * ``rewind_stream=False`` (default, RESTORE): the WAL offset stays
+      at the CURRENT watermark — the undone ticks' effects are dropped
+      from the table and will NOT be re-consumed. Use for "a bad
+      control op / bad import landed; discard it".
+    * ``rewind_stream=True`` (REWIND): ``committed_seq`` also rewinds
+      to the target's, so the next tick RE-CONSUMES every WAL segment
+      after it. The LWW fold is idempotent, so replay converges to the
+      pre-rollback state — use for "reprocess the window with fixed
+      code/config" (the classic Kafka offset-rewind move, S7/ST2's
+      offset contract made user-drivable).
+
+    Strict CAS, no rebase: an administrative restore racing a live
+    writer must fail loudly (`CommitConflict`), not auto-merge.
+
+    Downstream readers that walk file lineage treat the rollback
+    commit as a history rewrite, exactly like compaction: matview
+    refreshes fall back to a full recompute and `read_delta` refuses
+    windows spanning it."""
+    state = TableState(cfg.table_dir)
+    prev_version, prev = state.load_latest_versioned()
+    if prev_version is None:
+        raise ValueError("cannot roll back a table with no commits")
+    if not 0 <= to_version <= prev_version:
+        raise ValueError(f"rollback target v{to_version} out of range "
+                         f"[0, {prev_version}]")
+    target = state.load(to_version)
+    missing = [f for f in target.run_files()
+               if not state.storage.exists(os.path.join(state.runs_dir, f))]
+    if missing:
+        raise ValueError(
+            f"version {to_version} left the GC retention window "
+            f"(cfg.gc_keep_versions); missing run files e.g. {missing[:3]}")
+    m = Manifest(
+        txn_id=state.new_txn(),
+        committed_seq=target.committed_seq if rewind_stream
+        else prev.committed_seq,
+        committed_lsn=target.committed_lsn,
+        schema_version=target.schema_version,
+        num_buckets=target.num_buckets,
+        buckets={b: list(fs) for b, fs in target.buckets.items()},
+        global_runs=list(target.global_runs),
+        derived={k: list(fs) for k, fs in target.derived.items()},
+        control_ops=[dict(op) for op in target.control_ops],
+        wal_consumed=[],
+        metrics={"rollback_to": to_version,
+                 "rollback_mode": "rewind" if rewind_stream else "restore"})
+    return state.publish(m, expected_parent=prev_version)
+
+
+def clone_table(cfg_src: EngineConfig, cfg_dst: EngineConfig,
+                version: int | None = None) -> Manifest:
+    """ZERO-COPY CLONE of a committed version into a new table dir
+    (Snowflake ``CREATE TABLE .. CLONE`` / Iceberg branch semantics —
+    warehouse-side in the reference, one metadata commit here).
+
+    Run files are immutable, so the clone shares them by reference:
+    each file is linked (`storage.link_or_copy`: hardlink locally,
+    server-side COPY on object stores) under the destination's
+    ``runs/`` namespace and the destination publishes a v0 manifest
+    with the source version's exact content — data, derived sinks,
+    pending control ops, schema version, bucket layout AND stream
+    offsets. From that point the two tables are fully independent:
+    either side's writes, compactions and GC touch only its own
+    references (hardlinks are independent inode refs; deleting one
+    name never affects the other).
+
+    The cloned ``committed_seq`` makes the CDC story composable: point
+    the clone's config at the SAME WAL and it resumes consuming
+    exactly where the source left off (dev/test forks of a live
+    table); point it at its own WAL for a frozen fork."""
+    src = TableState(cfg_src.table_dir)
+    v = version if version is not None else src.latest_version()
+    if v is None:
+        raise ValueError("source table has no committed version to clone")
+    if os.path.abspath(cfg_dst.table_dir) == os.path.abspath(
+            cfg_src.table_dir):
+        raise ValueError("clone destination must be a different table_dir")
+    m = src.load(v)
+    cfg_dst.ensure_dirs()
+    dst = TableState(cfg_dst.table_dir)
+    if dst.latest_version() is not None:
+        raise ValueError(
+            f"clone destination {cfg_dst.table_dir} already has commits")
+    for f in m.run_files():
+        try:
+            dst.storage.link_or_copy(os.path.join(src.runs_dir, f),
+                                     os.path.join(dst.runs_dir, f))
+        except FileNotFoundError:
+            raise ValueError(
+                f"source version {v} left the GC retention window "
+                f"(missing run file {f})")
+    clone = Manifest(
+        txn_id=dst.new_txn(),
+        committed_seq=m.committed_seq,
+        committed_lsn=m.committed_lsn,
+        schema_version=m.schema_version,
+        num_buckets=m.num_buckets,
+        buckets={b: list(fs) for b, fs in m.buckets.items()},
+        global_runs=list(m.global_runs),
+        derived={k: list(fs) for k, fs in m.derived.items()},
+        control_ops=[dict(op) for op in m.control_ops],
+        wal_consumed=[],
+        metrics={"cloned_from": {"table_dir": cfg_src.table_dir,
+                                 "version": v}})
+    return dst.publish(clone, expected_parent=None)
 
 
 def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,

@@ -275,6 +275,12 @@ def _delta_files(state: TableState, last: int, cur_m: Manifest,
     for v in range(last + 1, cur + 1):
         m = state.load(v)
         cur_files = m.table_run_files()
+        if m.metrics.get("rollback_to") is not None:
+            # a restore re-points at OLD files: nothing looks "added"
+            # relative to the refresh watermark even though the visible
+            # state changed (rows the view aggregated were un-written).
+            # Never delta-expressible — recompute.
+            return None, "rollback"
         if m.metrics.get("compaction"):
             if out:
                 # the compaction folded run files the view never

@@ -91,6 +91,26 @@ class LocalStorage:
     def replace_into(self, src_path: str, dst_path: str) -> None:
         os.replace(src_path, dst_path)
 
+    def link_or_copy(self, src_path: str, dst_path: str) -> None:
+        """Zero-copy share of an IMMUTABLE object under a second name
+        (table clone). Local: ``os.link`` — the two names are
+        independent references to one inode, so deleting either (GC on
+        one table) never affects the other; falls back to a byte copy
+        across filesystems. Cloud: server-side COPY (S3 CopyObject /
+        GCS rewrite), which is metadata-only within a region on most
+        stores. Idempotent: an existing destination is left in place —
+        run-file names embed their txn id, so same name = same bytes
+        (a retried clone must be able to re-walk its file list)."""
+        if os.path.exists(dst_path):
+            return
+        try:
+            os.link(src_path, dst_path)
+        except FileExistsError:
+            return                      # lost a benign race with a retry
+        except OSError:
+            import shutil
+            shutil.copy2(src_path, dst_path)
+
     def remove(self, path: str) -> None:
         os.remove(path)
 
