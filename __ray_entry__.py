@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_rollback_restore": cdc_queries.cdc_rollback_restore,
         "cdc_rollback_rewind": cdc_queries.cdc_rollback_rewind,
         "cdc_clone_divergence": cdc_queries.cdc_clone_divergence,
+        "cdc_token_index": cdc_queries.cdc_token_index,
+        "cdc_token_search": cdc_queries.cdc_token_search,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
@@ -564,6 +566,52 @@ def oracle_sql() -> dict[str, str]:
                    role, text, tool, ts
             FROM ranked WHERE rn = 1 AND op <> 'delete'
             ORDER BY conv_id, turn_idx
+        """,
+        # inverted text index (grouped matview): token -> occurrence
+        # count + distinct-conversation count over the resolved state;
+        # regexp_split_to_array is RE2, bit-identical to the engine's
+        # split_pattern_regex tokenizer
+        "cdc_token_index": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, text
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ),
+            tok AS (
+              SELECT conv_id,
+                     unnest(regexp_split_to_array(lower(text),
+                                                  '[^a-z0-9]+')) AS token
+              FROM fin
+            )
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM tok WHERE token <> ''
+            GROUP BY token ORDER BY token
+        """,
+        # index-pruned search for the 10 largest numeric tokens; each
+        # live row's text is 'txt-<winning lsn>', so numeric tokens
+        # are 1:1 with live rows and the result is the top-10 rows by
+        # numeric text suffix
+        "cdc_token_search": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                     role, text, tool, ts
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT * FROM fin
+            ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
+            LIMIT 10
         """,
         # rollback (restore): the table after rolling back to the
         # phase-1 commit = the phase-1 resolved state (and the engine

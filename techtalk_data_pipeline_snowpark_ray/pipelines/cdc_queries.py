@@ -538,6 +538,60 @@ def cdc_matview_hourly_activity(sf_dir: str) -> ray.data.Dataset:
                                'window_start')
 
 
+def cdc_token_index(sf_dir: str) -> ray.data.Dataset:
+    """INVERTED TEXT INDEX as a grouped matview: token -> (occurrence
+    count, distinct-conversation count) over the RESOLVED state,
+    maintained incrementally (two-phase WAL: full first refresh, then
+    a delta-affected-buckets-only one; updates/deletes retract their
+    tokens because bucket partials re-derive from live rows). The
+    tokenizer (lower + RE2 split on [^a-z0-9]+) is bit-portable to the
+    SQL oracle's regexp_split_to_array."""
+    return _two_phase_matview(sf_dir, 'tix', 'token_index', 'token')
+
+
+def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
+    """Serving-side SEARCH over the inverted index: build the table,
+    refresh `token_index`, then `matview.search_token` the ten largest
+    numeric tokens — the index prunes each search to its hit buckets
+    (asserted in-code: the pruned searches together touch fewer
+    bucket-scans than ten full fan-outs) and only those buckets
+    resolve. Numeric tokens are 1:1 with live rows here (each text is
+    'txt-<winning lsn>'), so the oracle is the top-10 rows by numeric
+    text suffix. The driver-side top-k pick off the index read is demo
+    glue (the index read is already a Dataset); the gated operator is
+    the index-pruned search itself."""
+    from .matview import (read_grouped_matview, refresh_matview,
+                          search_token, token_buckets)
+
+    cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "ts")
+    refresh_matview(cfg, "token_index")
+
+    def numeric(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(t["token"], r"^[0-9]+$")
+        t = t.filter(keep)
+        return t.append_column(
+            "tok_num", pc.cast(t["token"], pa.int64()))
+
+    top = read_grouped_matview(cfg, "token_index") \
+        .map_batches(numeric, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort("tok_num", descending=True).limit(10).take_all()
+    scans = 0
+    parts = []
+    nb = cfg.num_buckets
+    for row in top:
+        tok = row["token"]
+        hit, nb = token_buckets(cfg, tok)
+        scans += len(hit)
+        parts.append(search_token(cfg, tok))
+    if scans >= len(top) * nb:
+        raise AssertionError("index never pruned a bucket scan")
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds.sort(["conv_id", "turn_idx"])
+
+
 def _two_phase_versions(sf_dir: str, tag: str) -> tuple[EngineConfig,
                                                         int, int, int]:
     """Shared harness for the version-window queries: land the derived

@@ -1053,7 +1053,8 @@ def _exchange_by_bucket(paths: list[str], num_buckets: int,
 
 def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
                   final_only: bool = True,
-                  columns: list[str] | None = None) -> ray.data.Dataset:
+                  columns: list[str] | None = None,
+                  buckets: "list[int] | None" = None) -> ray.data.Dataset:
     """Dataset of the committed table state (LWW-resolved across runs).
 
     Grouping is by `bucket` (the stored layout key), which is stable
@@ -1067,12 +1068,30 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     control ops disable pruning for any column their predicates or
     assignments read, so a 2-of-7-column query over a wide transcript
     table scans ~2/7 of the bytes.
+
+    `buckets` restricts the read to a subset of stored buckets (key
+    pruning: only those buckets' base runs plus the uncompacted global
+    runs are scanned, and the exchange emits only those groups). Sound
+    because buckets partition keys exclusively — every record of a
+    restricted key set lives inside its buckets' slices. This is the
+    skipping read under `read_conversation` (one bucket) and the
+    inverted-index search (index-hit buckets, matview.search_token).
     """
     from ..stages.controls import resolve_with_controls, sorted_controls
 
     state = TableState(cfg.table_dir)
     m = manifest or state.load_latest()
-    paths = state.run_paths(m)
+    if buckets is None:
+        paths = state.run_paths(m)
+    else:
+        buckets = sorted({int(b) for b in buckets})
+        want = {str(b) for b in buckets}
+        paths = [os.path.join(state.runs_dir, f)
+                 for b, runs in m.buckets.items() if b in want
+                 for f in runs] \
+            + [os.path.join(state.runs_dir, f) for f in m.global_runs]
+        if not buckets:
+            paths = []
     payload = schemas.payload_cols(cfg.schema_version)
     if not paths:
         empty = schemas.table_schema(cfg.schema_version).empty_table()
@@ -1130,7 +1149,8 @@ def read_snapshot(cfg: EngineConfig, manifest: Manifest | None = None,
     # re-bucketing migration would otherwise silently drop every row
     # whose bucket >= cfg.num_buckets)
     per_bucket = _exchange_by_bucket(paths, m.num_buckets or cfg.num_buckets,
-                                     columns=scan_cols)
+                                     columns=scan_cols,
+                                     bucket_subset=buckets)
     refs = [_fold_bucket_refs.remote(resolve, *bucket_refs)
             for bucket_refs in per_bucket]
     return ray.data.from_arrow_refs(refs)

@@ -212,7 +212,46 @@ def _role_tool_stats_partial(t: pa.Table) -> pa.Table:
         ["role", "tool", "n_turns"])
 
 
+#: index tokenization, shared by partial + search + SQL oracles: ASCII
+#: lower, split on runs of non-[a-z0-9]. RE2 both here and in DuckDB's
+#: regexp_split_to_array, so the whole index is SQL-mirrorable.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def _token_index_partial(t: pa.Table) -> pa.Table:
+    """INVERTED TEXT INDEX partial: token -> (n_hits, n_convs) over the
+    LIVE rows of one bucket — a full-text search index maintained
+    incrementally by the grouped-matview machinery (refresh re-partials
+    only delta-affected buckets; updates/deletes retract their tokens
+    for free because partials re-derive from live rows). `n_hits`
+    counts token occurrences; `n_convs` is a per-bucket DISTINCT
+    conversation count that merges by SUM because buckets partition
+    conversations exclusively. Null text (upsert-on-absent partial
+    update) contributes nothing; mirror in oracles."""
+    t = t.filter(pc.is_valid(t["text"]))
+    toks = pc.split_pattern_regex(pc.utf8_lower(t["text"]), TOKEN_SPLIT_RE)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    conv = t["conv_id"].take(parent)
+    keep = pc.not_equal(flat, "")        # boundary-split artifacts
+    g = pa.table({"token": flat.filter(keep),
+                  "conv_id": conv.filter(keep)})
+    agg = pa.TableGroupBy(g, "token").aggregate(
+        [("conv_id", "count"), ("conv_id", "count_distinct")])
+    agg = agg.select(["token", "conv_id_count",
+                      "conv_id_count_distinct"]).rename_columns(
+        ["token", "n_hits", "n_convs"])
+    # token-sorted partials give each index file tight parquet
+    # row-group stats, so token_buckets' `token ==` scan prunes row
+    # groups inside files, not just files
+    return agg.sort_by("token")
+
+
 GROUPED_MATVIEWS: dict[str, GroupedMatView] = {}
+GROUPED_MATVIEWS["token_index"] = GroupedMatView(
+    name="token_index", group_cols=("token",), source_cols=("text",),
+    partial=_token_index_partial,
+    merge_spec=(("n_hits", "sum"), ("n_convs", "sum")))
 GROUPED_MATVIEWS["role_tool_stats"] = GroupedMatView(
     name="role_tool_stats", group_cols=("role", "tool"),
     source_cols=("role", "tool"),
@@ -842,6 +881,71 @@ def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],
     out = _filter_current(tbl, cur_seq, keep_markers=True)
     seq = int(pc.max(out[MV_SEQ_COL]).as_py()) if out.num_rows else 0
     return [_write_mv_file(out, runs_dir, view, seq, txn)]
+
+
+# -- inverted-index search ----------------------------------------------------
+
+def token_buckets(cfg: EngineConfig, token: str,
+                  name: str = "token_index") -> "tuple[list[int], int]":
+    """Buckets whose CURRENT index epoch contains `token`, plus the
+    stored bucket count — the SKIPPING read of the inverted index. The
+    scan touches only the index files' (token, bucket, seq) columns
+    with a `token ==` parquet predicate (row groups prune on footer
+    stats), so the cost is index-sized, never table-sized."""
+    import pyarrow.dataset as pads
+
+    view = GROUPED_MATVIEWS[name]
+    state = TableState(cfg.table_dir)
+    m = state.load_latest()
+    nb = m.num_buckets or cfg.num_buckets
+    paths = state.derived_paths(view.derived_key, m)
+    if not paths:
+        raise ValueError(
+            f"index {name!r} has never been refreshed on this table; "
+            f"run refresh_matview(cfg, {name!r}) first")
+    cur = _bucket_epochs(paths)
+    t = pads.dataset(paths, format="parquet").to_table(
+        columns=[MV_BUCKET_COL, MV_SEQ_COL],
+        filter=pads.field("token") == token)
+    b = t[MV_BUCKET_COL].to_numpy(zero_copy_only=False)
+    s = t[MV_SEQ_COL].to_numpy(zero_copy_only=False)
+    hit = sorted({int(x) for x, e in zip(b, s) if cur[int(x)] == e})
+    return hit, nb
+
+
+def search_token(cfg: EngineConfig, token: str,
+                 name: str = "token_index") -> ray.data.Dataset:
+    """Serving-side full-text token search over the RESOLVED table:
+    the inverted index prunes to hit buckets (`token_buckets`), ONLY
+    those buckets resolve (`read_snapshot(buckets=...)` — base runs of
+    the hits plus uncompacted global runs), and a vectorized per-row
+    membership check verifies (the index is bucket-granular, so the
+    scan-side check removes same-bucket non-matches). At 100 TB with
+    thousands of buckets a rare token reads a few buckets' bytes
+    instead of the table. Freshness contract: the index serves its
+    last refreshed state — refresh after a tick before searching, or
+    accept index-version results (rows added since the refresh are
+    missed; rows updated since may verify differently)."""
+    from .ingest import read_snapshot
+
+    token = token.lower()
+    buckets, _nb = token_buckets(cfg, token, name)
+    ds = read_snapshot(cfg, buckets=buckets)
+
+    def has_token(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(batch["text"], "")),
+            TOKEN_SPLIT_RE)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        hit = pc.equal(flat, token).to_numpy(zero_copy_only=False)
+        rows = np.zeros(batch.num_rows, bool)
+        rows[parent[hit]] = True
+        return batch.filter(pa.array(rows))
+
+    return ds.map_batches(has_token, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
