@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_clone_divergence": cdc_queries.cdc_clone_divergence,
         "cdc_token_index": cdc_queries.cdc_token_index,
         "cdc_token_search": cdc_queries.cdc_token_search,
+        "cdc_erase_conversation": cdc_queries.cdc_erase_conversation,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
@@ -565,6 +566,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
                    role, text, tool, ts
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ORDER BY conv_id, turn_idx
+        """,
+        # physical erasure: the resolved table minus the erased key
+        # (the engine asserts in-code that bytes actually left every
+        # referenced file and the WAL)
+        "cdc_erase_conversation": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts,
+                   CAST(NULL AS VARCHAR) AS model
+            FROM ranked
+            WHERE rn = 1 AND op <> 'delete' AND conv_id <> 'conv-0'
             ORDER BY conv_id, turn_idx
         """,
         # inverted text index (grouped matview): token -> occurrence

@@ -55,7 +55,7 @@ QUERY_NAMES = [
     "cdc_time_travel", "cdc_changefeed_delta", "media_audio_features",
     "media_video_frame_features", "cdc_export_roundtrip",
     "cdc_replicated_table", "cdc_rollback_rewind", "cdc_clone_divergence",
-    "cdc_token_index", "cdc_token_search",
+    "cdc_token_index", "cdc_token_search", "cdc_erase_conversation",
 ]
 
 

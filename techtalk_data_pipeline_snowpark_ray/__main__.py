@@ -86,6 +86,13 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="also rewind the WAL offset so the undone "
                          "segments re-apply on the next tick")
 
+    sp = sub.add_parser("erase",
+                        help="physically erase one conversation "
+                             "(GDPR hard delete)")
+    sp.add_argument("--conv-id", required=True)
+    sp.add_argument("--scrub-wal", action="store_true",
+                    help="also rewrite WAL segments containing the key")
+
     sp = sub.add_parser("clone",
                         help="zero-copy clone a committed version into "
                              "a new table dir")
@@ -151,6 +158,11 @@ def main(argv: "list[str] | None" = None) -> int:
         out = {"cmd": "rollback", "version": m.version,
                **{k: v for k, v in m.metrics.items()
                   if k.startswith("rollback")}}
+    elif args.cmd == "erase":
+        m = ingest.erase_conversation(cfg, args.conv_id,
+                                      scrub_wal=args.scrub_wal)
+        out = {"cmd": "erase", "version": m.version,
+               **m.metrics["erasure"]}
     elif args.cmd == "clone":
         from dataclasses import replace
         dst = replace(cfg, table_dir=args.dest_table_dir,

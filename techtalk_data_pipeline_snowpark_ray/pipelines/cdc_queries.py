@@ -538,6 +538,30 @@ def cdc_matview_hourly_activity(sf_dir: str) -> ray.data.Dataset:
                                'window_start')
 
 
+def cdc_erase_conversation(sf_dir: str) -> ray.data.Dataset:
+    """PHYSICAL ERASURE (GDPR): replay the full stream, then
+    `ingest.erase_conversation('conv-0', scrub_wal=True)` — the key's
+    rows leave the run files (bucket-proportional rewrite, one
+    strict-CAS commit) AND the WAL segments. The query asserts in-code
+    that rows were actually erased and that no file the new manifest
+    references still carries the key; the gated result is the
+    remaining snapshot."""
+    cfg = _fresh_cfg("er")
+    _write_events_wal(sf_dir, cfg)
+    ingest.run_loop(cfg, stop_when_idle=True)
+    m = ingest.erase_conversation(cfg, "conv-0", scrub_wal=True)
+    if m.metrics["erasure"]["rows_erased"] <= 0:
+        raise AssertionError("erasure removed no rows for conv-0")
+    from ..state.manifest import TableState
+    state = TableState(cfg.table_dir)
+    for f in m.table_run_files():
+        col = pq.read_table(os.path.join(state.runs_dir, f),
+                            columns=["conv_id"])["conv_id"]
+        if pc.any(pc.equal(col, "conv-0")).as_py():
+            raise AssertionError(f"erased key survives in {f}")
+    return _snapshot_sorted(cfg)
+
+
 def cdc_token_index(sf_dir: str) -> ray.data.Dataset:
     """INVERTED TEXT INDEX as a grouped matview: token -> (occurrence
     count, distinct-conversation count) over the RESOLVED state,

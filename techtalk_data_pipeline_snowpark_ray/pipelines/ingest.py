@@ -1259,6 +1259,12 @@ def read_delta(cfg: EngineConfig, from_version: int,
                 f"version window ({from_version}, {hi}] spans rollback "
                 f"v{v}; a restore rewrites visible history, so the "
                 f"window's file lineage is not a change stream")
+        if m.metrics.get("erasure") is not None:
+            raise ValueError(
+                f"version window ({from_version}, {hi}] spans erasure "
+                f"v{v}; an erasure rewrites files without emitting "
+                f"change records (and replicating them would "
+                f"re-export the erased rows)")
         new_files.extend(f for f in m.table_run_files()
                          if f not in base and f not in new_files)
     if not new_files:
@@ -1378,6 +1384,18 @@ def rollback(cfg: EngineConfig, to_version: int,
     if not 0 <= to_version <= prev_version:
         raise ValueError(f"rollback target v{to_version} out of range "
                          f"[0, {prev_version}]")
+    # an erasure is a FLOOR: restoring a pre-erasure version would
+    # resurrect physically-erased rows from still-retained files,
+    # silently undoing a right-to-be-forgotten action
+    for v in range(to_version + 1, prev_version + 1):
+        mv = state.load(v)
+        if mv.metrics.get("erasure") is not None:
+            raise ValueError(
+                f"cannot roll back to v{to_version} across the "
+                f"erasure committed at v{v} "
+                f"({mv.metrics['erasure'].get('conv_id')!r}): erased "
+                f"data must not resurrect; re-apply the erasure on "
+                f"the restored state instead")
     target = state.load(to_version)
     missing = [f for f in target.run_files()
                if not state.storage.exists(os.path.join(state.runs_dir, f))]
@@ -1458,6 +1476,131 @@ def clone_table(cfg_src: EngineConfig, cfg_dst: EngineConfig,
         metrics={"cloned_from": {"table_dir": cfg_src.table_dir,
                                  "version": v}})
     return dst.publish(clone, expected_parent=None)
+
+
+@ray.remote
+def _erase_from_file(path: str, out_path: str, conv_id: str
+                     ) -> "tuple[int, int] | None":
+    """Rewrite one immutable file without `conv_id`'s rows. Returns
+    (kept, removed), or None when the file doesn't contain the key
+    (probe reads only the conv_id column; the original stays shared).
+    Single-threaded read: parallelism is the per-file task fan-out."""
+    probe = pq.read_table(path, columns=["conv_id"],
+                          use_threads=False)
+    hit = pc.sum(pc.cast(pc.equal(probe["conv_id"], conv_id),
+                         pa.int64())).as_py() or 0
+    if not hit:
+        return None
+    t = pq.read_table(path, use_threads=False)
+    # null-keyed rows (matview epoch markers) are NOT the erased key:
+    # keep them (a raw not_equal is null there and filter would drop)
+    kept = t.filter(pc.fill_null(pc.not_equal(t["conv_id"], conv_id),
+                                 True))
+    tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(kept, tmp, compression="zstd")
+    os.replace(tmp, out_path)
+    return kept.num_rows, t.num_rows - kept.num_rows
+
+
+def erase_conversation(cfg: EngineConfig, conv_id: str,
+                       scrub_wal: bool = False) -> Manifest:
+    """PHYSICAL ERASURE of one conversation (GDPR/right-to-be-forgotten
+    — the op a transcript lake must have; a tombstone delete only hides
+    rows, this removes their bytes). Cost is bucket-proportional, never
+    table-proportional: the key's hash bucket names the only base runs
+    that can hold it, so the rewrite set is that bucket's runs, the
+    uncompacted global runs, and any derived-sink files carrying a
+    conv_id column (keyed matviews, additive sinks). Files that don't
+    contain the key are NOT rewritten (cheap column probe) and stay
+    byte-shared with prior versions/clones.
+
+    The rewrite commits as one strict-CAS manifest (same atomicity as
+    everything else); old files become unreferenced and age out via GC
+    — full physical purge completes when the retention window passes
+    (`gc_keep_versions`), the standard lakehouse erasure contract.
+    Lineage-walking readers treat the commit as a history rewrite
+    (matviews full-recompute, `read_delta` refuses spanning windows).
+
+    `scrub_wal=True` additionally rewrites, IN PLACE, every WAL
+    segment containing the key (atomic replace under the same name:
+    the name's lsn interval stays a valid superset bound, and consumed
+    offsets are untouched). Without it, a later offset rewind
+    (`rollback(rewind_stream=True)`) or a bootstrap replay would
+    resurrect the conversation from the log.
+
+    Caveats a deployment must own: clones made BEFORE the erasure
+    still share the old bytes (erase them separately), and replicas
+    fed by `replicate_delta` windows that predate it must be erased
+    downstream too."""
+    state = TableState(cfg.table_dir)
+    prev_version, prev = state.load_latest_versioned()
+    if prev_version is None:
+        raise ValueError("cannot erase from a table with no commits")
+    nb = prev.num_buckets or cfg.num_buckets
+    bucket = str(int(hash_strings_arrow(
+        pa.array([conv_id], pa.string()))[0] % np.uint64(nb)))
+    txn = state.new_txn()
+
+    def out_name(f: str) -> str:
+        return f"{os.path.splitext(f)[0]}-er{txn}.parquet"
+
+    # candidates: the key's bucket base runs + global runs + derived
+    # files that carry a conv_id column (probed inside the task)
+    candidates = [*prev.buckets.get(bucket, []), *prev.global_runs]
+    derived_candidates = [f for files in prev.derived.values()
+                          for f in files]
+    refs = {f: _erase_from_file.remote(
+                os.path.join(state.runs_dir, f),
+                os.path.join(state.runs_dir, out_name(f)), conv_id)
+            for f in candidates}
+    drefs = {}
+    for f in derived_candidates:
+        path = os.path.join(state.runs_dir, f)
+        if "conv_id" in pq.read_schema(path).names:
+            drefs[f] = _erase_from_file.remote(
+                path, os.path.join(state.runs_dir, out_name(f)), conv_id)
+    results = {f: r for f, r in zip(refs, ray.get(list(refs.values())))}
+    dresults = {f: r for f, r in zip(drefs, ray.get(list(drefs.values())))}
+
+    def remap(files: "list[str]", res: dict) -> "list[str]":
+        return [out_name(f) if res.get(f) is not None else f
+                for f in files]
+
+    rows_erased = sum(r[1] for r in results.values() if r) \
+        + sum(r[1] for r in dresults.values() if r)
+    rewritten = sum(1 for r in (*results.values(), *dresults.values())
+                    if r)
+    m = Manifest(
+        txn_id=txn,
+        committed_seq=prev.committed_seq,
+        committed_lsn=prev.committed_lsn,
+        schema_version=prev.schema_version,
+        num_buckets=prev.num_buckets,
+        buckets={b: remap(fs, results) if b == bucket else list(fs)
+                 for b, fs in prev.buckets.items()},
+        global_runs=remap(prev.global_runs, results),
+        derived={k: remap(fs, dresults)
+                 for k, fs in prev.derived.items()},
+        control_ops=[op for op in prev.control_ops],
+        wal_consumed=[],
+        metrics={"erasure": {"conv_id": conv_id,
+                             "files_rewritten": rewritten,
+                             "rows_erased": int(rows_erased),
+                             "wal_scrubbed": bool(scrub_wal)}})
+    published = state.publish(m, expected_parent=prev_version)
+    if scrub_wal:
+        for seg in wal.list_segments(cfg.wal_dir):
+            t = pq.read_table(seg.path, use_threads=False)
+            if "conv_id" not in t.column_names:
+                continue
+            kept = t.filter(pc.fill_null(
+                pc.not_equal(t["conv_id"], conv_id), True))
+            if kept.num_rows == t.num_rows:
+                continue
+            tmp = seg.path + f".tmp-{uuid.uuid4().hex[:8]}"
+            pq.write_table(kept, tmp, compression="zstd")
+            os.replace(tmp, seg.path)
+    return published
 
 
 def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,

@@ -320,6 +320,12 @@ def _delta_files(state: TableState, last: int, cur_m: Manifest,
             # state changed (rows the view aggregated were un-written).
             # Never delta-expressible — recompute.
             return None, "rollback"
+        if m.metrics.get("erasure") is not None:
+            # a physical erasure rewrites files WITHOUT naming the
+            # erased key in any delta, so an incremental refresh would
+            # never retract its view rows — recompute (which also
+            # purges the key from the view's own replaced file set)
+            return None, "erasure"
         if m.metrics.get("compaction"):
             if out:
                 # the compaction folded run files the view never

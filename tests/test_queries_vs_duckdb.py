@@ -24,7 +24,8 @@ SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "cdc_replicated_table", "media_audio_features",
           "media_video_frame_features", "cdc_rollback_restore",
           "cdc_rollback_rewind", "cdc_clone_divergence",
-          "cdc_token_index", "cdc_token_search"]
+          "cdc_token_index", "cdc_token_search",
+          "cdc_erase_conversation"]
 
 
 @pytest.fixture(scope="module")
