@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_token_index": cdc_queries.cdc_token_index,
         "cdc_token_search": cdc_queries.cdc_token_search,
         "cdc_erase_conversation": cdc_queries.cdc_erase_conversation,
+        "cdc_token_search_bool": cdc_queries.cdc_token_search_bool,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
@@ -629,6 +630,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM fin
             ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
             LIMIT 10
+        """,
+        # boolean index search ('txt' AND any of the 5 largest numeric
+        # tokens = the top-5 rows by numeric text suffix)
+        "cdc_token_search_bool": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                     role, text, tool, ts
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            )
+            SELECT * FROM fin
+            ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
+            LIMIT 5
         """,
         # rollback (restore): the table after rolling back to the
         # phase-1 commit = the phase-1 resolved state (and the engine

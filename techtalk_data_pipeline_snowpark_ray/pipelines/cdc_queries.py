@@ -616,6 +616,39 @@ def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
     return ds.sort(["conv_id", "turn_idx"])
 
 
+def cdc_token_search_bool(sf_dir: str) -> ray.data.Dataset:
+    """BOOLEAN index search: rows containing the hot token 'txt' AND
+    any of the five largest numeric tokens (`matview.search_tokens`).
+    The bucket-pruning composes: the AND intersects 'txt''s bucket set
+    (everything) with the union of the rare tokens' sets, so the scan
+    touches only the rare tokens' buckets (asserted in-code). Result =
+    the top-5 rows by numeric text suffix."""
+    from .matview import (read_grouped_matview, refresh_matview,
+                          search_tokens, token_buckets)
+
+    cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "tb")
+    refresh_matview(cfg, "token_index")
+
+    def numeric(t: pa.Table) -> pa.Table:
+        keep = pc.match_substring_regex(t["token"], r"^[0-9]+$")
+        t = t.filter(keep)
+        return t.append_column("tok_num", pc.cast(t["token"], pa.int64()))
+
+    top = read_grouped_matview(cfg, "token_index") \
+        .map_batches(numeric, batch_format="pyarrow",
+                     zero_copy_batch=True) \
+        .sort("tok_num", descending=True).limit(5).take_all()
+    any_tokens = [r["token"] for r in top]
+    union = set()
+    for t in any_tokens:
+        hit, nb = token_buckets(cfg, t)
+        union |= set(hit)
+    if not len(union) < nb:
+        raise AssertionError("boolean search pruned no bucket")
+    return search_tokens(cfg, all_of=("txt",), any_of=any_tokens) \
+        .sort(["conv_id", "turn_idx"])
+
+
 def _two_phase_versions(sf_dir: str, tag: str) -> tuple[EngineConfig,
                                                         int, int, int]:
     """Shared harness for the version-window queries: land the derived

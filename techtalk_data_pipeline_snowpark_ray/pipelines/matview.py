@@ -932,25 +932,63 @@ def search_token(cfg: EngineConfig, token: str,
     last refreshed state — refresh after a tick before searching, or
     accept index-version results (rows added since the refresh are
     missed; rows updated since may verify differently)."""
+    return search_tokens(cfg, all_of=(token,), name=name)
+
+
+def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
+                  name: str = "token_index") -> ray.data.Dataset:
+    """Boolean token search: rows containing EVERY `all_of` token and
+    (when given) at least one `any_of` token. Index pruning composes
+    with the query: the scan set is the INTERSECTION of the all_of
+    tokens' bucket sets, further intersected with the UNION of the
+    any_of sets — an AND of a rare token with a hot one costs the rare
+    token's buckets. A required token absent from the index
+    short-circuits to an empty result with zero bucket scans."""
     from .ingest import read_snapshot
 
-    token = token.lower()
-    buckets, _nb = token_buckets(cfg, token, name)
-    ds = read_snapshot(cfg, buckets=buckets)
+    all_of = [t.lower() for t in all_of]
+    any_of = [t.lower() for t in any_of]
+    if not all_of and not any_of:
+        raise ValueError("search needs at least one token")
+    buckets: "set[int] | None" = None
+    for t in all_of:
+        hit, _nb = token_buckets(cfg, t, name)
+        buckets = set(hit) if buckets is None else buckets & set(hit)
+        if not buckets:
+            break
+    if any_of and (buckets is None or buckets):
+        union: set[int] = set()
+        for t in any_of:
+            hit, _nb = token_buckets(cfg, t, name)
+            union |= set(hit)
+        buckets = union if buckets is None else buckets & union
+    ds = read_snapshot(cfg, buckets=sorted(buckets or ()))
 
-    def has_token(batch: pa.Table) -> pa.Table:
+    def verify(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
             pc.utf8_lower(pc.fill_null(batch["text"], "")),
             TOKEN_SPLIT_RE)
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks).to_numpy(
             zero_copy_only=False)
-        hit = pc.equal(flat, token).to_numpy(zero_copy_only=False)
-        rows = np.zeros(batch.num_rows, bool)
-        rows[parent[hit]] = True
-        return batch.filter(pa.array(rows))
 
-    return ds.map_batches(has_token, batch_format="pyarrow",
+        def rows_with(tok: str) -> np.ndarray:
+            hit = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+            rows = np.zeros(batch.num_rows, bool)
+            rows[parent[hit]] = True
+            return rows
+
+        keep = np.ones(batch.num_rows, bool)
+        for t in all_of:
+            keep &= rows_with(t)
+        if any_of:
+            any_mask = np.zeros(batch.num_rows, bool)
+            for t in any_of:
+                any_mask |= rows_with(t)
+            keep &= any_mask
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(verify, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 

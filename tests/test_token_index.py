@@ -116,6 +116,44 @@ def test_search_token_pruned_and_exact(tmp_path):
     assert search_token(cfg, "no-such-token-xyzzy").count() == 0
 
 
+def test_search_tokens_boolean_semantics(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import \
+        search_tokens
+
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    snap = ingest.snapshot_to_pandas(cfg)
+    hits, convs = _brute(snap)
+
+    def row_tokens(s):
+        return set(t for t in re.split(TOKEN_SPLIT_RE,
+                                       ("" if s is None else s).lower())
+                   if t)
+
+    toksets = snap["text"].map(row_tokens)
+    # two rare single-conversation tokens from different rows
+    rares = sorted(t for t in hits if len(convs[t]) == 1)[:2]
+    hot = max(hits, key=lambda t: hits[t])
+
+    # AND of a hot and a rare token = exactly the rare rows also
+    # containing the hot token, scanned at the rare token's cost
+    got = search_tokens(cfg, all_of=(hot, rares[0])).to_pandas()
+    exp = snap[toksets.map(lambda s: hot in s and rares[0] in s)]
+    assert len(got) == len(exp)
+
+    # OR of the two rares = union of their rows
+    got = search_tokens(cfg, any_of=rares).to_pandas()
+    exp = snap[toksets.map(lambda s: bool(set(rares) & s))]
+    assert len(got) == len(exp)
+    assert set(got["conv_id"]) == set(exp["conv_id"])
+
+    # AND with an absent required token short-circuits to empty
+    assert search_tokens(cfg, all_of=(hot, "zz-absent-zz")).count() == 0
+
+    with pytest.raises(ValueError, match="at least one token"):
+        search_tokens(cfg)
+
+
 def test_search_requires_refreshed_index(tmp_path):
     cfg = _mk_cfg(tmp_path)
     chunks = list(generate_chunks(SPEC))
