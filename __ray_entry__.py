@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_token_search": cdc_queries.cdc_token_search,
         "cdc_erase_conversation": cdc_queries.cdc_erase_conversation,
         "cdc_token_search_bool": cdc_queries.cdc_token_search_bool,
+        "cdc_join_matview_drift": cdc_queries.cdc_join_matview_drift,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
         "ingest_json_staged": cdc_queries.ingest_json_staged,
@@ -630,6 +631,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM fin
             ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
             LIMIT 10
+        """,
+        # cross-table join matview: table A = full stream fold, table
+        # B = even-lsn shadow fold, FULL OUTER per conversation with
+        # both sides' live stats and the drift
+        "cdc_join_matview_drift": f"""
+            WITH ch AS ({_CDC_CH}),
+            fa AS (
+              SELECT conv_id, text FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY lsn DESC) AS rn
+                FROM ch
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            fb AS (
+              SELECT conv_id, text FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY conv_id, turn_idx
+                    ORDER BY lsn DESC) AS rn
+                FROM ch WHERE lsn % 2 = 0
+              ) WHERE rn = 1 AND op <> 'delete'
+            ),
+            sa AS (SELECT conv_id, COUNT(*) AS n_turns_a,
+                          SUM(length(text)) AS chars_a
+                   FROM fa GROUP BY conv_id),
+            sb AS (SELECT conv_id, COUNT(*) AS n_turns_b,
+                          SUM(length(text)) AS chars_b
+                   FROM fb GROUP BY conv_id)
+            SELECT COALESCE(sa.conv_id, sb.conv_id) AS conv_id,
+                   CAST(COALESCE(n_turns_a, 0) AS BIGINT) AS n_turns_a,
+                   CAST(COALESCE(chars_a, 0) AS BIGINT) AS chars_a,
+                   CAST(COALESCE(n_turns_b, 0) AS BIGINT) AS n_turns_b,
+                   CAST(COALESCE(chars_b, 0) AS BIGINT) AS chars_b,
+                   CAST(COALESCE(n_turns_a, 0) - COALESCE(n_turns_b, 0)
+                        AS BIGINT) AS turn_diff
+            FROM sa FULL OUTER JOIN sb ON sa.conv_id = sb.conv_id
+            ORDER BY 1
         """,
         # boolean index search ('txt' AND any of the 5 largest numeric
         # tokens = the top-5 rows by numeric text suffix)

@@ -56,6 +56,7 @@ QUERY_NAMES = [
     "media_video_frame_features", "cdc_export_roundtrip",
     "cdc_replicated_table", "cdc_rollback_rewind", "cdc_clone_divergence",
     "cdc_token_index", "cdc_token_search", "cdc_erase_conversation",
+    "cdc_join_matview_drift",
 ]
 
 

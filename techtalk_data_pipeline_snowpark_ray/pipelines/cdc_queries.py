@@ -649,6 +649,57 @@ def cdc_token_search_bool(sf_dir: str) -> ray.data.Dataset:
         .sort(["conv_id", "turn_idx"])
 
 
+def cdc_join_matview_drift(sf_dir: str) -> ray.data.Dataset:
+    """CROSS-TABLE JOIN MATVIEW: two independently-ingesting engine
+    tables — A consumes the full change stream, B a filtered shadow
+    (even lsns only; a deterministic predicate the SQL oracle can
+    name) under a DIFFERENT bucket layout — joined per conversation by
+    the incrementally-maintained `conv_drift` view (live turn counts /
+    text sizes per side + the delta; FULL OUTER per key). Two-phase
+    WAL on BOTH tables: the gated result comes from a full first
+    refresh followed by an incremental one (affected keys re-resolved
+    on each side under its own layout, co-partitioned by key hash,
+    joined vectorized per partition)."""
+    from ..state.manifest import TableState  # noqa: F401
+    from .analytics import _parquet_col_max
+    from .joinview import read_join_matview, refresh_join_matview
+
+    cfg_a = _fresh_cfg("jva", schema_version=1)
+    cfg_b = _fresh_cfg("jvb", schema_version=1)
+    cfg_b.num_buckets = 8                  # different layout than A's 16
+    path = os.path.join(sf_dir, "events.parquet")
+    cutoff = int(_parquet_col_max(path, "event_id")) // 2
+    src = pq.ParquetFile(path)
+    for phase in (0, 1):
+        wa = WalWriter(cfg_a.wal_dir, segment_rows=1_000_000,
+                       reorder_slack=2048)
+        wb = WalWriter(cfg_b.wal_dir, segment_rows=1_000_000,
+                       reorder_slack=2048)
+        for rb in src.iter_batches(batch_size=65536,
+                                   columns=["event_id", "user_id", "ts"]):
+            t = pa.Table.from_batches([rb])
+            keep = pc.less_equal(t["event_id"], cutoff) if phase == 0 \
+                else pc.greater(t["event_id"], cutoff)
+            part = t.filter(keep)
+            if not part.num_rows:
+                continue
+            ch = derive_change_batch(part)
+            wa.append(ch, 1)
+            even = ch.filter(pc.equal(pc.bit_wise_and(ch["lsn"], 1), 0))
+            if even.num_rows:
+                wb.append(even, 1)
+        wa.close()
+        wb.close()
+        ingest.apply_tick(cfg_a)
+        ingest.apply_tick(cfg_b)
+        m = refresh_join_matview(cfg_a, cfg_b, "conv_drift")
+        want = "full" if phase == 0 else "incremental"
+        if m.metrics["matview_refresh"]["mode"] != want:
+            raise AssertionError(
+                f"phase-{phase} refresh was not {want}")
+    return read_join_matview(cfg_a, "conv_drift").sort("conv_id")
+
+
 def _two_phase_versions(sf_dir: str, tag: str) -> tuple[EngineConfig,
                                                         int, int, int]:
     """Shared harness for the version-window queries: land the derived
