@@ -86,6 +86,13 @@ def main(argv: "list[str] | None" = None) -> int:
                     help="also rewind the WAL offset so the undone "
                          "segments re-apply on the next tick")
 
+    sp = sub.add_parser("refresh-join",
+                        help="refresh a cross-table join view "
+                             "(commits on --table-dir)")
+    sp.add_argument("--view", required=True)
+    sp.add_argument("--other-table-dir", required=True)
+    sp.add_argument("--other-wal-dir", default="")
+
     sp = sub.add_parser("erase",
                         help="physically erase one conversation "
                              "(GDPR hard delete)")
@@ -158,6 +165,15 @@ def main(argv: "list[str] | None" = None) -> int:
         out = {"cmd": "rollback", "version": m.version,
                **{k: v for k, v in m.metrics.items()
                   if k.startswith("rollback")}}
+    elif args.cmd == "refresh-join":
+        from dataclasses import replace
+        from .pipelines.joinview import refresh_join_matview
+        other = replace(cfg, table_dir=args.other_table_dir,
+                        wal_dir=args.other_wal_dir or cfg.wal_dir)
+        m = refresh_join_matview(cfg, other, args.view)
+        out = {"cmd": "refresh-join", "view": args.view,
+               "refreshed": m is not None,
+               **({} if m is None else m.metrics.get("matview_refresh", {}))}
     elif args.cmd == "erase":
         m = ingest.erase_conversation(cfg, args.conv_id,
                                       scrub_wal=args.scrub_wal)

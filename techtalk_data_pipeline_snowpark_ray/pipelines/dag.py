@@ -136,6 +136,21 @@ def ingest_step(name: str, cfg, depends_on: tuple = ()) -> Step:
     return Step(name=name, fn=run, depends_on=tuple(depends_on))
 
 
+def joinview_step(name: str, cfg_a, cfg_b, view: str,
+                  depends_on: tuple = ()) -> Step:
+    """Convenience: keep a CROSS-TABLE join view fresh as a DAG step
+    downstream of BOTH tables' ingests — the reference's two-ingest
+    fan-in (`stream/Main.scala:16-19`) with a maintained join instead
+    of a per-tick recompute. None when both sides are already
+    refreshed (idle contract)."""
+    from .joinview import refresh_join_matview
+
+    def run(ctx: DagContext):
+        return refresh_join_matview(cfg_a, cfg_b, view)
+
+    return Step(name=name, fn=run, depends_on=tuple(depends_on))
+
+
 def matview_step(name: str, cfg, view: str,
                  depends_on: tuple = ()) -> Step:
     """Convenience: keep a materialized view (keyed, grouped or

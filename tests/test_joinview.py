@@ -114,6 +114,37 @@ def test_join_view_one_sided_advance(tmp_path):
     assert v.loc["c9", "n_turns_a"] == 0
 
 
+def test_dag_two_ingests_fan_into_join_view(tmp_path):
+    """The reference's two-ingest fan-in as a DAG: both tables tick,
+    the join view refreshes after BOTH, and the continuous loop drains
+    to idle with the view consistent with both final states."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.dag import (
+        DagRunner, ingest_step, joinview_step)
+
+    A = _mk(tmp_path, "a", 8)
+    B = _mk(tmp_path, "b", 4)
+    wa = _append(A, [(1, "insert", "c1", 0, "xx"),
+                     (2, "insert", "c2", 0, "yy")])
+    wb = _append(B, [(1, "insert", "c1", 0, "x")])
+    dag = DagRunner([
+        ingest_step("ingest_a", A),
+        ingest_step("ingest_b", B),
+        joinview_step("drift", A, B, "conv_drift",
+                      depends_on=("ingest_a", "ingest_b")),
+    ])
+    assert dag.order() == ["ingest_a", "ingest_b", "drift"]
+    dag.run_continuous(interval_s=0.01, stop_when_idle=True)
+    v = _view(A).set_index("conv_id")
+    assert v.loc["c1", "turn_diff"] == 0 and v.loc["c2", "n_turns_b"] == 0
+    # late WAL on one side only: another continuous run picks it up
+    _append(B, [(7, "insert", "c2", 0, "q")], wb)
+    wb.close()
+    wa.close()
+    dag.run_continuous(interval_s=0.01, stop_when_idle=True)
+    v = _view(A).set_index("conv_id")
+    assert v.loc["c2", "n_turns_b"] == 1 and v.loc["c2", "turn_diff"] == 0
+
+
 def test_join_view_fallbacks_on_history_rewrites(tmp_path):
     A = _mk(tmp_path, "a", 4)
     B = _mk(tmp_path, "b", 4)
