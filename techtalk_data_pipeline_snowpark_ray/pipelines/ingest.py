@@ -1719,6 +1719,13 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
             out[view] = compact_gmv_files(state.runs_dir, view, files,
                                           txn)
             continue
+        if view.startswith("jmv:"):
+            # cross-table join views: latest-wins fold preserving the
+            # two-sided (versionA, versionB) refresh watermark
+            from .joinview import compact_jmv_files
+            out[view] = compact_jmv_files(state.runs_dir, view, files,
+                                          txn)
+            continue
         tbl = pa.concat_tables([pq.read_table(os.path.join(state.runs_dir, f))
                                 for f in files], promote_options="default")
         agg = VIEWS[view].merge_table(tbl)

@@ -334,12 +334,61 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
                                      "source_version": cur_a, **stats}}))
 
 
+def compact_jmv_files(runs_dir: str, view_key: str, files: "list[str]",
+                      txn: str) -> "list[str]":
+    """Compaction hook (ingest._compact_derived): fold a join view's
+    refresh generations into one latest-wins base (tombstones fall
+    away with the rows they mask). The base file name carries the MAX
+    (versionA, versionB) watermark so the next refresh still windows
+    both sides from where the view actually is."""
+    name = view_key[len(JMV_PREFIX):]
+    pairs = []
+    for f in files:
+        mm = _JMV_RE.search(f)
+        if mm is None:
+            raise ValueError(f"unparseable join-view run file {f!r}")
+        pairs.append((int(mm.group(1)), int(mm.group(2))))
+    sa, sb = max(pairs)
+    tbl = pa.concat_tables(
+        [pq.read_table(os.path.join(runs_dir, f)) for f in files],
+        promote_options="default")
+    merged = merge_mv_rows(tbl.to_pandas(), "conv_id")
+    seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
+    out = _state_cols(
+        pa.Table.from_pandas(merged, preserve_index=False)
+        .replace_schema_metadata(None), seq, False)
+    # tombstone nulls float-ify int columns through pandas; restore
+    # the view's declared types so generations stay concat-compatible
+    view = JOIN_MATVIEWS[name]
+    want = pa.schema([pa.field("conv_id", pa.string()),
+                      *[pa.field(n, t) for n, t in view.agg_fields],
+                      pa.field(MV_SEQ_COL, pa.int64()),
+                      pa.field(MV_DEAD_COL, pa.bool_())])
+    out = out.select(want.names).cast(want)
+    fname = (f"jmv-{name}-sa{sa}-sb{sb}-x{txn}-"
+             f"{uuid.uuid4().hex[:12]}.parquet")
+    tmp = os.path.join(runs_dir, fname + ".tmp")
+    pq.write_table(out, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(runs_dir, fname))
+    return [fname]
+
+
+def _result_schema(view: JoinMatView) -> pa.Schema:
+    return pa.schema([pa.field("conv_id", pa.string()),
+                      *[pa.field(n, t) for n, t in view.agg_fields]])
+
+
 @ray.remote
-def _merge_small_jview(paths: "list[str]") -> pa.Table:
+def _merge_small_jview(paths: "list[str]", name: str) -> pa.Table:
+    view = JOIN_MATVIEWS[name]
     tbl = pa.concat_tables([pq.read_table(p) for p in paths],
                            promote_options="default")
-    return pa.Table.from_pandas(
+    out = pa.Table.from_pandas(
         merge_mv_rows(tbl.to_pandas(), "conv_id"), preserve_index=False)
+    # tombstone nulls float-ify int columns through pandas: restore
+    # the declared types
+    want = _result_schema(view)
+    return out.select(want.names).cast(want)
 
 
 def read_join_matview(cfg_a: EngineConfig, name: str,
@@ -359,7 +408,7 @@ def read_join_matview(cfg_a: EngineConfig, name: str,
         return ray.data.from_arrow(view.empty_result())
     if num_partitions is None and _view_bytes(paths) <= SMALL_VIEW_BYTES:
         return ray.data.from_arrow_refs(
-            [_merge_small_jview.remote(paths)])
+            [_merge_small_jview.remote(paths, name)])
     P = num_partitions or min(32, m.num_buckets or cfg_a.num_buckets)
     part = "_mv_part"
 
@@ -371,5 +420,11 @@ def read_join_matview(cfg_a: EngineConfig, name: str,
     ds = ray.data.read_parquet(paths) \
         .map_batches(add_part, batch_format="pyarrow",
                      zero_copy_batch=True)
-    return exchange_map_groups(ds, part, P,
-                               lambda g: merge_mv_rows(g, "conv_id"))
+    want = _result_schema(view)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = merge_mv_rows(g, "conv_id")[list(want.names)]
+        return pa.Table.from_pandas(out, preserve_index=False) \
+            .cast(want).to_pandas()
+
+    return exchange_map_groups(ds, part, P, merge_part)

@@ -145,6 +145,42 @@ def test_dag_two_ingests_fan_into_join_view(tmp_path):
     assert v.loc["c2", "n_turns_b"] == 1 and v.loc["c2", "turn_diff"] == 0
 
 
+def test_join_view_survives_primary_compaction(tmp_path):
+    """Compacting the PRIMARY table folds the view's refresh
+    generations into one base (tombstones gone) while preserving the
+    two-sided watermark, and later incremental refreshes still work."""
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import \
+        TableState
+
+    A = _mk(tmp_path, "a", 4)
+    B = _mk(tmp_path, "b", 4)
+    wa = _append(A, [(1, "insert", "c1", 0, "xx"),
+                     (2, "insert", "c2", 0, "yy")])
+    wb = _append(B, [(1, "insert", "c1", 0, "x")])
+    ingest.apply_tick(A)
+    ingest.apply_tick(B)
+    refresh_join_matview(A, B, "conv_drift")
+    # a second generation (so compaction genuinely folds)
+    _append(A, [(5, "delete", "c2", 0, None)], wa)
+    wa.close()
+    ingest.apply_tick(A)
+    refresh_join_matview(A, B, "conv_drift")
+    before = _view(A)
+    ingest.compact(A)
+    state = TableState(A.table_dir)
+    jfiles = state.load_latest().derived["jmv:conv_drift"]
+    assert len(jfiles) == 1                     # folded to one base
+    pd.testing.assert_frame_equal(_view(A), before)
+    # watermark survived: a one-sided advance refreshes incrementally
+    _append(B, [(9, "insert", "c1", 1, "zz")], wb)
+    wb.close()
+    ingest.apply_tick(B)
+    m = refresh_join_matview(A, B, "conv_drift")
+    assert m.metrics["matview_refresh"]["mode"] == "incremental"
+    v = _view(A).set_index("conv_id")
+    assert v.loc["c1", "n_turns_b"] == 2
+
+
 def test_join_view_fallbacks_on_history_rewrites(tmp_path):
     A = _mk(tmp_path, "a", 4)
     B = _mk(tmp_path, "b", 4)
