@@ -573,22 +573,11 @@ def cdc_token_index(sf_dir: str) -> ray.data.Dataset:
     return _two_phase_matview(sf_dir, 'tix', 'token_index', 'token')
 
 
-def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
-    """Serving-side SEARCH over the inverted index: build the table,
-    refresh `token_index`, then `matview.search_token` the ten largest
-    numeric tokens — the index prunes each search to its hit buckets
-    (asserted in-code: the pruned searches together touch fewer
-    bucket-scans than ten full fan-outs) and only those buckets
-    resolve. Numeric tokens are 1:1 with live rows here (each text is
-    'txt-<winning lsn>'), so the oracle is the top-10 rows by numeric
-    text suffix. The driver-side top-k pick off the index read is demo
-    glue (the index read is already a Dataset); the gated operator is
-    the index-pruned search itself."""
-    from .matview import (read_grouped_matview, refresh_matview,
-                          search_token, token_buckets)
-
-    cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "ts")
-    refresh_matview(cfg, "token_index")
+def _top_numeric_tokens(cfg, k: int) -> "list[str]":
+    """The k largest all-digit tokens in the refreshed index (demo
+    glue shared by the search queries; the index read is a Dataset, so
+    the top-k itself is distributed: filter -> sort -> limit)."""
+    from .matview import read_grouped_matview
 
     def numeric(t: pa.Table) -> pa.Table:
         keep = pc.match_substring_regex(t["token"], r"^[0-9]+$")
@@ -599,21 +588,32 @@ def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
     top = read_grouped_matview(cfg, "token_index") \
         .map_batches(numeric, batch_format="pyarrow",
                      zero_copy_batch=True) \
-        .sort("tok_num", descending=True).limit(10).take_all()
-    scans = 0
-    parts = []
+        .sort("tok_num", descending=True).limit(k).take_all()
+    return [r["token"] for r in top]
+
+
+def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
+    """Serving-side SEARCH over the inverted index: build the table,
+    refresh `token_index`, then `matview.search_tokens(any_of=...)`
+    the ten largest numeric tokens in ONE index-pruned scan — the
+    union of the tokens' bucket sets is asserted smaller than a full
+    fan-out. Numeric tokens are 1:1 with live rows here (each text is
+    'txt-<winning lsn>'), so the oracle is the top-10 rows by numeric
+    text suffix."""
+    from .matview import refresh_matview, search_tokens, token_buckets
+
+    cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "ts")
+    refresh_matview(cfg, "token_index")
+    tokens = _top_numeric_tokens(cfg, 10)
+    union: set = set()
     nb = cfg.num_buckets
-    for row in top:
-        tok = row["token"]
+    for tok in tokens:
         hit, nb = token_buckets(cfg, tok)
-        scans += len(hit)
-        parts.append(search_token(cfg, tok))
-    if scans >= len(top) * nb:
+        union |= set(hit)
+    if not len(union) < nb:
         raise AssertionError("index never pruned a bucket scan")
-    ds = parts[0]
-    for p in parts[1:]:
-        ds = ds.union(p)
-    return ds.sort(["conv_id", "turn_idx"])
+    return search_tokens(cfg, any_of=tokens) \
+        .sort(["conv_id", "turn_idx"])
 
 
 def cdc_token_search_bool(sf_dir: str) -> ray.data.Dataset:
@@ -623,22 +623,11 @@ def cdc_token_search_bool(sf_dir: str) -> ray.data.Dataset:
     (everything) with the union of the rare tokens' sets, so the scan
     touches only the rare tokens' buckets (asserted in-code). Result =
     the top-5 rows by numeric text suffix."""
-    from .matview import (read_grouped_matview, refresh_matview,
-                          search_tokens, token_buckets)
+    from .matview import refresh_matview, search_tokens, token_buckets
 
     cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "tb")
     refresh_matview(cfg, "token_index")
-
-    def numeric(t: pa.Table) -> pa.Table:
-        keep = pc.match_substring_regex(t["token"], r"^[0-9]+$")
-        t = t.filter(keep)
-        return t.append_column("tok_num", pc.cast(t["token"], pa.int64()))
-
-    top = read_grouped_matview(cfg, "token_index") \
-        .map_batches(numeric, batch_format="pyarrow",
-                     zero_copy_batch=True) \
-        .sort("tok_num", descending=True).limit(5).take_all()
-    any_tokens = [r["token"] for r in top]
+    any_tokens = _top_numeric_tokens(cfg, 5)
     union = set()
     for t in any_tokens:
         hit, nb = token_buckets(cfg, t)
@@ -802,11 +791,8 @@ def cdc_clone_divergence(sf_dir: str) -> ray.data.Dataset:
     path = os.path.join(sf_dir, "events.parquet")
     cutoff = int(_parquet_col_max(path, "event_id")) // 2
     src_pf = pq.ParquetFile(path)
-    clone_cfg = EngineConfig(
-        table_dir=cfg.table_dir + "-clone", wal_dir=cfg.wal_dir,
-        num_buckets=cfg.num_buckets, salt_factor=cfg.salt_factor,
-        hot_key_threshold=cfg.hot_key_threshold,
-        schema_version=cfg.schema_version, apply_mode=cfg.apply_mode)
+    from dataclasses import replace
+    clone_cfg = replace(cfg, table_dir=cfg.table_dir + "-clone")
     n_src = 0
     for phase in (0, 1):
         w = WalWriter(cfg.wal_dir, segment_rows=1_000_000,

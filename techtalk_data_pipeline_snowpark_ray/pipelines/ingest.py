@@ -502,6 +502,19 @@ def _publish_append_rebased(state: TableState, cfg: EngineConfig,
                     and new_prev.num_buckets != t.num_buckets:
                 raise CommitConflict(
                     "concurrent bucket-layout migration; not rebasable")
+            # walk EVERY winner in the window (not just the tip: a
+            # later tick can hide an erasure two versions back): a
+            # physical erasure never commutes -- this txn's
+            # already-written delta files may hold the erased key's
+            # pre-scrub rows, and re-pointing them would resurrect it
+            lo = 0 if prev_version is None else prev_version + 1
+            for v in range(lo, (new_version or 0) + 1):
+                if state.load(v).metrics.get("erasure") is not None:
+                    raise CommitConflict(
+                        f"concurrent physical erasure at v{v}; not "
+                        "rebasable (the txn's run files may hold "
+                        "pre-erasure rows) -- reload state and re-run "
+                        "the tick")
             t.metrics = {**t.metrics, "rebased_onto": new_version}
             prev_version, prev = new_version, new_prev
     raise AssertionError("unreachable")
@@ -1502,6 +1515,25 @@ def _erase_from_file(path: str, out_path: str, conv_id: str
     return kept.num_rows, t.num_rows - kept.num_rows
 
 
+@ray.remote
+def _scrub_segment(path: str, conv_id: str) -> int:
+    """In-place WAL-segment scrub (atomic same-name replace: the
+    name's lsn interval stays a valid superset bound). Probe-gated:
+    segments without the key are untouched. Returns rows removed."""
+    probe = pq.read_table(path, columns=["conv_id"], use_threads=False)
+    hit = pc.sum(pc.cast(pc.equal(probe["conv_id"], conv_id),
+                         pa.int64())).as_py() or 0
+    if not hit:
+        return 0
+    t = pq.read_table(path, use_threads=False)
+    kept = t.filter(pc.fill_null(pc.not_equal(t["conv_id"], conv_id),
+                                 True))
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    pq.write_table(kept, tmp, compression="zstd")
+    os.replace(tmp, path)
+    return t.num_rows - kept.num_rows
+
+
 def erase_conversation(cfg: EngineConfig, conv_id: str,
                        scrub_wal: bool = False) -> Manifest:
     """PHYSICAL ERASURE of one conversation (GDPR/right-to-be-forgotten
@@ -1521,12 +1553,18 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
     Lineage-walking readers treat the commit as a history rewrite
     (matviews full-recompute, `read_delta` refuses spanning windows).
 
-    `scrub_wal=True` additionally rewrites, IN PLACE, every WAL
-    segment containing the key (atomic replace under the same name:
-    the name's lsn interval stays a valid superset bound, and consumed
-    offsets are untouched). Without it, a later offset rewind
-    (`rollback(rewind_stream=True)`) or a bootstrap replay would
-    resurrect the conversation from the log.
+    The UNCONSUMED WAL tail is always scrubbed (in-place atomic
+    same-name rewrites, probe-gated, task-parallel): segments the
+    table hasn't ticked yet would otherwise re-insert the key at the
+    very next tick. `scrub_wal=True` extends the scrub to CONSUMED
+    history too — without it, a bootstrap replay of the old segments
+    by another consumer could resurrect the conversation from the
+    log. Derived files that cannot be row-filtered (no conv_id
+    column: the token index, grouped/windowed aggregates) are
+    INVALIDATED instead — dropped from the manifest (GC collects the
+    bytes) and rebuilt by their next refresh, which the erasure guard
+    forces to a full recompute over the erased table. A rollback
+    across the erasure and a rebase onto it are both refused.
 
     Caveats a deployment must own: clones made BEFORE the erasure
     still share the old bytes (erase them separately), and replicas
@@ -1545,20 +1583,34 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
         return f"{os.path.splitext(f)[0]}-er{txn}.parquet"
 
     # candidates: the key's bucket base runs + global runs + derived
-    # files that carry a conv_id column (probed inside the task)
+    # files that carry a conv_id column (row-filterable); derived
+    # views WITHOUT a conv_id column (token/grouped/windowed
+    # aggregates) may still embed the erased text's CONTENT (the
+    # token index literally stores its vocabulary), and no row filter
+    # can name the key's share -- those entries are INVALIDATED
+    # (dropped from the manifest; files age out via GC) and rebuild on
+    # their next refresh, which the _delta_files erasure guard forces
+    # to a full recompute over the already-erased table.
     candidates = [*prev.buckets.get(bucket, []), *prev.global_runs]
-    derived_candidates = [f for files in prev.derived.values()
-                          for f in files]
     refs = {f: _erase_from_file.remote(
                 os.path.join(state.runs_dir, f),
                 os.path.join(state.runs_dir, out_name(f)), conv_id)
             for f in candidates}
     drefs = {}
-    for f in derived_candidates:
-        path = os.path.join(state.runs_dir, f)
-        if "conv_id" in pq.read_schema(path).names:
+    invalidated = []
+    derived_new: dict = {}
+    for k, fs in prev.derived.items():
+        keyed = all("conv_id" in pq.read_schema(
+            os.path.join(state.runs_dir, f)).names for f in fs) \
+            if fs else True
+        if not keyed:
+            invalidated.append(k)
+            continue
+        derived_new[k] = list(fs)
+        for f in fs:
             drefs[f] = _erase_from_file.remote(
-                path, os.path.join(state.runs_dir, out_name(f)), conv_id)
+                os.path.join(state.runs_dir, f),
+                os.path.join(state.runs_dir, out_name(f)), conv_id)
     results = {f: r for f, r in zip(refs, ray.get(list(refs.values())))}
     dresults = {f: r for f, r in zip(drefs, ray.get(list(drefs.values())))}
 
@@ -1579,27 +1631,25 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
         buckets={b: remap(fs, results) if b == bucket else list(fs)
                  for b, fs in prev.buckets.items()},
         global_runs=remap(prev.global_runs, results),
-        derived={k: remap(fs, dresults)
-                 for k, fs in prev.derived.items()},
+        derived={k: remap(fs, dresults) for k, fs in derived_new.items()},
         control_ops=[op for op in prev.control_ops],
         wal_consumed=[],
         metrics={"erasure": {"conv_id": conv_id,
                              "files_rewritten": rewritten,
                              "rows_erased": int(rows_erased),
+                             "views_invalidated": sorted(invalidated),
                              "wal_scrubbed": bool(scrub_wal)}})
     published = state.publish(m, expected_parent=prev_version)
-    if scrub_wal:
-        for seg in wal.list_segments(cfg.wal_dir):
-            t = pq.read_table(seg.path, use_threads=False)
-            if "conv_id" not in t.column_names:
-                continue
-            kept = t.filter(pc.fill_null(
-                pc.not_equal(t["conv_id"], conv_id), True))
-            if kept.num_rows == t.num_rows:
-                continue
-            tmp = seg.path + f".tmp-{uuid.uuid4().hex[:8]}"
-            pq.write_table(kept, tmp, compression="zstd")
-            os.replace(tmp, seg.path)
+    # resurrection guard: WAL segments the table has NOT consumed yet
+    # would re-insert the key at the very next tick (committed_seq is
+    # untouched by erasure), so the unconsumed tail is ALWAYS
+    # scrubbed; `scrub_wal=True` extends the scrub to consumed history
+    # (bootstrap replays / offset rewinds of other consumers). Probe-
+    # gated and task-parallel, same shape as the run-file rewrite.
+    segs = [s for s in wal.list_segments(cfg.wal_dir)
+            if scrub_wal or s.seq > published.committed_seq]
+    if segs:
+        ray.get([_scrub_segment.remote(s.path, conv_id) for s in segs])
     return published
 
 

@@ -310,6 +310,19 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
             files.append(fname)
         if not files:
             return None               # nothing changed after resolve
+    if mode == "full" and not files:
+        # a legitimately-EMPTY view (all keys deleted on both sides)
+        # must still commit a watermark-bearing file: with no file the
+        # (sa, sb) watermark is lost and every later call would re-run
+        # a full refresh and publish a fresh commit forever, breaking
+        # the idle contract joinview_step/run_continuous rely on
+        empty = _state_cols(_result_schema(view).empty_table(), seq,
+                            False)
+        fname = f"{fname_base}-{uuid.uuid4().hex[:12]}.parquet"
+        tmp = os.path.join(runs_dir, fname + ".tmp")
+        pq.write_table(empty, tmp, compression="zstd")
+        os.replace(tmp, os.path.join(runs_dir, fname))
+        files = [fname]
 
     files = files if mode == "full" \
         else [*m_a.derived.get(view.derived_key, []), *files]

@@ -143,6 +143,122 @@ def test_erase_purges_keyed_matview_and_forces_recompute(tmp_path):
     assert victim not in set(mv["conv_id"])
 
 
+def test_erase_scrubs_unconsumed_tail_against_resurrection(tmp_path):
+    """Default (scrub_wal=False) erasure must still prevent the VERY
+    NEXT tick from re-inserting the key out of not-yet-consumed WAL
+    segments: the unconsumed tail is always scrubbed."""
+    from techtalk_data_pipeline_snowpark_ray.sources.generate import \
+        generate_chunks
+    from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+
+    cfg = _mk(tmp_path)
+    chunks = list(generate_chunks(SPEC))
+    mid = len(chunks) // 2 or 1
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=64)
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None
+    snap1 = ingest.snapshot_to_pandas(cfg)
+    # a conv with phase-1 rows AND events in the unconsumed phase 2
+    tail_convs = set()
+    for t, v in chunks[mid:]:
+        tail_convs.update(t["conv_id"].to_pylist())
+    victim = next(c for c in snap1["conv_id"].value_counts().index
+                  if c in tail_convs)
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    ingest.erase_conversation(cfg, victim)          # scrub_wal=False
+    assert ingest.apply_tick(cfg) is not None       # consume the tail
+    after = ingest.snapshot_to_pandas(cfg)
+    assert victim not in set(after["conv_id"])      # no resurrection
+    # the rest of phase 2 DID apply
+    assert len(after) > len(snap1[snap1["conv_id"] != victim])
+
+
+def test_erase_invalidates_content_bearing_views(tmp_path):
+    """Derived files without a conv_id column (the token index) embed
+    the erased TEXT itself; erasure must drop them from the manifest
+    so no referenced file carries the content, and the next refresh
+    rebuilds clean."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        read_grouped_matview, refresh_matview)
+
+    cfg = _mk(tmp_path)
+    victim = _build(cfg)
+    refresh_matview(cfg, "token_index")
+    m = ingest.erase_conversation(cfg, victim)
+    assert "gmv:token_index" in m.metrics["erasure"]["views_invalidated"]
+    state = TableState(cfg.table_dir)
+    assert "gmv:token_index" not in state.load_latest().derived
+    assert read_grouped_matview(cfg, "token_index").count() == 0
+    # rebuild: full (first-refresh over the erased table), clean
+    m2 = refresh_matview(cfg, "token_index")
+    assert m2.metrics["matview_refresh"]["mode"] == "full"
+    idx = read_grouped_matview(cfg, "token_index").to_pandas()
+    assert len(idx) > 0
+    # parity against the erased snapshot's brute tokenization
+    import re
+    from collections import Counter
+    snap = ingest.snapshot_to_pandas(cfg)
+    hits = Counter()
+    for txt in snap["text"].dropna():
+        for tok in re.split("[^a-z0-9]+", txt.lower()):
+            if tok:
+                hits[tok] += 1
+    assert len(idx) == len(hits)
+
+
+def test_tick_refuses_rebase_onto_concurrent_erasure(tmp_path):
+    """An ingest tick losing the version race to an erasure must NOT
+    re-point its delta files (they may hold the key's pre-scrub rows);
+    it raises CommitConflict instead."""
+    from unittest import mock
+
+    from techtalk_data_pipeline_snowpark_ray.sources.generate import \
+        generate_chunks
+    from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import \
+        CommitConflict
+
+    cfg = _mk(tmp_path)
+    chunks = list(generate_chunks(SPEC))
+    mid = len(chunks) // 2 or 1
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=64)
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None
+    victim = ingest.snapshot_to_pandas(cfg)["conv_id"] \
+        .value_counts().idxmax()
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    # the erasure wins the race DURING the phase-2 tick's publish; the
+    # tick's committed_seq check alone would let it rebase (erasure
+    # leaves the offset untouched) — the erasure guard must refuse
+    orig = TableState.publish
+    fired = {"n": 0}
+
+    def race(self, manifest, expected_parent=None, **kw):
+        if not fired["n"] and not manifest.metrics.get("erasure"):
+            fired["n"] = 1
+            ingest.erase_conversation(cfg, victim)
+        return orig(self, manifest, expected_parent=expected_parent)
+
+    with mock.patch.object(TableState, "publish", race):
+        with pytest.raises(CommitConflict, match="erasure"):
+            ingest.apply_tick(cfg)
+    assert fired["n"] == 1
+    # the erasure's effect rules the final state (the tick aborted)
+    assert victim not in set(ingest.snapshot_to_pandas(cfg)["conv_id"])
+    # the aborted tick left the offset unconsumed: a RE-RUN tick
+    # applies phase 2, still without the victim (tail was scrubbed)
+    assert ingest.apply_tick(cfg) is not None
+    assert victim not in set(ingest.snapshot_to_pandas(cfg)["conv_id"])
+
+
 def test_read_delta_refuses_window_spanning_erasure(tmp_path):
     cfg = _mk(tmp_path)
     victim = _build(cfg)
