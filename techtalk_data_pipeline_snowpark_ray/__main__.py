@@ -94,9 +94,11 @@ def main(argv: "list[str] | None" = None) -> int:
     sp.add_argument("--other-wal-dir", default="")
 
     sp = sub.add_parser("erase",
-                        help="physically erase one conversation "
-                             "(GDPR hard delete)")
-    sp.add_argument("--conv-id", required=True)
+                        help="physically erase conversations "
+                             "(GDPR hard delete; comma-separated batch)")
+    sp.add_argument("--conv-id", required=True,
+                    help="one id or a comma-separated batch (a batch "
+                         "rewrites each affected file once)")
     sp.add_argument("--scrub-wal", action="store_true",
                     help="also rewrite WAL segments containing the key")
 
@@ -175,8 +177,9 @@ def main(argv: "list[str] | None" = None) -> int:
                "refreshed": m is not None,
                **({} if m is None else m.metrics.get("matview_refresh", {}))}
     elif args.cmd == "erase":
-        m = ingest.erase_conversation(cfg, args.conv_id,
-                                      scrub_wal=args.scrub_wal)
+        ids = [c for c in args.conv_id.split(",") if c]
+        m = ingest.erase_conversations(cfg, ids,
+                                       scrub_wal=args.scrub_wal)
         out = {"cmd": "erase", "version": m.version,
                **m.metrics["erasure"]}
     elif args.cmd == "clone":

@@ -1403,10 +1403,12 @@ def rollback(cfg: EngineConfig, to_version: int,
     for v in range(to_version + 1, prev_version + 1):
         mv = state.load(v)
         if mv.metrics.get("erasure") is not None:
+            who = mv.metrics["erasure"].get("conv_ids",
+                                            mv.metrics["erasure"]
+                                            .get("conv_id"))
             raise ValueError(
                 f"cannot roll back to v{to_version} across the "
-                f"erasure committed at v{v} "
-                f"({mv.metrics['erasure'].get('conv_id')!r}): erased "
+                f"erasure committed at v{v} ({who!r}): erased "
                 f"data must not resurrect; re-apply the erasure on "
                 f"the restored state instead")
     target = state.load(to_version)
@@ -1492,23 +1494,24 @@ def clone_table(cfg_src: EngineConfig, cfg_dst: EngineConfig,
 
 
 @ray.remote
-def _erase_from_file(path: str, out_path: str, conv_id: str
+def _erase_from_file(path: str, out_path: str, conv_ids: "list[str]"
                      ) -> "tuple[int, int] | None":
-    """Rewrite one immutable file without `conv_id`'s rows. Returns
-    (kept, removed), or None when the file doesn't contain the key
+    """Rewrite one immutable file without the keys' rows. Returns
+    (kept, removed), or None when the file contains none of the keys
     (probe reads only the conv_id column; the original stays shared).
     Single-threaded read: parallelism is the per-file task fan-out."""
+    keys = pa.array(conv_ids, pa.string())
     probe = pq.read_table(path, columns=["conv_id"],
                           use_threads=False)
-    hit = pc.sum(pc.cast(pc.equal(probe["conv_id"], conv_id),
+    hit = pc.sum(pc.cast(pc.is_in(probe["conv_id"], value_set=keys),
                          pa.int64())).as_py() or 0
     if not hit:
         return None
     t = pq.read_table(path, use_threads=False)
-    # null-keyed rows (matview epoch markers) are NOT the erased key:
-    # keep them (a raw not_equal is null there and filter would drop)
-    kept = t.filter(pc.fill_null(pc.not_equal(t["conv_id"], conv_id),
-                                 True))
+    # null-keyed rows (matview epoch markers) are NOT the erased keys:
+    # keep them (a null membership would filter-drop otherwise)
+    kept = t.filter(pc.fill_null(
+        pc.invert(pc.is_in(t["conv_id"], value_set=keys)), True))
     tmp = out_path + f".tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(kept, tmp, compression="zstd")
     os.replace(tmp, out_path)
@@ -1516,18 +1519,19 @@ def _erase_from_file(path: str, out_path: str, conv_id: str
 
 
 @ray.remote
-def _scrub_segment(path: str, conv_id: str) -> int:
+def _scrub_segment(path: str, conv_ids: "list[str]") -> int:
     """In-place WAL-segment scrub (atomic same-name replace: the
     name's lsn interval stays a valid superset bound). Probe-gated:
-    segments without the key are untouched. Returns rows removed."""
+    segments without the keys are untouched. Returns rows removed."""
+    keys = pa.array(conv_ids, pa.string())
     probe = pq.read_table(path, columns=["conv_id"], use_threads=False)
-    hit = pc.sum(pc.cast(pc.equal(probe["conv_id"], conv_id),
+    hit = pc.sum(pc.cast(pc.is_in(probe["conv_id"], value_set=keys),
                          pa.int64())).as_py() or 0
     if not hit:
         return 0
     t = pq.read_table(path, use_threads=False)
-    kept = t.filter(pc.fill_null(pc.not_equal(t["conv_id"], conv_id),
-                                 True))
+    kept = t.filter(pc.fill_null(
+        pc.invert(pc.is_in(t["conv_id"], value_set=keys)), True))
     tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
     pq.write_table(kept, tmp, compression="zstd")
     os.replace(tmp, path)
@@ -1536,15 +1540,24 @@ def _scrub_segment(path: str, conv_id: str) -> int:
 
 def erase_conversation(cfg: EngineConfig, conv_id: str,
                        scrub_wal: bool = False) -> Manifest:
-    """PHYSICAL ERASURE of one conversation (GDPR/right-to-be-forgotten
-    — the op a transcript lake must have; a tombstone delete only hides
-    rows, this removes their bytes). Cost is bucket-proportional, never
-    table-proportional: the key's hash bucket names the only base runs
-    that can hold it, so the rewrite set is that bucket's runs, the
-    uncompacted global runs, and any derived-sink files carrying a
-    conv_id column (keyed matviews, additive sinks). Files that don't
-    contain the key are NOT rewritten (cheap column probe) and stay
-    byte-shared with prior versions/clones.
+    """Single-key convenience over :func:`erase_conversations`."""
+    return erase_conversations(cfg, [conv_id], scrub_wal=scrub_wal)
+
+
+def erase_conversations(cfg: EngineConfig, conv_ids: "list[str]",
+                        scrub_wal: bool = False) -> Manifest:
+    """PHYSICAL ERASURE of a batch of conversations (GDPR/right-to-be-
+    forgotten — the op a transcript lake must have; a tombstone delete
+    only hides rows, this removes their bytes). Cost is
+    affected-bucket-proportional, never table-proportional: the keys'
+    hash buckets name the only base runs that can hold them, so the
+    rewrite set is those buckets' runs, the uncompacted global runs,
+    and any derived-sink files carrying a conv_id column (keyed
+    matviews, additive sinks) — and a BATCH rewrites each affected
+    file once for the whole key set (erasure requests arrive in
+    batches; N keys must not mean N rewrites of a shared bucket).
+    Files containing none of the keys are NOT rewritten (cheap column
+    probe) and stay byte-shared with prior versions/clones.
 
     The rewrite commits as one strict-CAS manifest (same atomicity as
     everything else); old files become unreferenced and age out via GC
@@ -1570,31 +1583,36 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
     still share the old bytes (erase them separately), and replicas
     fed by `replicate_delta` windows that predate it must be erased
     downstream too."""
+    if not conv_ids:
+        raise ValueError("empty erasure batch")
+    conv_ids = sorted(set(conv_ids))
     state = TableState(cfg.table_dir)
     prev_version, prev = state.load_latest_versioned()
     if prev_version is None:
         raise ValueError("cannot erase from a table with no commits")
     nb = prev.num_buckets or cfg.num_buckets
-    bucket = str(int(hash_strings_arrow(
-        pa.array([conv_id], pa.string()))[0] % np.uint64(nb)))
+    kh = hash_strings_arrow(pa.array(conv_ids, pa.string()))
+    affected = {str(int(b)) for b in (kh % np.uint64(nb))}
     txn = state.new_txn()
 
     def out_name(f: str) -> str:
         return f"{os.path.splitext(f)[0]}-er{txn}.parquet"
 
-    # candidates: the key's bucket base runs + global runs + derived
+    # candidates: the keys' bucket base runs + global runs + derived
     # files that carry a conv_id column (row-filterable); derived
     # views WITHOUT a conv_id column (token/grouped/windowed
     # aggregates) may still embed the erased text's CONTENT (the
     # token index literally stores its vocabulary), and no row filter
-    # can name the key's share -- those entries are INVALIDATED
+    # can name the keys' share -- those entries are INVALIDATED
     # (dropped from the manifest; files age out via GC) and rebuild on
     # their next refresh, which the _delta_files erasure guard forces
     # to a full recompute over the already-erased table.
-    candidates = [*prev.buckets.get(bucket, []), *prev.global_runs]
+    candidates = [*(f for b in sorted(affected)
+                    for f in prev.buckets.get(b, [])),
+                  *prev.global_runs]
     refs = {f: _erase_from_file.remote(
                 os.path.join(state.runs_dir, f),
-                os.path.join(state.runs_dir, out_name(f)), conv_id)
+                os.path.join(state.runs_dir, out_name(f)), conv_ids)
             for f in candidates}
     drefs = {}
     invalidated = []
@@ -1610,7 +1628,7 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
         for f in fs:
             drefs[f] = _erase_from_file.remote(
                 os.path.join(state.runs_dir, f),
-                os.path.join(state.runs_dir, out_name(f)), conv_id)
+                os.path.join(state.runs_dir, out_name(f)), conv_ids)
     results = {f: r for f, r in zip(refs, ray.get(list(refs.values())))}
     dresults = {f: r for f, r in zip(drefs, ray.get(list(drefs.values())))}
 
@@ -1628,13 +1646,13 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
         committed_lsn=prev.committed_lsn,
         schema_version=prev.schema_version,
         num_buckets=prev.num_buckets,
-        buckets={b: remap(fs, results) if b == bucket else list(fs)
+        buckets={b: remap(fs, results) if b in affected else list(fs)
                  for b, fs in prev.buckets.items()},
         global_runs=remap(prev.global_runs, results),
         derived={k: remap(fs, dresults) for k, fs in derived_new.items()},
         control_ops=[op for op in prev.control_ops],
         wal_consumed=[],
-        metrics={"erasure": {"conv_id": conv_id,
+        metrics={"erasure": {"conv_ids": conv_ids,
                              "files_rewritten": rewritten,
                              "rows_erased": int(rows_erased),
                              "views_invalidated": sorted(invalidated),
@@ -1649,7 +1667,7 @@ def erase_conversation(cfg: EngineConfig, conv_id: str,
     segs = [s for s in wal.list_segments(cfg.wal_dir)
             if scrub_wal or s.seq > published.committed_seq]
     if segs:
-        ray.get([_scrub_segment.remote(s.path, conv_id) for s in segs])
+        ray.get([_scrub_segment.remote(s.path, conv_ids) for s in segs])
     return published
 
 

@@ -268,6 +268,38 @@ def test_read_delta_refuses_window_spanning_erasure(tmp_path):
         ingest.read_delta(cfg, v0 - 1 if v0 else 0)
 
 
+def test_erase_batch_rewrites_each_file_once(tmp_path):
+    """A multi-key batch erases all keys in ONE commit, rewriting each
+    affected file once for the whole set."""
+    cfg = _mk(tmp_path)
+    _build(cfg)
+    ingest.compact(cfg)
+    snap = ingest.snapshot_to_pandas(cfg)
+    victims = list(snap["conv_id"].value_counts().index[:3])
+    before = ingest.snapshot_to_pandas(cfg)
+    state = TableState(cfg.table_dir)
+    v0 = state.latest_version()
+    m = ingest.erase_conversations(cfg, victims)
+    assert state.latest_version() == v0 + 1          # one commit
+    assert m.metrics["erasure"]["conv_ids"] == sorted(victims)
+    after = ingest.snapshot_to_pandas(cfg)
+    assert set(after["conv_id"]) & set(victims) == set()
+    pd.testing.assert_frame_equal(
+        after.reset_index(drop=True),
+        before[~before["conv_id"].isin(victims)].reset_index(drop=True))
+    # each affected file rewritten once for the whole batch: rewritten
+    # count is bounded by the affected-bucket file count, not by keys
+    latest = state.load_latest()
+    assert m.metrics["erasure"]["files_rewritten"] <= \
+        len(latest.table_run_files())
+    for f in latest.table_run_files():
+        p = os.path.join(state.runs_dir, f)
+        col = pq.read_table(p, columns=["conv_id"])["conv_id"].to_pandas()
+        assert not col.isin(victims).any(), f
+    with pytest.raises(ValueError, match="empty erasure batch"):
+        ingest.erase_conversations(cfg, [])
+
+
 def test_erase_unknown_key_is_a_clean_noop_commit(tmp_path):
     cfg = _mk(tmp_path)
     _build(cfg)
