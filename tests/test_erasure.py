@@ -300,6 +300,72 @@ def test_erase_batch_rewrites_each_file_once(tmp_path):
         ingest.erase_conversations(cfg, [])
 
 
+def test_erase_crash_before_publish_leaves_old_state(tmp_path):
+    """Crash-equivalence: an erasure that dies after writing its
+    rewritten files but BEFORE the manifest publish leaves the old
+    state ruling; the half-written -er files are unreferenced orphans
+    that GC sweeps; a retry completes cleanly."""
+    from unittest import mock
+
+    cfg = _mk(tmp_path)
+    victim = _build(cfg)
+    before = ingest.snapshot_to_pandas(cfg)
+    state = TableState(cfg.table_dir)
+    v0 = state.latest_version()
+
+    boom = RuntimeError("crash before publish")
+    with mock.patch.object(TableState, "publish", side_effect=boom):
+        with pytest.raises(RuntimeError, match="crash before publish"):
+            ingest.erase_conversation(cfg, victim)
+    assert state.latest_version() == v0              # nothing committed
+    pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(cfg), before)
+    orphans = [f for f in os.listdir(state.runs_dir) if "-er" in f]
+    assert orphans                                   # half-written files
+    swept = state.gc_orphan_runs(keep_versions=1)
+    assert set(orphans) <= set(swept)
+    # retry completes and erases for real
+    m = ingest.erase_conversation(cfg, victim)
+    assert m.metrics["erasure"]["rows_erased"] > 0
+    assert victim not in set(ingest.snapshot_to_pandas(cfg)["conv_id"])
+
+
+def test_clone_retry_after_partial_link_failure(tmp_path):
+    """A clone that dies mid-link leaves no commit at the destination;
+    a retry re-walks the file list (link_or_copy is idempotent) and
+    publishes v0 cleanly."""
+    from unittest import mock
+
+    from techtalk_data_pipeline_snowpark_ray.state.storage import \
+        LocalStorage
+
+    cfg = EngineConfig(table_dir=str(tmp_path / "src"),
+                       wal_dir=str(tmp_path / "w-src"),
+                       num_buckets=4, apply_mode="direct")
+    cfg.ensure_dirs()
+    _build(cfg)
+    ingest.compact(cfg)                   # several per-bucket files
+    dst = EngineConfig(table_dir=str(tmp_path / "dst"),
+                       wal_dir=cfg.wal_dir, num_buckets=4,
+                       apply_mode="direct")
+    orig = LocalStorage.link_or_copy
+    calls = {"n": 0}
+
+    def flaky(self, a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("disk hiccup mid-clone")
+        return orig(self, a, b)
+
+    with mock.patch.object(LocalStorage, "link_or_copy", flaky):
+        with pytest.raises(OSError, match="mid-clone"):
+            ingest.clone_table(cfg, dst)
+    assert TableState(dst.table_dir).latest_version() is None
+    m = ingest.clone_table(cfg, dst)      # retry: idempotent re-walk
+    assert m.version == 0
+    pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(dst),
+                                  ingest.snapshot_to_pandas(cfg))
+
+
 def test_erase_unknown_key_is_a_clean_noop_commit(tmp_path):
     cfg = _mk(tmp_path)
     _build(cfg)
