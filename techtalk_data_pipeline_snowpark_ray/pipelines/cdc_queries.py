@@ -649,7 +649,6 @@ def cdc_join_matview_drift(sf_dir: str) -> ray.data.Dataset:
     refresh followed by an incremental one (affected keys re-resolved
     on each side under its own layout, co-partitioned by key hash,
     joined vectorized per partition)."""
-    from ..state.manifest import TableState  # noqa: F401
     from .analytics import _parquet_col_max
     from .joinview import read_join_matview, refresh_join_matview
 

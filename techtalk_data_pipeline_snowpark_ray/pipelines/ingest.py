@@ -1523,6 +1523,8 @@ def _scrub_segment(path: str, conv_ids: "list[str]") -> int:
     """In-place WAL-segment scrub (atomic same-name replace: the
     name's lsn interval stays a valid superset bound). Probe-gated:
     segments without the keys are untouched. Returns rows removed."""
+    if "conv_id" not in pq.read_schema(path).names:
+        return 0                  # e.g. a staged-source side file
     keys = pa.array(conv_ids, pa.string())
     probe = pq.read_table(path, columns=["conv_id"], use_threads=False)
     hit = pc.sum(pc.cast(pc.is_in(probe["conv_id"], value_set=keys),
@@ -1599,14 +1601,21 @@ def erase_conversations(cfg: EngineConfig, conv_ids: "list[str]",
         return f"{os.path.splitext(f)[0]}-er{txn}.parquet"
 
     # candidates: the keys' bucket base runs + global runs + derived
-    # files that carry a conv_id column (row-filterable); derived
-    # views WITHOUT a conv_id column (token/grouped/windowed
-    # aggregates) may still embed the erased text's CONTENT (the
-    # token index literally stores its vocabulary), and no row filter
-    # can name the keys' share -- those entries are INVALIDATED
-    # (dropped from the manifest; files age out via GC) and rebuild on
-    # their next refresh, which the _delta_files erasure guard forces
-    # to a full recompute over the already-erased table.
+    # files that carry the conv_id key (row-filterable). Per derived
+    # CLASS (decided by registry/prefix, never by reading footers):
+    #   mv:/jmv: -- keyed by conv_id by construction: REWRITE.
+    #   gmv:     -- grouped aggregates may embed the erased text's
+    #               CONTENT (the token index literally stores its
+    #               vocabulary) and no row filter names the keys'
+    #               share; they are recomputable from the table, so
+    #               INVALIDATE (drop from the manifest; files age out
+    #               via GC; the next refresh is a forced-full rebuild
+    #               over the already-erased table).
+    #   additive sinks -- fed only by per-tick WAL deltas with NO
+    #               recompute path; the conv_id-keyed ones REWRITE,
+    #               the rest (role-level counters: numeric aggregates,
+    #               no row content) are RETAINED -- dropping them
+    #               would permanently destroy unrelated state.
     candidates = [*(f for b in sorted(affected)
                     for f in prev.buckets.get(b, [])),
                   *prev.global_runs]
@@ -1614,15 +1623,22 @@ def erase_conversations(cfg: EngineConfig, conv_ids: "list[str]",
                 os.path.join(state.runs_dir, f),
                 os.path.join(state.runs_dir, out_name(f)), conv_ids)
             for f in candidates}
+    from .derived import VIEWS
     drefs = {}
     invalidated = []
+    retained = []
     derived_new: dict = {}
     for k, fs in prev.derived.items():
-        keyed = all("conv_id" in pq.read_schema(
-            os.path.join(state.runs_dir, f)).names for f in fs) \
-            if fs else True
-        if not keyed:
+        if k.startswith("gmv:"):
             invalidated.append(k)
+            continue
+        if k.startswith(("mv:", "jmv:")):
+            keyed = True
+        else:
+            keyed = k in VIEWS and VIEWS[k].key == "conv_id"
+        if not keyed:
+            retained.append(k)
+            derived_new[k] = list(fs)
             continue
         derived_new[k] = list(fs)
         for f in fs:
@@ -1656,19 +1672,24 @@ def erase_conversations(cfg: EngineConfig, conv_ids: "list[str]",
                              "files_rewritten": rewritten,
                              "rows_erased": int(rows_erased),
                              "views_invalidated": sorted(invalidated),
+                             "views_retained_aggregate": sorted(retained),
                              "wal_scrubbed": bool(scrub_wal)}})
-    published = state.publish(m, expected_parent=prev_version)
-    # resurrection guard: WAL segments the table has NOT consumed yet
-    # would re-insert the key at the very next tick (committed_seq is
-    # untouched by erasure), so the unconsumed tail is ALWAYS
-    # scrubbed; `scrub_wal=True` extends the scrub to consumed history
-    # (bootstrap replays / offset rewinds of other consumers). Probe-
-    # gated and task-parallel, same shape as the run-file rewrite.
+    # resurrection guard, BEFORE the publish: WAL segments the table
+    # has NOT consumed yet would re-insert the keys at the very next
+    # tick (committed_seq is untouched by erasure), and scrubbing
+    # after the commit would leave a crash window where the erasure is
+    # durable but the tail still holds the keys. Scrub-first is safe:
+    # if the publish then fails, the WAL merely lost rows the caller
+    # asked to erase (over-deletion without a commit; the retry
+    # completes the commit), never the reverse. `scrub_wal=True`
+    # extends the scrub to consumed history (bootstrap replays /
+    # offset rewinds of other consumers). Probe-gated and
+    # task-parallel, same shape as the run-file rewrite.
     segs = [s for s in wal.list_segments(cfg.wal_dir)
-            if scrub_wal or s.seq > published.committed_seq]
+            if scrub_wal or s.seq > prev.committed_seq]
     if segs:
         ray.get([_scrub_segment.remote(s.path, conv_ids) for s in segs])
-    return published
+    return state.publish(m, expected_parent=prev_version)
 
 
 def snapshot_diff(cfg: EngineConfig, v_from: int, v_to: int | None = None,

@@ -124,6 +124,17 @@ JOIN_MATVIEWS["conv_drift"] = JoinMatView(
     join=_conv_drift_join)
 
 
+def _write_jmv(tbl: pa.Table, runs_dir: str, fname_base: str) -> str:
+    """Atomic parquet publish of one join-view file (the jmv analogue
+    of matview._write_mv_file; name carries the -sa/-sb watermark via
+    fname_base)."""
+    fname = f"{fname_base}-{uuid.uuid4().hex[:12]}.parquet"
+    tmp = os.path.join(runs_dir, fname + ".tmp")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(runs_dir, fname))
+    return fname
+
+
 def _last_join_refreshed(m: Manifest, view: JoinMatView
                          ) -> "tuple[int, int] | None":
     """(versionA, versionB) of the newest view file, from the
@@ -250,7 +261,8 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
             reason = reason_a if delta_a is None else reason_b
 
     P = max(1, min(len(keys), 16)) if keys is not None \
-        else min(32, int(ray.cluster_resources().get("CPU", 8) or 8))
+        else max(1, min(32,
+                        int(ray.cluster_resources().get("CPU", 8) or 8)))
     schema = _union_schema(view, m_a, m_b, cfg_a, cfg_b)
     ds = _side_ds(cfg_a, m_a, view, 0, keys, P, schema).union(
         _side_ds(cfg_b, m_b, view, 1, keys, P, schema))
@@ -282,10 +294,7 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
             pa.Table.from_pandas(a, schema=sch_a, preserve_index=False),
             pa.Table.from_pandas(b, schema=sch_b, preserve_index=False))
         out = _state_cols(joined, seq, False)
-        fname = f"{fname_base}-{uuid.uuid4().hex[:12]}.parquet"
-        tmp = os.path.join(runs_dir, fname + ".tmp")
-        pq.write_table(out, tmp, compression="zstd")
-        os.replace(tmp, os.path.join(runs_dir, fname))
+        fname = _write_jmv(out, runs_dir, fname_base)
         res = {"file": [fname], "conv_id": [None]}
         if incremental:               # joined keys back for tombstones
             ids = joined["conv_id"].to_pylist()
@@ -302,12 +311,9 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
             dead = {"conv_id": pa.array(gone, pa.string())}
             for n, t in view.agg_fields:
                 dead[n] = pa.nulls(len(gone), t)
-            out = _state_cols(pa.table(dead), seq, True)
-            fname = f"{fname_base}-{uuid.uuid4().hex[:12]}.parquet"
-            tmp = os.path.join(runs_dir, fname + ".tmp")
-            pq.write_table(out, tmp, compression="zstd")
-            os.replace(tmp, os.path.join(runs_dir, fname))
-            files.append(fname)
+            files.append(_write_jmv(_state_cols(pa.table(dead), seq,
+                                                True),
+                                    runs_dir, fname_base))
         if not files:
             return None               # nothing changed after resolve
     if mode == "full" and not files:
@@ -316,13 +322,9 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
         # (sa, sb) watermark is lost and every later call would re-run
         # a full refresh and publish a fresh commit forever, breaking
         # the idle contract joinview_step/run_continuous rely on
-        empty = _state_cols(_result_schema(view).empty_table(), seq,
-                            False)
-        fname = f"{fname_base}-{uuid.uuid4().hex[:12]}.parquet"
-        tmp = os.path.join(runs_dir, fname + ".tmp")
-        pq.write_table(empty, tmp, compression="zstd")
-        os.replace(tmp, os.path.join(runs_dir, fname))
-        files = [fname]
+        files = [_write_jmv(
+            _state_cols(_result_schema(view).empty_table(), seq, False),
+            runs_dir, fname_base)]
 
     files = files if mode == "full" \
         else [*m_a.derived.get(view.derived_key, []), *files]
@@ -378,12 +380,8 @@ def compact_jmv_files(runs_dir: str, view_key: str, files: "list[str]",
                       pa.field(MV_SEQ_COL, pa.int64()),
                       pa.field(MV_DEAD_COL, pa.bool_())])
     out = out.select(want.names).cast(want)
-    fname = (f"jmv-{name}-sa{sa}-sb{sb}-x{txn}-"
-             f"{uuid.uuid4().hex[:12]}.parquet")
-    tmp = os.path.join(runs_dir, fname + ".tmp")
-    pq.write_table(out, tmp, compression="zstd")
-    os.replace(tmp, os.path.join(runs_dir, fname))
-    return [fname]
+    return [_write_jmv(out, runs_dir,
+                       f"jmv-{name}-sa{sa}-sb{sb}-x{txn}")]
 
 
 def _result_schema(view: JoinMatView) -> pa.Schema:
@@ -411,15 +409,14 @@ def read_join_matview(cfg_a: EngineConfig, name: str,
     generations, tombstones dropped) — same read shape as keyed
     matviews: measured-small single-task merge, else a routed hash
     exchange."""
-    from ..stages.exchange import exchange_map_groups
-
     view = JOIN_MATVIEWS[name]
     state = TableState(cfg_a.table_dir)
     m = state.load_latest()
     paths = state.derived_paths(view.derived_key, m)
     if not paths:
         return ray.data.from_arrow(view.empty_result())
-    if num_partitions is None and _view_bytes(paths) <= SMALL_VIEW_BYTES:
+    if num_partitions is None \
+            and _view_bytes(paths) <= SMALL_VIEW_BYTES:
         return ray.data.from_arrow_refs(
             [_merge_small_jview.remote(paths, name)])
     P = num_partitions or min(32, m.num_buckets or cfg_a.num_buckets)

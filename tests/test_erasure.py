@@ -300,6 +300,31 @@ def test_erase_batch_rewrites_each_file_once(tmp_path):
         ingest.erase_conversations(cfg, [])
 
 
+def test_erase_keeps_additive_sinks_and_rewrites_keyed_ones(tmp_path):
+    """Additive derived sinks have NO recompute path: erasure must
+    rewrite the conv_id-keyed ones and RETAIN (never drop) the
+    non-keyed numeric aggregates like role_stats."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.ingest import \
+        read_derived
+
+    cfg = _mk(tmp_path, derived_views=("conv_stats", "role_stats"))
+    victim = _build(cfg)
+    roles_before = read_derived(cfg, "role_stats").to_pandas()
+    assert len(roles_before) > 0
+    m = ingest.erase_conversation(cfg, victim)
+    stats = m.metrics["erasure"]
+    assert stats["views_retained_aggregate"] == ["role_stats"]
+    assert "role_stats" not in stats["views_invalidated"]
+    # the retained aggregate survives byte-identically
+    roles_after = read_derived(cfg, "role_stats").to_pandas()
+    pd.testing.assert_frame_equal(
+        roles_after.sort_values("role", ignore_index=True),
+        roles_before.sort_values("role", ignore_index=True))
+    # the keyed sink was rewritten: the victim's row is gone
+    convs = read_derived(cfg, "conv_stats").to_pandas()
+    assert victim not in set(convs["conv_id"])
+
+
 def test_erase_crash_before_publish_leaves_old_state(tmp_path):
     """Crash-equivalence: an erasure that dies after writing its
     rewritten files but BEFORE the manifest publish leaves the old
