@@ -509,12 +509,26 @@ def _publish_append_rebased(state: TableState, cfg: EngineConfig,
             # pre-scrub rows, and re-pointing them would resurrect it
             lo = 0 if prev_version is None else prev_version + 1
             for v in range(lo, (new_version or 0) + 1):
-                if state.load(v).metrics.get("erasure") is not None:
+                wm = state.load(v).metrics
+                if wm.get("erasure") is not None:
                     raise CommitConflict(
                         f"concurrent physical erasure at v{v}; not "
                         "rebasable (the txn's run files may hold "
                         "pre-erasure rows) -- reload state and re-run "
                         "the tick")
+                # a rollback never commutes either: rebasing over a
+                # REWIND would re-advance committed_seq via the max()
+                # in _build_append_manifest (silently undoing the
+                # offset rewind without re-consuming the segments),
+                # and over a RESTORE would re-inflate committed_lsn
+                # past rows the restore dropped, corrupting the
+                # watermark used for control-op placement and lag
+                if wm.get("rollback_to") is not None:
+                    raise CommitConflict(
+                        f"concurrent rollback at v{v} "
+                        f"(mode={wm.get('rollback_mode')}); not "
+                        "rebasable (seq/lsn watermarks were rewound) "
+                        "-- reload state and re-run the tick")
             t.metrics = {**t.metrics, "rebased_onto": new_version}
             prev_version, prev = new_version, new_prev
     raise AssertionError("unreachable")
@@ -1589,6 +1603,26 @@ def erase_conversations(cfg: EngineConfig, conv_ids: "list[str]",
         raise ValueError("empty erasure batch")
     conv_ids = sorted(set(conv_ids))
     state = TableState(cfg.table_dir)
+    # Losing the strict-CAS version race must not abandon the erasure:
+    # the unconsumed WAL tail is scrubbed BEFORE each publish attempt
+    # (see below), so an abandoned attempt would leave the
+    # conversations in the table with their in-flight WAL updates
+    # already destroyed and no erasure recorded. Retry internally --
+    # reload state, re-check guards, re-run the (idempotent) rewrite
+    # against the new latest -- instead of relying on the caller.
+    for attempt in range(max(0, cfg.commit_retries) + 1):
+        try:
+            return _erase_attempt(cfg, state, conv_ids, scrub_wal)
+        except CommitConflict:
+            if attempt >= cfg.commit_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _erase_attempt(cfg: EngineConfig, state: TableState,
+                   conv_ids: "list[str]", scrub_wal: bool) -> Manifest:
+    """One CAS attempt of :func:`erase_conversations`: rewrite against
+    the current latest and publish strictly on it."""
     prev_version, prev = state.load_latest_versioned()
     if prev_version is None:
         raise ValueError("cannot erase from a table with no commits")
@@ -1994,6 +2028,21 @@ def run_loop(cfg: EngineConfig, max_ticks: int | None = None,
     concurrent tick's written-but-unpublished runs from the sweep)."""
     import threading
     import time
+
+    if background_compaction and cfg.gc_min_age_s <= 0:
+        # the foreground path GCs after every compaction even at age 0
+        # (single-writer mode), but the background thread REQUIRES the
+        # age guard to avoid sweeping a concurrent tick's
+        # written-but-unpublished runs -- so age 0 disables GC there.
+        # A long-running deployment that flips the flag must not
+        # silently accumulate superseded run files forever.
+        import warnings
+        warnings.warn(
+            "run_loop(background_compaction=True) with gc_min_age_s=0 "
+            "disables orphan-run GC entirely (the age guard is what "
+            "makes a concurrent sweep safe); set cfg.gc_min_age_s to a "
+            "value above your longest write-to-publish gap (e.g. 300) "
+            "to re-enable it", RuntimeWarning, stacklevel=2)
 
     if cfg.matviews:
         # fail fast on a typo'd view name BEFORE any tick commits --

@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 import re
 import time
+import urllib.error
 import urllib.request
 
 _PARAM = re.compile(r"\{\{(\w+)\}\}")
@@ -52,14 +53,23 @@ def fetch_text(url_template: str, params: dict | None = None,
                timeout_s: float = 30.0, retries: int = 3,
                backoff_s: float = 0.5) -> str:
     """GET the rendered URL, return the body as text; exponential
-    backoff on URLError/HTTPError (the transient classes)."""
+    backoff on transient errors only (URLError/timeout/5xx). A 4xx is
+    a hard failure — the URL or request is wrong, and retrying would
+    just delay it by the full backoff schedule while masking the real
+    status — so HTTPError with status < 500 re-raises immediately."""
     url = render_url(url_template, params)
     last: Exception | None = None
     for attempt in range(retries + 1):
         try:
             with urllib.request.urlopen(url, timeout=timeout_s) as r:
                 return r.read().decode("utf-8")
-        except Exception as e:                     # URLError, HTTPError, OS
+        except urllib.error.HTTPError as e:
+            if e.code < 500:
+                raise                              # 4xx: not transient
+            last = e
+            if attempt < retries:
+                time.sleep(backoff_s * (2 ** attempt))
+        except Exception as e:                     # URLError, timeout, OS
             last = e
             if attempt < retries:
                 time.sleep(backoff_s * (2 ** attempt))

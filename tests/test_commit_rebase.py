@@ -317,3 +317,69 @@ def test_serial_equivalence_of_rebased_schedule(tmp_path):
     a = ingest.snapshot_to_pandas(cfg_a).reset_index(drop=True)
     b = ingest.snapshot_to_pandas(cfg_b).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_tick_refuses_rebase_onto_concurrent_restore_rollback(tmp_path):
+    """A WAL tick losing the version race to a RESTORE rollback must
+    NOT rebase: restore keeps committed_seq (so the seq-equality guard
+    alone would pass) but rewinds committed_lsn, and the rebase's
+    max() would re-inflate it past rows the restore dropped, corrupting
+    the watermark used for control-op placement and lag."""
+    cfg = _mk_cfg(tmp_path)
+    chunks = list(generate_chunks(TINY))
+    a, b = max(1, len(chunks) // 3), max(2, 2 * len(chunks) // 3)
+    w = WalWriter(cfg.wal_dir, segment_rows=300, reorder_slack=64)
+    for t, v in chunks[:a]:
+        w.append(t, v)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None          # v0
+    for t, v in chunks[a:b]:
+        w.append(t, v)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None          # v1
+    for t, v in chunks[b:]:
+        w.append(t, v)
+    w.close()
+    with mock.patch.object(
+            TableState, "publish",
+            _hook(lambda: ingest.rollback(cfg, 0, rewind_stream=False))):
+        with pytest.raises(CommitConflict, match="rollback"):
+            ingest.apply_tick(cfg)
+    # the restore ruled: committed_lsn is back at v0's, not re-inflated
+    st = TableState(cfg.table_dir)
+    assert st.load_latest().committed_lsn == st.load(0).committed_lsn
+    # the aborted tick left its window unconsumed: a re-run applies it
+    assert ingest.apply_tick(cfg) is not None
+
+
+def test_replication_refuses_rebase_onto_concurrent_rewind(tmp_path):
+    """A replication window is seq-independent (consumes_wal=False,
+    which also skips the committed_seq-changed guard) -- but racing a
+    REWIND rollback it still must not rebase: _build_append_manifest's
+    max() over committed_seq would silently re-advance the rewound
+    offset to its pre-rewind value without the segments ever being
+    re-consumed."""
+    src = _mk_cfg(tmp_path, "src")
+    write_wal(TINY, src.wal_dir, segment_rows=500)
+    assert ingest.apply_tick(src) is not None
+
+    dst = _mk_cfg(tmp_path, "dst")
+    spec2 = GenSpec(n_events=400, n_conversations=10, max_turns=6,
+                    zipf_s=1.2, ooo_window=8, dup_fraction=0.0,
+                    partial_update_fraction=0.2, schema_add_at=100,
+                    schema_widen_at=200, seed=7)
+    phase2 = _two_phase_wal(dst.wal_dir, spec2)
+    assert ingest.apply_tick(dst) is not None          # dst v0
+    phase2()
+    assert ingest.apply_tick(dst) is not None          # dst v1
+
+    with mock.patch.object(
+            TableState, "publish",
+            _hook(lambda: ingest.rollback(dst, 0, rewind_stream=True))):
+        with pytest.raises(CommitConflict, match="rollback"):
+            ingest.replicate_delta(src, dst, from_version=-1)
+    # the rewind survived: the offset stayed at v0's watermark, so the
+    # next tick RE-CONSUMES the rewound window (the whole point)
+    st = TableState(dst.table_dir)
+    assert st.load_latest().committed_seq == st.load(0).committed_seq
+    assert ingest.apply_tick(dst) is not None

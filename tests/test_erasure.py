@@ -399,3 +399,51 @@ def test_erase_unknown_key_is_a_clean_noop_commit(tmp_path):
     assert m.metrics["erasure"]["rows_erased"] == 0
     assert m.metrics["erasure"]["files_rewritten"] == 0
     pd.testing.assert_frame_equal(ingest.snapshot_to_pandas(cfg), before)
+
+
+def test_erase_retries_internally_after_losing_version_race(tmp_path):
+    """erase_conversations scrubs the unconsumed WAL tail BEFORE its
+    strict-CAS publish, so losing the version race must retry
+    INTERNALLY (reload, re-rewrite, re-publish) -- an abandoned attempt
+    would leave the conversation in the table with its in-flight WAL
+    updates already destroyed and no erasure recorded."""
+    from unittest import mock
+
+    from techtalk_data_pipeline_snowpark_ray.sources.generate import \
+        generate_chunks
+    from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+
+    cfg = _mk(tmp_path)
+    chunks = list(generate_chunks(SPEC))
+    mid = len(chunks) // 2 or 1
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=64)
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None
+    victim = ingest.snapshot_to_pandas(cfg)["conv_id"] \
+        .value_counts().idxmax()
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+
+    orig = TableState.publish
+    fired = {"n": 0}
+
+    def race(self, manifest, expected_parent=None, **kw):
+        # the first ERASURE publish loses to a concurrent tick (which
+        # consumes the already-scrubbed phase-2 tail)
+        if manifest.metrics.get("erasure") and not fired["n"]:
+            fired["n"] = 1
+            assert ingest.apply_tick(cfg) is not None
+        return orig(self, manifest, expected_parent=expected_parent)
+
+    with mock.patch.object(TableState, "publish", race):
+        m = ingest.erase_conversations(cfg, [victim])
+    assert fired["n"] == 1                    # the race actually fired
+    assert m.metrics["erasure"]["conv_ids"] == [victim]
+    # the retry re-ran the rewrite against the tick's state: the victim
+    # is gone AND the tick's phase-2 rows for other keys are present
+    snap = ingest.snapshot_to_pandas(cfg)
+    assert victim not in set(snap["conv_id"])
+    assert ingest.apply_tick(cfg) is None     # nothing left unconsumed
