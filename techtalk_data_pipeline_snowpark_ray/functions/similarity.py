@@ -55,12 +55,31 @@ def _cosine(X: np.ndarray, Q: np.ndarray) -> np.ndarray:
     return np.round(num / den, 6)
 
 
+def _resolve(x):
+    """Accept a broadcast ObjectRef or the raw value. Actor POOLS must
+    be constructed with raw values, never refs: a user ObjectRef in
+    `fn_constructor_kwargs` makes actor RESTART depend on that ref
+    still being resolvable (ray#53727) — a node loss after the ref's
+    creating scope exits turns into a dead pipeline instead of a
+    restart. The query/centroid/plane matrices here are KB-sized, so
+    they ride inside the serialized UDF closure for free; refs remain
+    supported for the task-based paths where the driver provably pins
+    them. (Ray Data 2.49 still logs one `core_worker.cc:2246` line per
+    driver process for ANY callable-class pool — even with zero ctor
+    kwargs — because its own MapTransformer ctor arg lives in the
+    object store; that ref is driver-owned and pinned for the job's
+    lifetime, and restart-through-kill is pinned green by
+    tests/test_functions.py::test_ann_actor_pool_survives_actor_kill.)
+    """
+    return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+
 class BatchTopK:
     """Actor: holds the broadcast query matrix; per batch emits its
     local top-k (query_id, vec_id, sim) rows."""
 
     def __init__(self, q_ref, k: int):
-        self.q_ids, self.Q = ray.get(q_ref)
+        self.q_ids, self.Q = _resolve(q_ref)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -167,7 +186,7 @@ class LshTopK(BatchTopK):
 
     def __init__(self, q_ref, k: int, planes_ref):
         super().__init__(q_ref, k)
-        self.H = ray.get(planes_ref)                       # [dim, n_planes]
+        self.H = _resolve(planes_ref)                      # [dim, n_planes]
         self.q_sig = (self.Q @ self.H > 0)
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -197,11 +216,10 @@ def ann_topk_lsh(sf_dir: str, k: int = TOP_K, n_planes: int = 4) -> pd.DataFrame
     q_ids, Q = _query_matrix(sf_dir)
     rng = np.random.default_rng(97)
     H = rng.standard_normal((Q.shape[1], n_planes))
-    q_ref = ray.put((q_ids, Q))
-    planes_ref = ray.put(H)
+    # ctor args by VALUE (KB-scale): restart-safe, see _resolve
     parts = _emb(sf_dir).map_batches(
         LshTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
-        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, planes_ref=planes_ref),
+        fn_constructor_kwargs=dict(q_ref=(q_ids, Q), k=k, planes_ref=H),
         zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, k)
 
@@ -248,7 +266,7 @@ class IvfTopK(BatchTopK):
 
     def __init__(self, q_ref, k: int, centroids_ref, n_probe: int):
         super().__init__(q_ref, k)
-        self.C = ray.get(centroids_ref)                  # [n_cells, dim]
+        self.C = _resolve(centroids_ref)                 # [n_cells, dim]
         Cn = self.C / np.linalg.norm(self.C, axis=1, keepdims=True)
         qn = self.Q / np.linalg.norm(self.Q, axis=1, keepdims=True)
         # each query's probe list: its n_probe nearest cells (rounded
@@ -341,11 +359,10 @@ def ann_topk_ivf(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
     approximation itself is hash-gated by the driver."""
     q_ids, Q = _query_matrix(sf_dir)
     C = _fixed_centroids(sf_dir, n_cells)
-    q_ref = ray.put((q_ids, Q))
-    c_ref = ray.put(C)
+    # ctor args by VALUE (KB-scale): restart-safe, see _resolve
     parts = _emb(sf_dir).map_batches(
         IvfTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
-        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, centroids_ref=c_ref,
+        fn_constructor_kwargs=dict(q_ref=(q_ids, Q), k=k, centroids_ref=C,
                                    n_probe=n_probe),
         zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, k)
@@ -358,11 +375,9 @@ def ann_topk_ivf_lloyd(sf_dir: str, k: int = TOP_K, n_cells: int = 16,
     brute oracle is pytest-gated)."""
     q_ids, Q = _query_matrix(sf_dir)
     C = _train_centroids(sf_dir, n_cells)
-    q_ref = ray.put((q_ids, Q))
-    c_ref = ray.put(C)
     parts = _emb(sf_dir).map_batches(
         IvfTopK, batch_format="pyarrow", batch_size=8192, concurrency=2,
-        fn_constructor_kwargs=dict(q_ref=q_ref, k=k, centroids_ref=c_ref,
+        fn_constructor_kwargs=dict(q_ref=(q_ids, Q), k=k, centroids_ref=C,
                                    n_probe=n_probe),
         zero_copy_batch=True).to_pandas()
     return _merge_topk(parts, k)

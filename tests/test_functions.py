@@ -1234,3 +1234,38 @@ def test_media_video_frame_features_real_decode_exact():
         assert r["frame_sum"] == int(f.sum())
         assert r["frame_min"] == int(f.min())
         assert r["frame_max"] == int(f.max())
+
+
+def test_ann_actor_pool_survives_actor_kill(tmp_path):
+    """Restart-safety of the ANN actor pools (ray#53727 class of
+    failure): ctor args ride in the actor-creation task spec by VALUE
+    (never ObjectRefs), so a killed actor restarts cleanly and the job
+    completes with the same result. One pool actor os._exit()s on its
+    first batch; the pipeline must still produce ann_topk_lsh's exact
+    output."""
+    import os
+
+    marker = tmp_path / "killed-once"
+
+    class KillOnceLsh(similarity.LshTopK):
+        def __call__(self, batch):
+            try:
+                with open(marker, "x"):
+                    pass
+            except FileExistsError:
+                return super().__call__(batch)
+            os._exit(1)        # simulated node/actor loss, first batch only
+
+    q_ids, Q = similarity._query_matrix(SF_TINY)
+    import numpy as np
+    rng = np.random.default_rng(97)
+    H = rng.standard_normal((Q.shape[1], 4))
+    parts = similarity._emb(SF_TINY).map_batches(
+        KillOnceLsh, batch_format="pyarrow", batch_size=64, concurrency=2,
+        fn_constructor_kwargs=dict(q_ref=(q_ids, Q), k=similarity.TOP_K,
+                                   planes_ref=H),
+        zero_copy_batch=True).to_pandas()
+    got = similarity._merge_topk(parts, similarity.TOP_K)
+    assert marker.exists()                       # the kill really fired
+    want = similarity.ann_topk_lsh(SF_TINY)
+    pd.testing.assert_frame_equal(got, want)
