@@ -364,24 +364,56 @@ def compact_jmv_files(runs_dir: str, view_key: str, files: "list[str]",
             raise ValueError(f"unparseable join-view run file {f!r}")
         pairs.append((int(mm.group(1)), int(mm.group(2))))
     sa, sb = max(pairs)
-    tbl = pa.concat_tables(
-        [pq.read_table(os.path.join(runs_dir, f)) for f in files],
-        promote_options="default")
+    paths = [os.path.join(runs_dir, f) for f in files]
+    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                               promote_options="default")
+        seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
+        out = _fold_jmv_table(tbl, name, seq)
+        return [_write_jmv(out, runs_dir,
+                           f"jmv-{name}-sa{sa}-sb{sb}-x{txn}")]
+    # measured-large: key-routed hash exchange, one base per partition
+    # (same gate + shape as matview.compact_mv_files; a join view over
+    # 10^9 conversations must never concat in a single process)
+    from .matview import _compact_partitions, _file_max_seq, \
+        _split_view_file
+    P = _compact_partitions(paths)
+    seq = max(ray.get([_file_max_seq.remote(p) for p in paths]), default=0)
+    outs = [_split_view_file.options(num_returns=P if P > 1 else None)
+            .remote(p, P, "conv_id") for p in paths]
+    if P == 1:
+        outs = [[o] for o in outs]
+    names = ray.get([
+        _merge_jmv_part.remote(runs_dir, name, seq,
+                               f"jmv-{name}-sa{sa}-sb{sb}-x{txn}p{i}",
+                               *slices)
+        for i, slices in enumerate(zip(*outs))])
+    return [n for n in names if n is not None]
+
+
+def _fold_jmv_table(tbl: pa.Table, name: str, seq: int) -> pa.Table:
+    """Latest-wins fold of join-view rows + the view's declared-type
+    restore (tombstone nulls float-ify int columns through pandas)."""
     merged = merge_mv_rows(tbl.to_pandas(), "conv_id")
-    seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
     out = _state_cols(
         pa.Table.from_pandas(merged, preserve_index=False)
         .replace_schema_metadata(None), seq, False)
-    # tombstone nulls float-ify int columns through pandas; restore
-    # the view's declared types so generations stay concat-compatible
     view = JOIN_MATVIEWS[name]
     want = pa.schema([pa.field("conv_id", pa.string()),
                       *[pa.field(n, t) for n, t in view.agg_fields],
                       pa.field(MV_SEQ_COL, pa.int64()),
                       pa.field(MV_DEAD_COL, pa.bool_())])
-    out = out.select(want.names).cast(want)
-    return [_write_jmv(out, runs_dir,
-                       f"jmv-{name}-sa{sa}-sb{sb}-x{txn}")]
+    return out.select(want.names).cast(want)
+
+
+@ray.remote
+def _merge_jmv_part(runs_dir: str, name: str, seq: int, fname_base: str,
+                    *slices: pa.Table) -> "str | None":
+    tbl = pa.concat_tables(slices, promote_options="default")
+    if tbl.num_rows == 0:
+        return None
+    return _write_jmv(_fold_jmv_table(tbl, name, seq), runs_dir,
+                      fname_base)
 
 
 def _result_schema(view: JoinMatView) -> pa.Schema:

@@ -570,12 +570,39 @@ def _view_bytes(paths: list[str]) -> int:
     return sum(os.stat(p).st_size for p in paths)
 
 
+def _restore_int_dtypes(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
+    """Undo pandas' null-driven int->float promotion against the
+    declared schema (rows carrying the nulls are already dropped)."""
+    for f in schema:
+        if pa.types.is_integer(f.type) and f.name in df.columns \
+                and df[f.name].dtype != np.int64:
+            df[f.name] = df[f.name].astype("int64")
+    return df
+
+
+def _mv_result_schema(view: MatView) -> pa.Schema:
+    """The view's declared result schema (key + typed agg cols) — the
+    cast target after any pandas fold: tombstone nulls float-ify int
+    columns through to_pandas, and a float-typed generation next to an
+    int-typed one breaks every later concat."""
+    return view.empty_result().schema
+
+
+def _mv_file_schema(view: MatView) -> pa.Schema:
+    return pa.schema([*_mv_result_schema(view),
+                      pa.field(MV_SEQ_COL, pa.int64()),
+                      pa.field(MV_DEAD_COL, pa.bool_())])
+
+
 @ray.remote
-def _merge_small_view(paths: list[str], key: str) -> pa.Table:
+def _merge_small_view(paths: list[str], name: str) -> pa.Table:
+    view = _view(name)
     tbl = pa.concat_tables([pq.read_table(p) for p in paths],
                            promote_options="default")
-    return pa.Table.from_pandas(merge_mv_rows(tbl.to_pandas(), key),
-                                preserve_index=False)
+    out = pa.Table.from_pandas(merge_mv_rows(tbl.to_pandas(), view.key),
+                               preserve_index=False)
+    want = _mv_result_schema(view)
+    return out.select(want.names).cast(want)
 
 
 def read_matview(cfg: EngineConfig, name: str,
@@ -595,7 +622,7 @@ def read_matview(cfg: EngineConfig, name: str,
     # auto_join's forced-partitioned path)
     if num_partitions is None and _view_bytes(paths) <= SMALL_VIEW_BYTES:
         return ray.data.from_arrow_refs(
-            [_merge_small_view.remote(paths, view.key)])
+            [_merge_small_view.remote(paths, name)])
     P = num_partitions or min(32, m.num_buckets or cfg.num_buckets)
     part = "_mv_part"
 
@@ -603,10 +630,16 @@ def read_matview(cfg: EngineConfig, name: str,
         p = (hash_strings_arrow(t[view.key]) % np.uint64(P)).astype(np.int64)
         return t.append_column(part, pa.array(p))
 
+    want = _mv_result_schema(view)
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        # dtype restore: a partition whose slice held tombstones gets
+        # float-ified int cols from pandas; blocks must agree
+        return _restore_int_dtypes(merge_mv_rows(g, view.key), want)
+
     ds = ray.data.read_parquet(paths) \
         .map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    return exchange_map_groups(ds, part, P,
-                               lambda g: merge_mv_rows(g, view.key))
+    return exchange_map_groups(ds, part, P, merge_part)
 
 
 # -- grouped matviews --------------------------------------------------------
@@ -873,20 +906,50 @@ def read_grouped_matview(cfg: EngineConfig, name: str,
                            zero_copy_batch=True)
 
 
+@ray.remote
+def _merge_gmv_part(runs_dir: str, view_name: str, cur_seq: dict,
+                    txn: str, *slices: pa.Table) -> str | None:
+    """Reduce side for grouped views: current-epoch filter of one
+    bucket partition's slices, written in-task."""
+    view = GROUPED_MATVIEWS[view_name]
+    tbl = pa.concat_tables(slices, promote_options="default")
+    if tbl.num_rows == 0:
+        return None
+    out = _filter_current(tbl, cur_seq, keep_markers=True)
+    if out.num_rows == 0:
+        return None
+    seq = int(pc.max(out[MV_SEQ_COL]).as_py())
+    return _write_mv_file(out, runs_dir, view, seq, txn)
+
+
 def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],
                       txn: str) -> list[str]:
     """Compaction hook for grouped views: keep only each bucket's
     current epoch (markers included — they carry the epoch for buckets
-    whose partial set is empty) in one base file."""
+    whose partial set is empty). Size-gated like the keyed path: small
+    folds into one base in-process; a large view (the token index over
+    a big corpus) folds as a bucket-routed exchange, one base per
+    partition, never one whole-view concat."""
     name = view_key[len(GMV_PREFIX):]
     view = GROUPED_MATVIEWS[name]
     paths = [os.path.join(runs_dir, f) for f in files]
     cur_seq = _bucket_epochs(paths)
-    tbl = pa.concat_tables([pq.read_table(p) for p in paths],
-                           promote_options="default")
-    out = _filter_current(tbl, cur_seq, keep_markers=True)
-    seq = int(pc.max(out[MV_SEQ_COL]).as_py()) if out.num_rows else 0
-    return [_write_mv_file(out, runs_dir, view, seq, txn)]
+    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                               promote_options="default")
+        out = _filter_current(tbl, cur_seq, keep_markers=True)
+        seq = int(pc.max(out[MV_SEQ_COL]).as_py()) if out.num_rows else 0
+        return [_write_mv_file(out, runs_dir, view, seq, txn)]
+    P = _compact_partitions(paths)
+    outs = [_split_view_file.options(num_returns=P if P > 1 else None)
+            .remote(p, P, None) for p in paths]
+    if P == 1:
+        outs = [[o] for o in outs]
+    names = ray.get([
+        _merge_gmv_part.remote(runs_dir, name, cur_seq, f"{txn}p{i}",
+                               *slices)
+        for i, slices in enumerate(zip(*outs))])
+    return [n for n in names if n is not None]
 
 
 # -- inverted-index search ----------------------------------------------------
@@ -992,19 +1055,88 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
                           zero_copy_batch=True)
 
 
-def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
-                     txn: str) -> list[str]:
-    """Compaction hook (called from ingest._compact_derived): fold a
-    view's run files into one base. Latest-wins, tombstones dropped —
-    the base IS the full row set, nothing older remains to mask."""
-    name = view_key[len(MV_PREFIX):]
-    view = _view(name)
-    tbl = pa.concat_tables(
-        [pq.read_table(os.path.join(runs_dir, f)) for f in files],
-        promote_options="default")
+def _compact_partitions(paths: list[str]) -> int:
+    """Partition count for a distributed view-compaction fold: one
+    key-routed reducer per SMALL_VIEW_BYTES of input, capped so the
+    object count stays bounded."""
+    unit = max(1, SMALL_VIEW_BYTES)       # tests force the path with 0
+    return int(max(2, min(32, -(-_view_bytes(paths) // unit))))
+
+
+@ray.remote
+def _split_view_file(path: str, n: int, key: str | None):
+    """Slices of one view run file routed by hash(key) % n (keyed
+    views) or bucket % n (grouped views, key=None) — the map side of
+    the distributed compaction exchange."""
+    t = pq.read_table(path)
+    if t.num_rows == 0:
+        return tuple([t] * n) if n > 1 else t
+    if key is None:
+        part = t[MV_BUCKET_COL].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64) % np.uint64(n)
+    else:
+        part = hash_strings_arrow(t[key]) % np.uint64(n)
+    out = tuple(t.filter(pa.array(part == i)) for i in range(n))
+    return out if n > 1 else out[0]
+
+
+@ray.remote
+def _file_max_seq(path: str) -> int:
+    t = pq.read_table(path, columns=[MV_SEQ_COL])
+    return int(pc.max(t[MV_SEQ_COL]).as_py()) if t.num_rows else 0
+
+
+@ray.remote
+def _merge_mv_part(runs_dir: str, view_name: str, seq: int, txn: str,
+                   *slices: pa.Table) -> str | None:
+    """Reduce side: latest-wins fold of one key partition's slices,
+    written in-task as its own base file (manifests carry per-view
+    file LISTS, so readers are unaffected). None for empty parts."""
+    tbl = pa.concat_tables(slices, promote_options="default")
+    if tbl.num_rows == 0:
+        return None
+    view = _view(view_name)
     merged = merge_mv_rows(tbl.to_pandas(), view.key)
-    seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
     out = _state_cols(
         pa.Table.from_pandas(merged, preserve_index=False)
         .replace_schema_metadata(None), seq, False)
-    return [_write_mv_file(out, runs_dir, view, seq, txn)]
+    want = _mv_file_schema(view)
+    out = out.select(want.names).cast(want)
+    return _write_mv_file(out, runs_dir, view, seq, txn)
+
+
+def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
+                     txn: str) -> list[str]:
+    """Compaction hook (called from ingest._compact_derived): fold a
+    view's run files into a base set. Latest-wins, tombstones dropped —
+    the bases ARE the full row set, nothing older remains to mask.
+
+    Size-gated like the read path (`read_matview`): a measured-small
+    view folds in one task; past SMALL_VIEW_BYTES the fold is a
+    key-routed hash exchange writing one base file per partition —
+    a keyed view over 10^9 conversations must never concat in a single
+    process."""
+    name = view_key[len(MV_PREFIX):]
+    view = _view(name)
+    paths = [os.path.join(runs_dir, f) for f in files]
+    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                               promote_options="default")
+        merged = merge_mv_rows(tbl.to_pandas(), view.key)
+        seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
+        out = _state_cols(
+            pa.Table.from_pandas(merged, preserve_index=False)
+            .replace_schema_metadata(None), seq, False)
+        want = _mv_file_schema(view)
+        return [_write_mv_file(out.select(want.names).cast(want),
+                               runs_dir, view, seq, txn)]
+    P = _compact_partitions(paths)
+    seq = max(ray.get([_file_max_seq.remote(p) for p in paths]), default=0)
+    outs = [_split_view_file.options(num_returns=P if P > 1 else None)
+            .remote(p, P, view.key) for p in paths]
+    if P == 1:
+        outs = [[o] for o in outs]
+    names = ray.get([
+        _merge_mv_part.remote(runs_dir, name, seq, f"{txn}p{i}", *slices)
+        for i, slices in enumerate(zip(*outs))])
+    return [n for n in names if n is not None]

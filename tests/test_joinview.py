@@ -212,3 +212,43 @@ def test_join_view_fallbacks_on_history_rewrites(tmp_path):
     v = _view(A).set_index("conv_id")
     assert v.loc["c1", "n_turns_a"] == 0      # erased on A...
     assert v.loc["c1", "n_turns_b"] == 1      # ...but B still has it
+
+
+def test_join_view_distributed_compaction_identical(tmp_path, monkeypatch):
+    """Past SMALL_VIEW_BYTES the join-view fold is a key-routed hash
+    exchange writing one base PER PARTITION — forced here by zeroing
+    the gate; read-back and the incremental watermark must be
+    unaffected."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines import joinview, matview
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import \
+        TableState
+
+    A = _mk(tmp_path, "a", 4)
+    B = _mk(tmp_path, "b", 4)
+    wa = _append(A, [(1, "insert", "c1", 0, "xx"),
+                     (2, "insert", "c2", 0, "yy"),
+                     (3, "insert", "c3", 0, "zz")])
+    wb = _append(B, [(1, "insert", "c1", 0, "x")])
+    ingest.apply_tick(A)
+    ingest.apply_tick(B)
+    refresh_join_matview(A, B, "conv_drift")
+    _append(A, [(5, "delete", "c2", 0, None),
+                (6, "insert", "c4", 0, "ww")], wa)
+    wa.close()
+    ingest.apply_tick(A)
+    refresh_join_matview(A, B, "conv_drift")
+    before = _view(A)
+    monkeypatch.setattr(matview, "SMALL_VIEW_BYTES", 0)
+    monkeypatch.setattr(joinview, "SMALL_VIEW_BYTES", 0)
+    ingest.compact(A)
+    jfiles = TableState(A.table_dir).load_latest().derived["jmv:conv_drift"]
+    assert len(jfiles) >= 2                 # per-partition bases
+    pd.testing.assert_frame_equal(_view(A), before)
+    # watermark survived the partitioned fold: one-sided incremental
+    _append(B, [(9, "insert", "c1", 1, "zz")], wb)
+    wb.close()
+    ingest.apply_tick(B)
+    m = refresh_join_matview(A, B, "conv_drift")
+    assert m.metrics["matview_refresh"]["mode"] == "incremental"
+    v = _view(A).set_index("conv_id")
+    assert v.loc["c1", "n_turns_b"] == 2

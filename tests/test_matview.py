@@ -483,3 +483,63 @@ def test_grouped_multicolumn_group(tmp_engine):
         .to_pandas().sort_values(["role", "tool"], ignore_index=True)
     pd.testing.assert_frame_equal(dist[["role", "tool", "n_turns"]], want,
                                   check_dtype=False)
+
+
+def test_mv_compaction_distributed_path_identical(tmp_engine, monkeypatch):
+    """Past SMALL_VIEW_BYTES, view compaction folds as a key-routed
+    hash exchange writing one base PER PARTITION instead of one
+    whole-view concat in a single process (the 10^9-conversation
+    shape). Forced here by zeroing the gate: the distributed fold must
+    read back identical to the view before compaction."""
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    a, b = _live_convs(cfg, 2)
+    w.append(_phase2_events(cfg, [a], b), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, MV)
+    before = read_view(cfg)
+    monkeypatch.setattr(matview, "SMALL_VIEW_BYTES", 0)
+    ingest.compact(cfg)
+    key = matview.MV_PREFIX + MV
+    state = TableState(cfg.table_dir)
+    bases = state.load_latest().derived[key]
+    assert len(bases) >= 2            # per-partition bases, not one file
+    pd.testing.assert_frame_equal(read_view(cfg), before,
+                                  check_dtype=False)
+    assert_view_matches(cfg)
+    # and the distributed bases keep compacting idempotently
+    ingest.compact(cfg)
+    pd.testing.assert_frame_equal(read_view(cfg), before,
+                                  check_dtype=False)
+
+
+def test_gmv_compaction_distributed_path_identical(tmp_engine, monkeypatch):
+    """Grouped views (the token index) take the same size-gated
+    distributed compaction: bucket-routed partitions, identical search
+    results after the fold."""
+    cfg = tmp_engine
+    write_wal(TINY, cfg.wal_dir, segment_rows=400)
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, "token_index")
+    w = WalWriter(cfg.wal_dir, segment_rows=400, reorder_slack=8)
+    a, b = _live_convs(cfg, 2)
+    w.append(_phase2_events(cfg, [a], b), 3)
+    w.close()
+    ingest.apply_tick(cfg)
+    matview.refresh_matview(cfg, "token_index")
+    tok = "patched"                    # introduced by the phase-2 update
+    before = matview.search_token(cfg, tok).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    assert len(before) > 0
+    monkeypatch.setattr(matview, "SMALL_VIEW_BYTES", 0)
+    ingest.compact(cfg)
+    key = matview.GMV_PREFIX + "token_index"
+    bases = TableState(cfg.table_dir).load_latest().derived[key]
+    assert len(bases) >= 2
+    after = matview.search_token(cfg, tok).to_pandas() \
+        .sort_values(["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(after, before)
