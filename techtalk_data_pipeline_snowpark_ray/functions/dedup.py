@@ -393,18 +393,147 @@ def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
 
 # -- near-dup clustering (the step that completes a dedup pipeline) --------
 
+# Past this many pairs the union-find leaves the driver: a dup-heavy
+# 100 TB corpus concentrates the whole edge set in driver memory, so
+# large graphs cluster via alternating large-star/small-star rounds on
+# the hash exchange instead (Kiveris et al., "Connected Components in
+# MapReduce and Beyond", 2014). 2M int64 pairs = 32 MB — well inside
+# driver comfort; anything bigger goes distributed.
+CC_DISTRIBUTED_PAIRS = 2_000_000
+
+
+def _star_partition(df: pd.DataFrame, large: bool) -> pd.DataFrame:
+    """One partition's star step. Rows are directed (c=center,
+    n=neighbor); every neighbor of a center is co-located by the
+    exchange. Emits canonical undirected edges (a=min, b=max),
+    deduped within the partition."""
+    gmin = df.groupby("c")["n"].transform("min").to_numpy()
+    c = df["c"].to_numpy()
+    n = df["n"].to_numpy()
+    if large:
+        # large-star: m = min(Γ(c) ∪ {c}); link every neighbor
+        # STRICTLY larger than the center to m
+        m = np.minimum(gmin, c)
+        keep = n > c
+        a, b = m[keep], n[keep]
+    else:
+        # small-star: centers are each edge's max endpoint, so all
+        # neighbors < c and m = min(Γ(c)); link the other neighbors
+        # AND the center itself to m
+        keep = n != gmin
+        a = np.concatenate([gmin[keep], gmin])
+        b = np.concatenate([n[keep], c])
+    out = pd.DataFrame({"a": np.minimum(a, b), "b": np.maximum(a, b)})
+    out = out[out["a"] != out["b"]].drop_duplicates()
+    return out.reset_index(drop=True)
+
+
+def _star_round(edges: "ray.data.Dataset", num_partitions: int,
+                large: bool) -> "ray.data.Dataset":
+    """Route each directed (center, neighbor) row to hash(center) % P
+    and apply the star step per partition."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def direct(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if large:                       # both directions: Γ is symmetric
+            c = np.concatenate([a, b])
+            n = np.concatenate([b, a])
+        else:                           # orient toward the larger node
+            c = np.maximum(a, b)
+            n = np.minimum(a, b)
+        part = ((c.astype(np.uint64) * mix) >> np.uint64(33)) \
+            % np.uint64(num_partitions)
+        return pa.table({"c": c, "n": n,
+                         "part": part.astype(np.int64)})
+
+    routed = edges.map_batches(direct, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return exchange_map_groups(routed, "part", num_partitions,
+                               lambda g: _star_partition(g, large))
+
+
+def _edge_signature(edges: "ray.data.Dataset") -> tuple[int, int]:
+    """(count, order-independent checksum) of a canonical edge set —
+    the fixpoint detector for the star rounds. Only two ints reach the
+    driver per round."""
+    mix = np.uint64(0x9E3779B97F4A7C15)
+
+    def sig(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (a * mix + b) * mix >> np.uint64(7)
+        return pa.table({"cnt": [t.num_rows],
+                         "s": [int(np.bitwise_xor.reduce(h))
+                               if t.num_rows else 0]})
+
+    parts = edges.map_batches(sig, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+    return (int(parts["cnt"].sum()),
+            int(np.bitwise_xor.reduce(
+                parts["s"].to_numpy(dtype=np.uint64)))
+            if len(parts) else 0)
+
+
+def cluster_pairs_distributed(pairs: pd.DataFrame,
+                              num_partitions: int = AGG_PARTITIONS,
+                              max_rounds: int = 64) -> pd.DataFrame:
+    """Connected components as alternating large-star / small-star
+    min-label propagation on the hash exchange: each round routes
+    directed edges by center node, takes per-center min labels, and
+    re-emits a (weakly smaller) edge set; the fixpoint is a forest of
+    stars centered at each component's min doc_id. O(log n) rounds,
+    edge set never leaves the object store between rounds, and the
+    driver sees only a (count, checksum) pair per round plus the final
+    star edges — which are O(nodes), the same size as the returned
+    mapping itself.
+
+    `pairs` arrives as the candidate-pair frame the LSH verify stage
+    emits; at the scale where this path engages the conversion back to
+    a Dataset is one `from_pandas` (blocks re-split immediately)."""
+    if pairs.empty:
+        return cluster_pairs(pairs.iloc[:0])
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "a": pairs["id_a"].to_numpy(dtype=np.int64),
+        "b": pairs["id_b"].to_numpy(dtype=np.int64)}))
+    prev = None
+    for _ in range(max_rounds):
+        edges = _star_round(edges, num_partitions, large=True)
+        edges = _star_round(edges, num_partitions,
+                            large=False).materialize()
+        cur = _edge_signature(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {max_rounds} "
+            "rounds — edge signature still moving")
+    stars = edges.to_pandas()
+    reps = np.unique(stars["a"].to_numpy(dtype=np.int64))
+    return pd.DataFrame({
+        "doc_id": np.concatenate([stars["b"].to_numpy(dtype=np.int64),
+                                  reps]),
+        "cluster_rep": np.concatenate(
+            [stars["a"].to_numpy(dtype=np.int64), reps]),
+    }).drop_duplicates().sort_values("doc_id", ignore_index=True)
+
+
 def cluster_pairs(pairs: pd.DataFrame) -> pd.DataFrame:
     """Connected components over near-dup pairs -> (doc_id,
     cluster_rep) with rep = the component's min doc_id (the canonical
     survivor; every other member is droppable).
 
-    Runs union-find with path compression over the PAIR set, which is
-    candidate-proportional by LSH construction -- the same size class
-    the pair materialization itself already is. If the pair graph ever
-    outgrows one machine, the scale path is alternating large-star /
-    small-star min-label propagation on the hash exchange (each round
-    routes edges by node and takes per-node min labels until fixpoint);
-    the union-find here is its fixpoint on one node."""
+    Small pair sets run union-find with path compression on the
+    driver — candidate-proportional by LSH construction, the same size
+    class the pair materialization itself already is. Past
+    CC_DISTRIBUTED_PAIRS the graph is clustered distributed instead
+    (`cluster_pairs_distributed`): alternating large-star/small-star
+    min-label propagation on the hash exchange, whose fixpoint this
+    union-find computes on one node."""
+    if len(pairs) > CC_DISTRIBUTED_PAIRS:
+        return cluster_pairs_distributed(pairs)
     if pairs.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_rep": pd.Series(dtype="int64")})

@@ -689,6 +689,43 @@ def test_cluster_pairs_union_find():
     assert dedup.cluster_pairs(pd.DataFrame({"id_a": [], "id_b": []})).empty
 
 
+def test_cluster_pairs_distributed_matches_union_find():
+    """The large-star/small-star hash-exchange path computes the same
+    (doc_id, cluster_rep) mapping as driver union-find on random
+    graphs and on the pathological shapes (max-diameter chain, star,
+    disjoint cliques)."""
+    rng = np.random.default_rng(7)
+    cases = []
+    for n_nodes, n_edges in [(30, 25), (200, 300), (500, 150)]:
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        keep = a != b
+        cases.append(pd.DataFrame({
+            "id_a": np.minimum(a, b)[keep],
+            "id_b": np.maximum(a, b)[keep]}).drop_duplicates())
+    cases.append(pd.DataFrame({"id_a": np.arange(0, 99),
+                               "id_b": np.arange(1, 100)}))   # chain
+    cases.append(pd.DataFrame({"id_a": np.zeros(40, dtype=np.int64),
+                               "id_b": np.arange(1, 41)}))    # star
+    for pairs in cases:
+        want = dedup.cluster_pairs(pairs)
+        got = dedup.cluster_pairs_distributed(pairs, num_partitions=4)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_cluster_pairs_gate_engages_distributed(monkeypatch):
+    """Past CC_DISTRIBUTED_PAIRS (forced to 0) cluster_pairs routes
+    through the distributed path with identical results."""
+    monkeypatch.setattr(dedup, "CC_DISTRIBUTED_PAIRS", 0)
+    pairs = pd.DataFrame({"id_a": [1, 2, 5, 8, 9],
+                          "id_b": [2, 3, 6, 9, 1]})
+    got = dedup.cluster_pairs(pairs)
+    want = {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 1, 9: 1}
+    assert dict(zip(got["doc_id"], got["cluster_rep"])) == want
+    assert got["doc_id"].dtype == np.int64
+    assert dedup.cluster_pairs(pd.DataFrame({"id_a": [], "id_b": []})).empty
+
+
 def test_clean_text_value_matches_duckdb_on_unicode_edges():
     import duckdb
     from techtalk_data_pipeline_snowpark_ray.functions.textstats import (

@@ -74,3 +74,15 @@ def test_entry_smoke():
     assert res.count() > 0
     names = res.schema().names
     assert names[:2] == ["conv_id", "turn_idx"]
+
+
+def test_minhash_dedup_clusters_oracle_on_distributed_cc(con, monkeypatch):
+    """Judge gate for the distributed connected-components path: with
+    the pair-count threshold forced to 0, minhash_dedup_clusters still
+    matches its DuckDB oracle value-exactly."""
+    from techtalk_data_pipeline_snowpark_ray.functions import dedup
+    monkeypatch.setattr(dedup, "CC_DISTRIBUTED_PAIRS", 0)
+    got = canon(to_pandas(entrymod.queries()["minhash_dedup_clusters"](SF)))
+    want = canon(con.sql(entrymod.oracle_sql()["minhash_dedup_clusters"]).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=True)
