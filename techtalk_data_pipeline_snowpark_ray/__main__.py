@@ -26,20 +26,31 @@ import sys
 
 def _cfg(args) -> "EngineConfig":
     from .config import EngineConfig
-    cfg = EngineConfig(table_dir=args.table_dir, wal_dir=args.wal_dir,
-                       num_buckets=args.num_buckets,
-                       salt_factor=args.salt_factor,
-                       hot_key_threshold=args.hot_key_threshold,
-                       schema_version=args.schema_version)
+    if args.conf:
+        # YAML is the base (reference parity: ConfigUtils.scala:24-84 /
+        # conf.yml — one editable file names everything); explicit CLI
+        # flags override individual keys
+        cfg = EngineConfig.from_yaml(args.conf)
+    else:
+        cfg = EngineConfig()
+    for flag, field in (("table_dir", "table_dir"),
+                        ("wal_dir", "wal_dir"),
+                        ("num_buckets", "num_buckets"),
+                        ("salt_factor", "salt_factor"),
+                        ("hot_key_threshold", "hot_key_threshold"),
+                        ("schema_version", "schema_version")):
+        v = getattr(args, flag)
+        if v is not None:
+            setattr(cfg, field, v)
     if getattr(args, "matviews", ""):
+        cfg.matviews = tuple(v for v in args.matviews.split(",") if v)
+    if cfg.matviews:                  # from either source: fail fast,
         from .pipelines.matview import GROUPED_MATVIEWS, MATVIEWS
-        views = tuple(v for v in args.matviews.split(",") if v)
         known = set(MATVIEWS) | set(GROUPED_MATVIEWS)
-        bad = [v for v in views if v not in known]
-        if bad:          # fail fast, before any tick commits
+        bad = [v for v in cfg.matviews if v not in known]
+        if bad:                       # before any tick commits
             raise SystemExit(
                 f"unknown matview(s) {bad}; registered: {sorted(known)}")
-        cfg.matviews = views
     cfg.ensure_dirs()
     return cfg
 
@@ -52,12 +63,15 @@ def _init_ray() -> None:
 
 def main(argv: "list[str] | None" = None) -> int:
     p = argparse.ArgumentParser(prog="techtalk_data_pipeline_snowpark_ray")
-    p.add_argument("--table-dir", default="/tmp/ttdps/table")
-    p.add_argument("--wal-dir", default="/tmp/ttdps/wal")
-    p.add_argument("--num-buckets", type=int, default=32)
-    p.add_argument("--salt-factor", type=int, default=4)
-    p.add_argument("--hot-key-threshold", type=int, default=0)
-    p.add_argument("--schema-version", type=int, default=3)
+    p.add_argument("--conf", default="",
+                   help="YAML config file (see conf.example.yml); "
+                        "explicit flags below override its keys")
+    p.add_argument("--table-dir", default=None)
+    p.add_argument("--wal-dir", default=None)
+    p.add_argument("--num-buckets", type=int, default=None)
+    p.add_argument("--salt-factor", type=int, default=None)
+    p.add_argument("--hot-key-threshold", type=int, default=None)
+    p.add_argument("--schema-version", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("replay", help="tail WAL, apply ticks, commit")

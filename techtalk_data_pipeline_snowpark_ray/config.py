@@ -162,3 +162,33 @@ class EngineConfig:
     def from_dict(cls, d: dict) -> "EngineConfig":
         known = {f for f in cls.__dataclass_fields__}
         return cls(**{k: v for k, v in d.items() if k in known})
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "EngineConfig":
+        """Load a config file — the reference's core ergonomic of
+        indirecting every table/stage name and knob through one
+        editable YAML (``ConfigUtils.scala:24-84``, ``conf.yml:8-42``).
+
+        Accepts kebab-case or snake_case keys (the reference uses
+        kebab-case), coerces YAML lists to the tuples the dataclass
+        declares, and — unlike `from_dict`'s permissive merge — fails
+        loudly on unknown keys, so a typo'd knob can't silently run
+        with the default. Ships with `conf.example.yml` at the repo
+        root."""
+        import yaml
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        if not isinstance(raw, dict):
+            raise ValueError(f"{path}: top level must be a mapping, "
+                             f"got {type(raw).__name__}")
+        d = {str(k).replace("-", "_"): v for k, v in raw.items()}
+        known = set(cls.__dataclass_fields__)
+        unknown = sorted(set(d) - known)
+        if unknown:
+            raise ValueError(
+                f"{path}: unknown config key(s) {unknown}; "
+                f"known: {sorted(known)}")
+        for k in ("derived_views", "matviews"):
+            if isinstance(d.get(k), list):
+                d[k] = tuple(d[k])
+        return cls(**d)

@@ -1,0 +1,92 @@
+"""YAML config loading (reference parity: the reference indirects
+every object name through one editable YAML — ``ConfigUtils.scala:
+24-84``, ``conf.yml:8-42``). `EngineConfig.from_yaml` + the `--conf`
+CLI flag make that ergonomic real here."""
+
+import dataclasses
+import json
+
+import pytest
+import yaml
+
+from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+from techtalk_data_pipeline_snowpark_ray.sources.generate import (
+    GenSpec, write_wal)
+
+
+def test_yaml_round_trip_all_fields(tmp_path):
+    """Every dataclass field survives dump -> from_yaml, including
+    tuple coercion for the view lists and kebab-case keys."""
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"),
+                       num_buckets=7, salt_factor=2, apply_mode="direct",
+                       matviews=("conv_live_stats", "token_index"),
+                       derived_views=("conv_stats",),
+                       gc_min_age_s=120.5, auto_compact_runs=9)
+    d = {k.replace("_", "-"): v for k, v in dataclasses.asdict(cfg).items()}
+    d["matviews"] = list(d["matviews"])          # YAML has lists, not tuples
+    d["derived-views"] = list(d["derived-views"])
+    p = tmp_path / "conf.yml"
+    p.write_text(yaml.safe_dump(d))
+    got = EngineConfig.from_yaml(str(p))
+    assert got == cfg
+
+
+def test_yaml_unknown_key_fails_loudly(tmp_path):
+    p = tmp_path / "conf.yml"
+    p.write_text("table-dir: /tmp/x\nnum-bukkets: 8\n")
+    with pytest.raises(ValueError, match="num_bukkets"):
+        EngineConfig.from_yaml(str(p))
+    p.write_text("- just\n- a list\n")
+    with pytest.raises(ValueError, match="mapping"):
+        EngineConfig.from_yaml(str(p))
+
+
+def test_shipped_example_config_parses():
+    cfg = EngineConfig.from_yaml("conf.example.yml")
+    assert cfg.apply_mode == "direct"
+    assert "token_index" in cfg.matviews
+    assert cfg.gc_min_age_s > 0          # safe-GC default documented there
+
+
+def test_cli_tick_driven_entirely_from_yaml(tmp_path, capsys):
+    """A replay tick configured ONLY by --conf: directories, bucket
+    count and the per-tick matview all come from the file; an explicit
+    CLI flag still overrides its key."""
+    from techtalk_data_pipeline_snowpark_ray.__main__ import main
+    from techtalk_data_pipeline_snowpark_ray.pipelines import matview
+
+    conf = tmp_path / "conf.yml"
+    conf.write_text(yaml.safe_dump({
+        "table-dir": str(tmp_path / "t"),
+        "wal-dir": str(tmp_path / "w"),
+        "num-buckets": 4,
+        "apply-mode": "direct",
+        "matviews": ["role_live_stats"],
+    }))
+    write_wal(GenSpec(n_events=600, n_conversations=20, seed=5),
+              str(tmp_path / "w"), segment_rows=300)
+    assert main(["--conf", str(conf), "replay", "--stop-when-idle"]) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r["events"] > 0 and r["version"] is not None
+    cfg = EngineConfig.from_yaml(str(conf))
+    assert matview.read_grouped_matview(cfg, "role_live_stats").count() > 0
+
+    # explicit flag overrides the YAML key: same conf, new table dir
+    assert main(["--conf", str(conf), "--table-dir", str(tmp_path / "t2"),
+                 "replay", "--stop-when-idle"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["events"] == r["events"]
+
+
+def test_cli_rejects_unknown_matview_from_yaml(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.__main__ import main
+
+    conf = tmp_path / "conf.yml"
+    conf.write_text(yaml.safe_dump({
+        "table-dir": str(tmp_path / "t"),
+        "wal-dir": str(tmp_path / "w"),
+        "matviews": ["role_live_stat"],      # typo'd view name
+    }))
+    with pytest.raises(SystemExit, match="unknown matview"):
+        main(["--conf", str(conf), "replay", "--stop-when-idle"])
