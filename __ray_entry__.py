@@ -48,6 +48,29 @@ def _lsh_plane_values(dim: int = 64, n_planes: int = 4) -> str:
                     for i in range(dim) for j in range(n_planes))
 
 
+def _ann_centroid_values() -> str:
+    """The ivf_index centroid matrix (matview.ann_centroids is the one
+    source of truth) as (cell, DOUBLE[]) VALUES literals."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        ann_centroids)
+    C = ann_centroids()
+    return ",\n".join(
+        "({}, [{}])".format(i, ", ".join(repr(float(v)) for v in C[i]))
+        for i in range(len(C)))
+
+
+def _ann_query_literal() -> str:
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        ANN_QUERY)
+    return "[" + ", ".join(repr(float(v)) for v in ANN_QUERY) + "]"
+
+
+#: the ivf_index embedding in SQL: counts of each digit '0'..'9'
+_ANN_EMBED_SQL = ", ".join(
+    f"CAST(length(text) - length(replace(text, '{d}', '')) AS DOUBLE)"
+    for d in range(10))
+
+
 def _curation_pipeline(sf_dir: str) -> Any:
     from techtalk_data_pipeline_snowpark_ray.pipelines.curation import curation_pipeline
     return curation_pipeline(sf_dir)
@@ -100,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_token_search": cdc_queries.cdc_token_search,
         "cdc_erase_conversation": cdc_queries.cdc_erase_conversation,
         "cdc_token_search_bool": cdc_queries.cdc_token_search_bool,
+        "cdc_ann_search": cdc_queries.cdc_ann_search,
         "cdc_join_matview_drift": cdc_queries.cdc_join_matview_drift,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
@@ -631,6 +655,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM fin
             ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
             LIMIT 10
+        """,
+        # ANN search over the CDC table via the IVF grouped matview:
+        # embeddings are digit-count vectors of the live texts, cells
+        # assign by rounded cosine to the inlined centroid matrix
+        # (matview.ann_centroids — repr round-trips float64 exactly),
+        # the fixed query probes its 4 nearest cells, candidates rank
+        # by exact rounded cosine, top-10
+        "cdc_ann_search": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, text
+              FROM ranked
+              WHERE rn = 1 AND op <> 'delete' AND text IS NOT NULL
+            ),
+            emb AS (
+              SELECT conv_id, turn_idx, [{_ANN_EMBED_SQL}] AS e
+              FROM fin
+            ),
+            emb2 AS (SELECT * FROM emb WHERE list_sum(e) > 0),
+            cent AS (SELECT * FROM (VALUES {_ann_centroid_values()})
+                     AS t(cell, cemb)),
+            asg AS (
+              SELECT emb2.conv_id, emb2.turn_idx, cent.cell,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY emb2.conv_id, emb2.turn_idx
+                       ORDER BY ROUND(list_cosine_similarity(
+                                        emb2.e, cent.cemb), 6) DESC,
+                                cent.cell) AS rn
+              FROM emb2 CROSS JOIN cent
+            ),
+            cellof AS (SELECT conv_id, turn_idx, cell
+                       FROM asg WHERE rn = 1),
+            probes AS (
+              SELECT cell FROM (
+                SELECT cell, ROW_NUMBER() OVER (
+                  ORDER BY ROUND(list_cosine_similarity(
+                             {_ann_query_literal()}, cemb), 6) DESC,
+                           cell) AS rn
+                FROM cent
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT e.conv_id, e.turn_idx, e.e
+              FROM emb2 e JOIN cellof c USING (conv_id, turn_idx)
+              WHERE c.cell IN (SELECT cell FROM probes)
+            ),
+            top AS (
+              SELECT conv_id, turn_idx,
+                     ROW_NUMBER() OVER (
+                       ORDER BY ROUND(list_cosine_similarity(
+                                  {_ann_query_literal()}, e), 6) DESC,
+                                conv_id, turn_idx) AS rk
+              FROM cand
+            )
+            SELECT conv_id, turn_idx FROM top WHERE rk <= 10
+            ORDER BY conv_id, turn_idx
         """,
         # cross-table join matview: table A = full stream fold, table
         # B = even-lsn shadow fold, FULL OUTER per conversation with

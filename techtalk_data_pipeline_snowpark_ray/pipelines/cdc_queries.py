@@ -458,14 +458,13 @@ def cdc_turn_windows(sf_dir: str, w: int = 4,
         .sort(["conv_id", "window_idx"])
 
 
-def _two_phase_matview(sf_dir: str, tag: str, view: str,
-                       sort_cols) -> "ray.data.Dataset":
+def _two_phase_refresh(sf_dir: str, tag: str,
+                       view: str) -> "tuple[EngineConfig, object]":
     """Shared matview-query harness: land the derived change stream in
     two phases with an engine tick + view refresh at the boundary (so
-    the gated result comes from a FULL first refresh followed by an
-    INCREMENTAL one), then read the view's current rows."""
-    from .matview import (GROUPED_MATVIEWS, read_grouped_matview,
-                          read_matview, refresh_matview)
+    a gated result comes from a FULL first refresh followed by an
+    INCREMENTAL one). Returns (cfg, final refresh manifest)."""
+    from .matview import refresh_matview
 
     cfg = _fresh_cfg(tag)
     src = pq.ParquetFile(os.path.join(sf_dir, "events.parquet"))
@@ -475,18 +474,36 @@ def _two_phase_matview(sf_dir: str, tag: str, view: str,
     for rb in src.iter_batches(batch_size=65536,
                                columns=["event_id", "user_id", "ts"]):
         t = pa.Table.from_batches([rb])
-        w.append(derive_change_batch(t), 1)
-        seen += t.num_rows
-        if half and seen >= half:
+        if half and seen + t.num_rows >= half:
+            # the boundary batch is SPLIT so phase 2 is non-empty even
+            # when one read batch covers the whole table (small sf —
+            # otherwise the second refresh would be a no-op and the
+            # incremental path would never exercise)
+            head = t.slice(0, half - seen)
+            if head.num_rows:
+                w.append(derive_change_batch(head), 1)
+            t = t.slice(half - seen)
             half = 0            # phase boundary: tick + first refresh
             w.close()
             ingest.run_loop(cfg, stop_when_idle=True)
             refresh_matview(cfg, view)
             w = WalWriter(cfg.wal_dir, segment_rows=100_000,
                           reorder_slack=1024)
+        if t.num_rows:
+            w.append(derive_change_batch(t), 1)
+        seen += t.num_rows
     w.close()
     ingest.run_loop(cfg, stop_when_idle=True)
-    refresh_matview(cfg, view)
+    return cfg, refresh_matview(cfg, view)
+
+
+def _two_phase_matview(sf_dir: str, tag: str, view: str,
+                       sort_cols) -> "ray.data.Dataset":
+    """Two-phase refresh, then read the view's current rows."""
+    from .matview import (GROUPED_MATVIEWS, read_grouped_matview,
+                          read_matview)
+
+    cfg, _m = _two_phase_refresh(sf_dir, tag, view)
     read = read_grouped_matview if view in GROUPED_MATVIEWS \
         else read_matview
     return read(cfg, view).sort(sort_cols)
@@ -635,6 +652,43 @@ def cdc_token_search_bool(sf_dir: str) -> ray.data.Dataset:
     if not len(union) < nb:
         raise AssertionError("boolean search pruned no bucket")
     return search_tokens(cfg, all_of=("txt",), any_of=any_tokens) \
+        .sort(["conv_id", "turn_idx"])
+
+
+def cdc_ann_search(sf_dir: str) -> ray.data.Dataset:
+    """ANN SEARCH COMPOSED WITH INGEST: the IVF vector index is an
+    incrementally-maintained grouped matview over the CDC table
+    (posting rows (cell, conv_id, turn_idx, embedding), cell-sorted) —
+    similarity search composes with the engine the way token search
+    does. Two-phase WAL (full first refresh, incremental second —
+    asserted), then `matview.search_ann` probes the fixed demo query's
+    4 nearest cells, reads ONLY those cells' postings (asserted
+    smaller than the index), and exact-ranks top-10. Embeddings are
+    deterministic digit-count vectors, so index + search mirror 1:1 in
+    SQL (reference parity target: a Snowflake user would run VECTOR
+    search server-side; here it's engine state like any other view)."""
+    import pyarrow.dataset as pads
+
+    from ..state.manifest import TableState
+    from .matview import (ANN_QUERY, GROUPED_MATVIEWS, ann_probe_cells,
+                          search_ann)
+
+    cfg, m = _two_phase_refresh(sf_dir, "ann", "ivf_index")
+    if m is None or m.metrics["matview_refresh"]["mode"] != "incremental":
+        raise AssertionError("second ivf_index refresh was not "
+                             "incremental")
+    state = TableState(cfg.table_dir)
+    paths = state.derived_paths(
+        GROUPED_MATVIEWS["ivf_index"].derived_key, state.load_latest())
+    probes = ann_probe_cells(ANN_QUERY, 4)
+    idx = pads.dataset(paths, format="parquet")
+    n_probe_rows = idx.count_rows(
+        filter=pads.field("cell").isin(probes))
+    n_total = idx.count_rows()
+    if not n_probe_rows < n_total:
+        raise AssertionError("probe read pruned nothing: "
+                             f"{n_probe_rows} of {n_total} rows")
+    return search_ann(cfg, ANN_QUERY, k=10, nprobe=4) \
         .sort(["conv_id", "turn_idx"])
 
 

@@ -272,6 +272,91 @@ GROUPED_MATVIEWS["hourly_activity"] = GroupedMatView(
     group_types=(pa.timestamp("us"),))
 
 
+# -- IVF vector index (ANN search as a grouped matview) -----------------------
+
+#: embedding dimensionality: counts of each digit '0'..'9' in the
+#: turn text — deterministic and bit-portable to a SQL oracle
+#: (DuckDB: length(text) - length(replace(text, d, ''))). A real
+#: deployment swaps `ann_embed` for a model encoder actor; everything
+#: else (cells, postings, probes, pruning) is representation-agnostic.
+ANN_DIMS = 10
+#: IVF cell count. 16 keeps the demo index readable; size to
+#: O(sqrt(corpus rows)) at scale — the machinery is cell-count-blind.
+ANN_CELLS = 16
+ANN_SEED = 7
+ANN_EMB_COLS = tuple(f"e{i}" for i in range(ANN_DIMS))
+#: the demo query vector (digits of pi), shared with the SQL mirror
+ANN_QUERY = (3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0)
+
+
+def ann_centroids() -> np.ndarray:
+    """Fixed seeded centroid matrix, rounded to 6 decimals so the SQL
+    oracle inlines the exact same literals (one source of truth —
+    `__ray_entry__` renders its VALUES list from this function)."""
+    rng = np.random.default_rng(ANN_SEED)
+    return np.round(rng.normal(size=(ANN_CELLS, ANN_DIMS)), 6)
+
+
+def ann_embed(text: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """(n, ANN_DIMS) float64 digit-count embedding of non-null texts."""
+    return np.stack(
+        [pc.count_substring(text, str(d)).to_numpy(zero_copy_only=False)
+         for d in range(ANN_DIMS)], axis=1).astype(np.float64)
+
+
+def _ann_assign_cells(E: np.ndarray) -> np.ndarray:
+    """Nearest centroid by 6-decimal-rounded cosine; ties take the
+    smaller cell (np.argmax = first maximum), mirroring the oracle's
+    ORDER BY sim DESC, cell."""
+    C = ann_centroids()
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    return np.argmax(np.round(En @ Cn.T, 6), axis=1).astype(np.int64)
+
+
+def ann_probe_cells(query, nprobe: int) -> list[int]:
+    """The query's `nprobe` nearest cells (rounded cosine, smaller
+    cell on ties) — the IVF probe list."""
+    q = np.asarray(query, np.float64)
+    C = ann_centroids()
+    sims = np.round(
+        (q / np.linalg.norm(q)) @
+        (C / np.linalg.norm(C, axis=1, keepdims=True)).T, 6)
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    return [int(c) for c in order[:nprobe]]
+
+
+def _ivf_index_partial(t: pa.Table) -> pa.Table:
+    """IVF POSTING rows over the LIVE rows of one bucket: one row per
+    live turn carrying (cell, conv_id, turn_idx, e0..e9). Cell-sorted
+    so each index file's parquet row groups carry tight `cell` stats —
+    a probe read (`cell IN ...`) prunes row groups, not just files.
+    Unembeddable rows (null text / zero vector) are not indexed;
+    mirror the filter in any oracle. Updates/deletes retract their
+    postings for free because partials re-derive from live rows."""
+    t = t.filter(pc.is_valid(t["text"]))
+    E = ann_embed(t["text"])
+    keep = E.sum(axis=1) > 0
+    if not bool(keep.all()):
+        t = t.filter(pa.array(keep))
+        E = E[keep]
+    cols = {"cell": pa.array(_ann_assign_cells(E)
+                             if len(E) else np.array([], np.int64)),
+            "conv_id": t["conv_id"],
+            "turn_idx": pc.cast(t["turn_idx"], pa.int64())}
+    for i, c in enumerate(ANN_EMB_COLS):
+        cols[c] = pa.array(E[:, i].astype(np.int64))
+    return pa.table(cols).sort_by("cell")
+
+
+GROUPED_MATVIEWS["ivf_index"] = GroupedMatView(
+    name="ivf_index", group_cols=("cell", "conv_id", "turn_idx"),
+    source_cols=("text",),
+    partial=_ivf_index_partial,
+    merge_spec=tuple((c, "max") for c in ANN_EMB_COLS),
+    group_types=(pa.int64(), pa.string(), pa.int64()))
+
+
 def _view(name: str) -> MatView:
     if name not in MATVIEWS:
         raise KeyError(f"unknown matview {name!r}; registered: "
@@ -1053,6 +1138,66 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
 
     return ds.map_batches(verify, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# -- ANN search over the IVF index --------------------------------------------
+
+def search_ann(cfg: EngineConfig, query, k: int = 10, nprobe: int = 4,
+               name: str = "ivf_index") -> ray.data.Dataset:
+    """Approximate-nearest-neighbor search over the RESOLVED table via
+    the incrementally-maintained IVF grouped matview: the query probes
+    its `nprobe` nearest cells, the scan reads ONLY those cells'
+    posting rows (parquet `cell IN` predicate over the cell-sorted
+    index files — row groups prune on footer stats, so cost is
+    probe-proportional, never index- or table-sized), a current-epoch
+    filter drops superseded generations, and the candidates exact-rank
+    by 6-decimal-rounded cosine with (conv_id, turn_idx) tie-break.
+    Same freshness contract as token search: the index serves its last
+    refreshed state."""
+    import pyarrow.dataset as pads
+
+    view = GROUPED_MATVIEWS[name]
+    state = TableState(cfg.table_dir)
+    m = state.load_latest()
+    paths = state.derived_paths(view.derived_key, m)
+    if not paths:
+        raise ValueError(
+            f"index {name!r} has never been refreshed on this table; "
+            f"run refresh_matview(cfg, {name!r}) first")
+    cur = _bucket_epochs(paths)
+    nb = m.num_buckets or cfg.num_buckets
+    cur_arr = np.full(nb, -1, np.int64)
+    for bk, sq in cur.items():
+        cur_arr[int(bk)] = sq
+    probes = ann_probe_cells(query, nprobe)
+    q = np.asarray(query, np.float64)
+    qn = q / np.linalg.norm(q)
+    cols = ["cell", "conv_id", "turn_idx", *ANN_EMB_COLS,
+            MV_BUCKET_COL, MV_SEQ_COL]
+    # marker rows have a null cell, so the isin predicate drops them
+    ds = ray.data.read_parquet(
+        paths, columns=cols,
+        filter=pads.field("cell").isin(probes))
+
+    def score(t: pa.Table) -> pa.Table:
+        b = t[MV_BUCKET_COL].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t[MV_SEQ_COL].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(cur_arr[b] == s))
+        E = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      for c in ANN_EMB_COLS], axis=1).astype(np.float64)
+        norm = np.linalg.norm(E, axis=1)
+        sim = np.round((E @ qn) / norm, 6) if t.num_rows \
+            else np.array([], np.float64)
+        return pa.table({"conv_id": t["conv_id"],
+                         "turn_idx": t["turn_idx"],
+                         "sim": pa.array(sim)})
+
+    cand = ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    top = cand.sort(["sim", "conv_id", "turn_idx"],
+                    descending=[True, False, False]).limit(k)
+    return top.drop_columns(["sim"])
 
 
 def _compact_partitions(paths: list[str]) -> int:

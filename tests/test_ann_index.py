@@ -1,0 +1,145 @@
+"""IVF vector index (grouped matview `ivf_index`) + probe-pruned ANN
+search (`matview.search_ann`). Parity oracle: brute-force embedding +
+cell assignment + exact cosine rank over the resolved snapshot."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+from techtalk_data_pipeline_snowpark_ray.pipelines import ingest, matview
+from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+    ANN_QUERY, ann_centroids, ann_probe_cells, read_grouped_matview,
+    refresh_matview, search_ann)
+from techtalk_data_pipeline_snowpark_ray.sources.generate import (
+    GenSpec, generate_chunks)
+from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+
+SPEC = GenSpec(n_events=3000, n_conversations=60, max_turns=10,
+               zipf_s=1.2, ooo_window=16, dup_fraction=0.02,
+               partial_update_fraction=0.2, schema_add_at=1000,
+               schema_widen_at=2000, seed=11)
+
+
+def _mk_cfg(tmp_path):
+    cfg = EngineConfig(table_dir=str(tmp_path / "t"),
+                       wal_dir=str(tmp_path / "w"),
+                       num_buckets=8, apply_mode="direct")
+    cfg.ensure_dirs()
+    return cfg
+
+
+def _build_two_phase(cfg):
+    chunks = list(generate_chunks(SPEC))
+    mid = len(chunks) // 2 or 1
+    w = WalWriter(cfg.wal_dir, segment_rows=600, reorder_slack=64)
+    for t, v in chunks[:mid]:
+        w.append(t, v)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None
+    m1 = refresh_matview(cfg, "ivf_index")
+    assert m1.metrics["matview_refresh"]["mode"] == "full"
+    for t, v in chunks[mid:]:
+        w.append(t, v)
+    w.close()
+    assert ingest.apply_tick(cfg) is not None
+    m2 = refresh_matview(cfg, "ivf_index")
+    assert m2.metrics["matview_refresh"]["mode"] == "incremental"
+
+
+def _embed_py(texts: pd.Series) -> np.ndarray:
+    return np.stack([texts.str.count(str(d)).to_numpy()
+                     for d in range(10)], axis=1).astype(np.float64)
+
+
+def _brute(snap: pd.DataFrame, query, k=10, nprobe=4):
+    """Reference: embed the live snapshot, assign cells, probe, rank."""
+    snap = snap[snap["text"].notna()].copy()
+    E = _embed_py(snap["text"])
+    keep = E.sum(axis=1) > 0
+    snap, E = snap[keep], E[keep]
+    C = ann_centroids()
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    cells = np.argmax(np.round(En @ Cn.T, 6), axis=1)
+    probes = set(ann_probe_cells(query, nprobe))
+    inprobe = np.array([c in probes for c in cells])
+    cand = snap[inprobe].copy()
+    Ec = E[inprobe]
+    q = np.asarray(query, float)
+    cand["sim"] = np.round(
+        Ec @ (q / np.linalg.norm(q)) / np.linalg.norm(Ec, axis=1), 6)
+    cand = cand.sort_values(["sim", "conv_id", "turn_idx"],
+                            ascending=[False, True, True]).head(k)
+    return cand[["conv_id", "turn_idx"]].astype(
+        {"turn_idx": "int64"}).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+
+
+def _search_df(cfg, **kw) -> pd.DataFrame:
+    return search_ann(cfg, ANN_QUERY, **kw).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+
+
+def test_ann_search_matches_brute_force_after_incremental(tmp_path):
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    snap = ingest.snapshot_to_pandas(cfg)
+    want = _brute(snap, ANN_QUERY)
+    got = _search_df(cfg)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # retraction check: the index holds exactly the embeddable live
+    # rows (updates/deletes re-derived their buckets' postings)
+    idx = read_grouped_matview(cfg, "ivf_index").to_pandas()
+    live = snap[snap["text"].notna()]
+    live = live[_embed_py(live["text"]).sum(axis=1) > 0]
+    assert len(idx) == len(live)
+
+
+def test_ann_search_survives_compaction_and_requires_refresh(tmp_path):
+    cfg0 = EngineConfig(table_dir=str(tmp_path / "t0"),
+                        wal_dir=str(tmp_path / "w0"), num_buckets=8,
+                        apply_mode="direct")
+    cfg0.ensure_dirs()
+    with pytest.raises(ValueError, match="never been refreshed"):
+        _build_and_search_unrefreshed(cfg0)
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    before = _search_df(cfg)
+    ingest.compact(cfg)
+    pd.testing.assert_frame_equal(_search_df(cfg), before)
+    # distributed view compaction path too
+    import unittest.mock as mock
+    with mock.patch.object(matview, "SMALL_VIEW_BYTES", 0):
+        ingest.compact(cfg)
+    pd.testing.assert_frame_equal(_search_df(cfg), before)
+
+
+def _build_and_search_unrefreshed(cfg):
+    chunks = list(generate_chunks(SPEC))
+    w = WalWriter(cfg.wal_dir, segment_rows=600, reorder_slack=64)
+    for t, v in chunks[: len(chunks) // 2 or 1]:
+        w.append(t, v)
+    w.close()
+    ingest.apply_tick(cfg)
+    return search_ann(cfg, ANN_QUERY)
+
+
+def test_probe_read_is_cell_pruned(tmp_path):
+    """The search scan touches only the probed cells' posting rows —
+    asserted via the same parquet predicate the read uses."""
+    import pyarrow.dataset as pads
+
+    from techtalk_data_pipeline_snowpark_ray.state.manifest import \
+        TableState
+
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    state = TableState(cfg.table_dir)
+    paths = state.derived_paths(
+        matview.GROUPED_MATVIEWS["ivf_index"].derived_key,
+        state.load_latest())
+    probes = ann_probe_cells(ANN_QUERY, 4)
+    idx = pads.dataset(paths, format="parquet")
+    n_probe = idx.count_rows(filter=pads.field("cell").isin(probes))
+    assert 0 < n_probe < idx.count_rows()
