@@ -189,6 +189,13 @@ class EngineConfig:
                 f"{path}: unknown config key(s) {unknown}; "
                 f"known: {sorted(known)}")
         for k in ("derived_views", "matviews"):
-            if isinstance(d.get(k), list):
-                d[k] = tuple(d[k])
+            v = d.get(k)
+            if isinstance(v, str):       # scalar for a one-view list
+                d[k] = (v,)
+            elif isinstance(v, list):
+                d[k] = tuple(v)
+            elif v is not None and not isinstance(v, tuple):
+                raise ValueError(
+                    f"{path}: {k} must be a list of view names, "
+                    f"got {type(v).__name__}")
         return cls(**d)

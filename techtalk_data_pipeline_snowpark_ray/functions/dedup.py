@@ -25,6 +25,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -393,12 +394,15 @@ def ngram_jaccard_pairs(sf_dir: str, modulus: int = 2,
 
 # -- near-dup clustering (the step that completes a dedup pipeline) --------
 
-# Past this many pairs the union-find leaves the driver: a dup-heavy
-# 100 TB corpus concentrates the whole edge set in driver memory, so
-# large graphs cluster via alternating large-star/small-star rounds on
-# the hash exchange instead (Kiveris et al., "Connected Components in
-# MapReduce and Beyond", 2014). 2M int64 pairs = 32 MB — well inside
-# driver comfort; anything bigger goes distributed.
+# Past this many pairs the CLUSTERING leaves the driver: large graphs
+# run alternating large-star/small-star rounds on the hash exchange
+# (Kiveris et al., "Connected Components in MapReduce and Beyond",
+# 2014) instead of serial union-find — removing the union-find's
+# resident working set and its O(E) single-thread pass. (The pair
+# LIST itself still arrives driver-resident from today's verify
+# stage; a fully-streamed caller passes a Dataset to
+# cluster_pairs_distributed and the edges never land on the driver.)
+# 2M int64 pairs = 32 MB — well inside driver comfort.
 CC_DISTRIBUTED_PAIRS = 2_000_000
 
 
@@ -489,14 +493,25 @@ def cluster_pairs_distributed(pairs: pd.DataFrame,
     star edges — which are O(nodes), the same size as the returned
     mapping itself.
 
-    `pairs` arrives as the candidate-pair frame the LSH verify stage
-    emits; at the scale where this path engages the conversion back to
-    a Dataset is one `from_pandas` (blocks re-split immediately)."""
-    if pairs.empty:
-        return cluster_pairs(pairs.iloc[:0])
-    edges = ray.data.from_pandas(pd.DataFrame({
-        "a": pairs["id_a"].to_numpy(dtype=np.int64),
-        "b": pairs["id_b"].to_numpy(dtype=np.int64)}))
+    Accepts the candidate-pair frame the LSH verify stage emits today
+    (driver-resident — the gate then removes the union-find's working
+    set and its serial O(E) pass, not the pair list itself) OR a
+    Dataset of (id_a, id_b) rows for a fully-streamed caller where the
+    edge set never lands on the driver at all."""
+    if isinstance(pairs, ray.data.Dataset):
+        edges = pairs.map_batches(
+            lambda t: pa.table(
+                {"a": pc.cast(t["id_a"], pa.int64()),
+                 "b": pc.cast(t["id_b"], pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        if edges.count() == 0:
+            return cluster_pairs(_empty_pairs())
+    else:
+        if pairs.empty:
+            return cluster_pairs(pairs.iloc[:0])
+        edges = ray.data.from_pandas(pd.DataFrame({
+            "a": pairs["id_a"].to_numpy(dtype=np.int64),
+            "b": pairs["id_b"].to_numpy(dtype=np.int64)}))
     prev = None
     for _ in range(max_rounds):
         edges = _star_round(edges, num_partitions, large=True)

@@ -375,19 +375,14 @@ def compact_jmv_files(runs_dir: str, view_key: str, files: "list[str]",
     # measured-large: key-routed hash exchange, one base per partition
     # (same gate + shape as matview.compact_mv_files; a join view over
     # 10^9 conversations must never concat in a single process)
-    from .matview import _compact_partitions, _file_max_seq, \
-        _split_view_file
-    P = _compact_partitions(paths)
-    seq = max(ray.get([_file_max_seq.remote(p) for p in paths]), default=0)
-    outs = [_split_view_file.options(num_returns=P if P > 1 else None)
-            .remote(p, P, "conv_id") for p in paths]
-    if P == 1:
-        outs = [[o] for o in outs]
+    from .matview import _compact_partitions, _split_partitions
+    parts = _split_partitions(paths, _compact_partitions(paths),
+                              "conv_id")
     names = ray.get([
-        _merge_jmv_part.remote(runs_dir, name, seq,
+        _merge_jmv_part.remote(runs_dir, name,
                                f"jmv-{name}-sa{sa}-sb{sb}-x{txn}p{i}",
                                *slices)
-        for i, slices in enumerate(zip(*outs))])
+        for i, slices in enumerate(parts)])
     return [n for n in names if n is not None]
 
 
@@ -407,11 +402,14 @@ def _fold_jmv_table(tbl: pa.Table, name: str, seq: int) -> pa.Table:
 
 
 @ray.remote
-def _merge_jmv_part(runs_dir: str, name: str, seq: int, fname_base: str,
+def _merge_jmv_part(runs_dir: str, name: str, fname_base: str,
                     *slices: pa.Table) -> "str | None":
+    """Seq stamp = the partition's own max (see matview._merge_mv_part
+    for why per-partition stamps preserve latest-wins)."""
     tbl = pa.concat_tables(slices, promote_options="default")
     if tbl.num_rows == 0:
         return None
+    seq = int(pc.max(tbl[MV_SEQ_COL]).as_py())
     return _write_jmv(_fold_jmv_table(tbl, name, seq), runs_dir,
                       fname_base)
 

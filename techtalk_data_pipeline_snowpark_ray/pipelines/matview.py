@@ -318,6 +318,9 @@ def ann_probe_cells(query, nprobe: int) -> list[int]:
     """The query's `nprobe` nearest cells (rounded cosine, smaller
     cell on ties) — the IVF probe list."""
     q = np.asarray(query, np.float64)
+    if not np.linalg.norm(q) > 0:
+        raise ValueError("ANN query vector has zero norm — cosine "
+                         "similarity is undefined for it")
     C = ann_centroids()
     sims = np.round(
         (q / np.linalg.norm(q)) @
@@ -871,12 +874,22 @@ def _refresh_grouped(cfg: EngineConfig,
                                      "source_version": cur, **stats}}))
 
 
+@ray.remote
+def _read_bucket_seq(path: str) -> pa.Table:
+    return pq.read_table(path, columns=[MV_BUCKET_COL, MV_SEQ_COL])
+
+
 def _bucket_epochs(paths: list[str]) -> dict[int, int]:
     """bucket -> newest refresh seq across the view's files. Reads just
-    the (bucket, seq) columns; output is num_buckets-sized (tiny)."""
-    epoch = pa.concat_tables(
-        [pq.read_table(p, columns=[MV_BUCKET_COL, MV_SEQ_COL])
-         for p in paths])
+    the (bucket, seq) columns; output is num_buckets-sized (tiny).
+    Many files (the uncompacted-backlog shape the distributed
+    compaction path exists for) read in parallel tasks."""
+    if len(paths) > 8:
+        tables = ray.get([_read_bucket_seq.remote(p) for p in paths])
+    else:
+        tables = [pq.read_table(p, columns=[MV_BUCKET_COL, MV_SEQ_COL])
+                  for p in paths]
+    epoch = pa.concat_tables(tables)
     bmax = pa.TableGroupBy(epoch, MV_BUCKET_COL).aggregate(
         [(MV_SEQ_COL, "max")])
     return {int(b): int(s) for b, s in
@@ -1025,15 +1038,11 @@ def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],
         out = _filter_current(tbl, cur_seq, keep_markers=True)
         seq = int(pc.max(out[MV_SEQ_COL]).as_py()) if out.num_rows else 0
         return [_write_mv_file(out, runs_dir, view, seq, txn)]
-    P = _compact_partitions(paths)
-    outs = [_split_view_file.options(num_returns=P if P > 1 else None)
-            .remote(p, P, None) for p in paths]
-    if P == 1:
-        outs = [[o] for o in outs]
+    parts = _split_partitions(paths, _compact_partitions(paths), None)
     names = ray.get([
         _merge_gmv_part.remote(runs_dir, name, cur_seq, f"{txn}p{i}",
                                *slices)
-        for i, slices in enumerate(zip(*outs))])
+        for i, slices in enumerate(parts)])
     return [n for n in names if n is not None]
 
 
@@ -1203,7 +1212,8 @@ def search_ann(cfg: EngineConfig, query, k: int = 10, nprobe: int = 4,
 def _compact_partitions(paths: list[str]) -> int:
     """Partition count for a distributed view-compaction fold: one
     key-routed reducer per SMALL_VIEW_BYTES of input, capped so the
-    object count stays bounded."""
+    object count stays bounded. Always >= 2 — the <= 1-unit case takes
+    the in-process fold before this is consulted."""
     unit = max(1, SMALL_VIEW_BYTES)       # tests force the path with 0
     return int(max(2, min(32, -(-_view_bytes(paths) // unit))))
 
@@ -1215,31 +1225,40 @@ def _split_view_file(path: str, n: int, key: str | None):
     the distributed compaction exchange."""
     t = pq.read_table(path)
     if t.num_rows == 0:
-        return tuple([t] * n) if n > 1 else t
+        return tuple([t] * n)
     if key is None:
         part = t[MV_BUCKET_COL].to_numpy(zero_copy_only=False) \
             .astype(np.uint64) % np.uint64(n)
     else:
         part = hash_strings_arrow(t[key]) % np.uint64(n)
-    out = tuple(t.filter(pa.array(part == i)) for i in range(n))
-    return out if n > 1 else out[0]
+    return tuple(t.filter(pa.array(part == i)) for i in range(n))
+
+
+def _split_partitions(paths: list[str], P: int,
+                      key: str | None) -> "list[tuple]":
+    """Map side of a distributed view fold: each file splits into P
+    routed slices in its own task (ONE read per file — reduce tasks
+    compute their own seq watermarks from the slices); returns the
+    per-partition slice tuples. P >= 2 by _compact_partitions."""
+    outs = [_split_view_file.options(num_returns=P).remote(p, P, key)
+            for p in paths]
+    return list(zip(*outs))
 
 
 @ray.remote
-def _file_max_seq(path: str) -> int:
-    t = pq.read_table(path, columns=[MV_SEQ_COL])
-    return int(pc.max(t[MV_SEQ_COL]).as_py()) if t.num_rows else 0
-
-
-@ray.remote
-def _merge_mv_part(runs_dir: str, view_name: str, seq: int, txn: str,
+def _merge_mv_part(runs_dir: str, view_name: str, txn: str,
                    *slices: pa.Table) -> str | None:
     """Reduce side: latest-wins fold of one key partition's slices,
     written in-task as its own base file (manifests carry per-view
-    file LISTS, so readers are unaffected). None for empty parts."""
+    file LISTS, so readers are unaffected). None for empty parts.
+    The seq stamp is the partition's own max — every row derives from
+    a generation <= it, and any future refresh writes strictly newer
+    seqs, so per-partition stamps preserve latest-wins exactly like
+    the old whole-view max while avoiding a second read pass."""
     tbl = pa.concat_tables(slices, promote_options="default")
     if tbl.num_rows == 0:
         return None
+    seq = int(pc.max(tbl[MV_SEQ_COL]).as_py())
     view = _view(view_name)
     merged = merge_mv_rows(tbl.to_pandas(), view.key)
     out = _state_cols(
@@ -1275,13 +1294,9 @@ def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
         want = _mv_file_schema(view)
         return [_write_mv_file(out.select(want.names).cast(want),
                                runs_dir, view, seq, txn)]
-    P = _compact_partitions(paths)
-    seq = max(ray.get([_file_max_seq.remote(p) for p in paths]), default=0)
-    outs = [_split_view_file.options(num_returns=P if P > 1 else None)
-            .remote(p, P, view.key) for p in paths]
-    if P == 1:
-        outs = [[o] for o in outs]
+    parts = _split_partitions(paths, _compact_partitions(paths),
+                              view.key)
     names = ray.get([
-        _merge_mv_part.remote(runs_dir, name, seq, f"{txn}p{i}", *slices)
-        for i, slices in enumerate(zip(*outs))])
+        _merge_mv_part.remote(runs_dir, name, f"{txn}p{i}", *slices)
+        for i, slices in enumerate(parts)])
     return [n for n in names if n is not None]

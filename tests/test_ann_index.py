@@ -143,3 +143,8 @@ def test_probe_read_is_cell_pruned(tmp_path):
     idx = pads.dataset(paths, format="parquet")
     n_probe = idx.count_rows(filter=pads.field("cell").isin(probes))
     assert 0 < n_probe < idx.count_rows()
+
+
+def test_zero_norm_query_rejected(tmp_path):
+    with pytest.raises(ValueError, match="zero norm"):
+        matview.ann_probe_cells([0.0] * 10, 4)

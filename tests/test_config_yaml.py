@@ -90,3 +90,12 @@ def test_cli_rejects_unknown_matview_from_yaml(tmp_path):
     }))
     with pytest.raises(SystemExit, match="unknown matview"):
         main(["--conf", str(conf), "replay", "--stop-when-idle"])
+
+
+def test_yaml_scalar_view_name_coerces_and_bad_type_rejected(tmp_path):
+    p = tmp_path / "conf.yml"
+    p.write_text("matviews: conv_live_stats\n")      # scalar, no list
+    assert EngineConfig.from_yaml(str(p)).matviews == ("conv_live_stats",)
+    p.write_text("derived-views: 7\n")
+    with pytest.raises(ValueError, match="derived_views must be a list"):
+        EngineConfig.from_yaml(str(p))

@@ -713,6 +713,17 @@ def test_cluster_pairs_distributed_matches_union_find():
         pd.testing.assert_frame_equal(got, want)
 
 
+def test_cluster_pairs_distributed_accepts_dataset():
+    """A fully-streamed caller can hand the edge set over as a Dataset
+    and it never lands on the driver."""
+    import ray.data
+    pairs = pd.DataFrame({"id_a": [1, 2, 5], "id_b": [2, 3, 6]})
+    want = dedup.cluster_pairs(pairs)
+    got = dedup.cluster_pairs_distributed(
+        ray.data.from_pandas(pairs), num_partitions=2)
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_cluster_pairs_gate_engages_distributed(monkeypatch):
     """Past CC_DISTRIBUTED_PAIRS (forced to 0) cluster_pairs routes
     through the distributed path with identical results."""
