@@ -317,7 +317,8 @@ def verify_jaccard(pairs: pd.DataFrame, shingles: dict[int, np.ndarray],
         ["id_a", "id_b"], ignore_index=True)
 
 
-def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
+def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD,
+                     as_dataset: bool = False):
     """Near-duplicate pairs: MinHash -> banded LSH -> per-bucket pair
     emission (distributed) -> exact-Jaccard verification, ALSO
     distributed: pairs hash-assign to verify partitions and each
@@ -327,12 +328,16 @@ def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.Da
 
     Driver footprint is the candidate pair LIST only (ids, no text, no
     shingles): the corpus-sized stages (shingling, minhash, bucket pair
-    emission, shingle extraction) all run as Dataset stages."""
+    emission, shingle extraction) all run as Dataset stages.
+    ``as_dataset=True`` keeps even the VERIFIED pair list in the
+    object store (the clustering consumer streams it straight into the
+    distributed connected components)."""
     from ..stages.pairverify import routed_pair_verify, shingle_arrays
 
     cand = _candidate_pairs(sf_dir)
     if cand.empty:
-        return _empty_pairs()
+        return ray.data.from_pandas(_empty_pairs()) if as_dataset \
+            else _empty_pairs()
     ids = np.unique(np.concatenate([cand["id_a"].to_numpy(dtype=np.int64),
                                     cand["id_b"].to_numpy(dtype=np.int64)]))
     items = _candidate_shingle_rows(sf_dir, ids)
@@ -341,7 +346,10 @@ def minhash_near_dup(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pd.Da
         return verify_jaccard(pairs, shingle_arrays(payload), threshold)
 
     out = routed_pair_verify(cand, items, "doc_id", verify_fn,
-                             num_partitions=AGG_PARTITIONS)
+                             num_partitions=AGG_PARTITIONS,
+                             as_dataset=as_dataset)
+    if as_dataset:
+        return out
     return out if len(out) else _empty_pairs()
 
 
@@ -583,8 +591,18 @@ def minhash_dedup_clusters(sf_dir: str,
                            threshold: float = JACCARD_THRESHOLD) -> pd.DataFrame:
     """Near-duplicate CLUSTERS: minhash pairs -> connected components
     -> (doc_id, cluster_rep) for every document in at least one pair.
-    Dropping rows where doc_id != cluster_rep is the dedup action."""
-    return cluster_pairs(minhash_near_dup(sf_dir, threshold))
+    Dropping rows where doc_id != cluster_rep is the dedup action.
+
+    The verified pair list stays in the object store end-to-end: past
+    CC_DISTRIBUTED_PAIRS it streams straight into the distributed
+    large-star/small-star rounds and the driver never holds the edge
+    set — only the per-doc cluster mapping it returns."""
+    pairs_ds = minhash_near_dup(sf_dir, threshold, as_dataset=True)
+    n = pairs_ds.count()
+    if n > CC_DISTRIBUTED_PAIRS:
+        return cluster_pairs_distributed(pairs_ds)
+    pairs = pairs_ds.to_pandas()
+    return cluster_pairs(pairs if len(pairs) else _empty_pairs())
 
 
 # -- simhash ---------------------------------------------------------------

@@ -55,7 +55,8 @@ def assign_pair_parts(pairs: pd.DataFrame, num_partitions: int
 
 def routed_pair_verify(pairs: pd.DataFrame, items: ray.data.Dataset,
                        id_col: str, verify_fn,
-                       num_partitions: int = 16) -> pd.DataFrame:
+                       num_partitions: int = 16,
+                       as_dataset: bool = False):
     """Verify candidate `pairs` against per-item payload rows, fully
     distributed.
 
@@ -66,8 +67,18 @@ def routed_pair_verify(pairs: pd.DataFrame, items: ray.data.Dataset,
     partition on that partition's payload rows (pandas; arrow list
     columns arrive as ndarray elements) and pairs; its frames are
     concatenated (and sorted by (id_a, id_b)) as the result.
-    """
+
+    ``as_dataset=True`` keeps the verified pairs in the object store
+    as a Dataset (unsorted) instead of landing them on the driver —
+    the input to a downstream distributed consumer (connected
+    components) on a dup-heavy corpus whose verified pair set itself
+    outgrows driver comfort."""
     if pairs.empty:
+        if as_dataset:
+            return ray.data.from_pandas(
+                pairs.iloc[0:0] if len(pairs.columns)
+                else pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                   "id_b": pd.Series(dtype="int64")}))
         return pairs.iloc[0:0]
     pairs, nd_ids, nd_parts = assign_pair_parts(pairs, num_partitions)
     needs_ref = ray.put((nd_ids, nd_parts))
@@ -102,9 +113,11 @@ def routed_pair_verify(pairs: pd.DataFrame, items: ray.data.Dataset,
 
     routed = items.map_batches(route, batch_format="pyarrow",
                                batch_size=8192, zero_copy_batch=True)
-    verified = exchange_map_groups(routed, "part", num_partitions,
-                                   verify_part, keep_part_col=True) \
-        .to_pandas()
+    out = exchange_map_groups(routed, "part", num_partitions,
+                              verify_part, keep_part_col=True)
+    if as_dataset:
+        return out
+    verified = out.to_pandas()
     if verified.empty:
         return verified
     return verified.sort_values(["id_a", "id_b"], ignore_index=True)
