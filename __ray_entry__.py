@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_erase_conversation": cdc_queries.cdc_erase_conversation,
         "cdc_token_search_bool": cdc_queries.cdc_token_search_bool,
         "cdc_ann_search": cdc_queries.cdc_ann_search,
+        "cdc_hybrid_search": cdc_queries.cdc_hybrid_search,
         "cdc_join_matview_drift": cdc_queries.cdc_join_matview_drift,
         "cdc_export_roundtrip": cdc_queries.cdc_export_roundtrip,
         "cdc_replicated_table": cdc_queries.cdc_replicated_table,
@@ -655,6 +656,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM fin
             ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
             LIMIT 10
+        """,
+        # hybrid search: candidates = the ten largest-numeric-token
+        # rows (token-index pruned+verified, 1:1 with live rows),
+        # ranked by rounded cosine of the digit-count embedding vs the
+        # fixed query, top 5
+        "cdc_hybrid_search": f"""
+            WITH ch AS ({_CDC_CH}),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY lsn DESC) AS rn
+              FROM ch
+            ),
+            fin AS (
+              SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                     role, text, tool, ts
+              FROM ranked WHERE rn = 1 AND op <> 'delete'
+            ),
+            cand AS (
+              SELECT * FROM fin
+              ORDER BY CAST(substr(text, 5) AS BIGINT) DESC
+              LIMIT 10
+            ),
+            scored AS (
+              SELECT *, ROW_NUMBER() OVER (
+                ORDER BY ROUND(list_cosine_similarity(
+                           {_ann_query_literal()},
+                           [{_ANN_EMBED_SQL}]), 6) DESC,
+                         conv_id, turn_idx) AS rk
+              FROM cand
+            )
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM scored WHERE rk <= 5
+            ORDER BY conv_id, turn_idx
         """,
         # ANN search over the CDC table via the IVF grouped matview:
         # embeddings are digit-count vectors of the live texts, cells

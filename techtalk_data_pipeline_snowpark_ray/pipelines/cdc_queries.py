@@ -692,6 +692,30 @@ def cdc_ann_search(sf_dir: str) -> ray.data.Dataset:
         .sort(["conv_id", "turn_idx"])
 
 
+def cdc_hybrid_search(sf_dir: str) -> ray.data.Dataset:
+    """HYBRID (filter + rank) SEARCH: the inverted token index prunes
+    and verifies the candidate rows (the ten largest numeric tokens —
+    1:1 with live rows here), then the fixed ANN query ranks them by
+    embedding cosine and keeps the top 5. Both stages serve from
+    incrementally-maintained engine state; bucket pruning asserted
+    like the token-search queries."""
+    from .matview import (ANN_QUERY, refresh_matview, search_hybrid,
+                          token_buckets)
+
+    cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "hs")
+    refresh_matview(cfg, "token_index")
+    tokens = _top_numeric_tokens(cfg, 10)
+    union: set = set()
+    nb = cfg.num_buckets
+    for tok in tokens:
+        hit, nb = token_buckets(cfg, tok)
+        union |= set(hit)
+    if not len(union) < nb:
+        raise AssertionError("hybrid search pruned no bucket")
+    return search_hybrid(cfg, ANN_QUERY, k=5, any_of=tokens) \
+        .sort(["conv_id", "turn_idx"])
+
+
 def cdc_join_matview_drift(sf_dir: str) -> ray.data.Dataset:
     """CROSS-TABLE JOIN MATVIEW: two independently-ingesting engine
     tables — A consumes the full change stream, B a filtered shadow

@@ -1149,6 +1149,43 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
                           zero_copy_batch=True)
 
 
+# -- hybrid search: token-pruned candidates, vector-ranked --------------------
+
+def search_hybrid(cfg: EngineConfig, query, k: int = 10,
+                  all_of=(), any_of=(),
+                  token_index: str = "token_index") -> ray.data.Dataset:
+    """Token-constrained ANN: the inverted index prunes the scan to
+    the tokens' buckets and verifies candidate rows
+    (`search_tokens`), then the vector query ranks the candidates by
+    6-decimal-rounded cosine over the deterministic embedding —
+    retrieval's classic filter+rank composition, both stages serving
+    from incrementally-maintained engine state. Candidate count is
+    token-selectivity-bounded; the rank is one vectorized pass over
+    it."""
+    q = np.asarray(query, np.float64)
+    if not np.linalg.norm(q) > 0:
+        raise ValueError("ANN query vector has zero norm — cosine "
+                         "similarity is undefined for it")
+    qn = q / np.linalg.norm(q)
+    cand = search_tokens(cfg, all_of=all_of, any_of=any_of,
+                         name=token_index)
+
+    def score(t: pa.Table) -> pa.Table:
+        E = ann_embed(t["text"])
+        norm = np.linalg.norm(E, axis=1)
+        keep = norm > 0                  # unembeddable rows can't rank
+        t = t.filter(pa.array(keep))
+        sim = np.round((E[keep] @ qn) / norm[keep], 6) if t.num_rows \
+            else np.array([], np.float64)
+        return t.append_column("sim", pa.array(sim))
+
+    top = cand.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .sort(["sim", "conv_id", "turn_idx"],
+              descending=[True, False, False]).limit(k)
+    return top.drop_columns(["sim"])
+
+
 # -- ANN search over the IVF index --------------------------------------------
 
 def search_ann(cfg: EngineConfig, query, k: int = 10, nprobe: int = 4,

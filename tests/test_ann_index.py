@@ -148,3 +148,44 @@ def test_probe_read_is_cell_pruned(tmp_path):
 def test_zero_norm_query_rejected(tmp_path):
     with pytest.raises(ValueError, match="zero norm"):
         matview.ann_probe_cells([0.0] * 10, 4)
+
+
+def test_hybrid_search_token_filter_then_vector_rank(tmp_path):
+    """search_hybrid = search_tokens candidates ranked by cosine —
+    checked against a pandas recomputation on the resolved snapshot."""
+    import re as _re
+
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        TOKEN_SPLIT_RE, refresh_matview as _refresh, search_hybrid)
+
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    _refresh(cfg, "token_index")
+    snap = ingest.snapshot_to_pandas(cfg)
+    toks = snap["text"].dropna().str.lower() \
+        .str.split(_re.compile(TOKEN_SPLIT_RE).pattern).explode()
+    tok = toks[toks.str.len() > 0].value_counts().index[0]
+
+    got = search_hybrid(cfg, ANN_QUERY, k=5, all_of=(tok,)) \
+        .to_pandas().sort_values(["conv_id", "turn_idx"],
+                                 ignore_index=True)
+    # brute: rows containing tok, ranked by rounded cosine
+    has = snap["text"].notna() & snap["text"].str.lower() \
+        .str.split(_re.compile(TOKEN_SPLIT_RE).pattern) \
+        .map(lambda t: isinstance(t, list) and tok in t)
+    cand = snap[has].copy()
+    E = _embed_py(cand["text"])
+    keep = np.linalg.norm(E, axis=1) > 0
+    cand, E = cand[keep], E[keep]
+    q = np.asarray(ANN_QUERY, float)
+    cand["sim"] = np.round(
+        E @ (q / np.linalg.norm(q)) / np.linalg.norm(E, axis=1), 6)
+    want = cand.sort_values(["sim", "conv_id", "turn_idx"],
+                            ascending=[False, True, True]).head(5) \
+        .drop(columns=["sim"]).sort_values(["conv_id", "turn_idx"],
+                                           ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[want.columns.tolist()], want,
+        check_dtype=False)
+    with pytest.raises(ValueError, match="zero norm"):
+        search_hybrid(cfg, [0.0] * 10, all_of=(tok,))

@@ -26,7 +26,7 @@ SUBSET = ["cdc_apply_full", "cdc_schema_evolution", "q1_pricing_summary",
           "cdc_rollback_rewind", "cdc_clone_divergence",
           "cdc_token_index", "cdc_token_search",
           "cdc_erase_conversation", "cdc_token_search_bool",
-          "cdc_ann_search", "cdc_join_matview_drift"]
+          "cdc_ann_search", "cdc_hybrid_search", "cdc_join_matview_drift"]
 
 
 @pytest.fixture(scope="module")
