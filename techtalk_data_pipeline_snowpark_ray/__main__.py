@@ -51,6 +51,13 @@ def _cfg(args) -> "EngineConfig":
         if bad:                       # before any tick commits
             raise SystemExit(
                 f"unknown matview(s) {bad}; registered: {sorted(known)}")
+    if cfg.derived_views:             # same fail-fast for derived sinks
+        from .pipelines.derived import VIEWS
+        bad = [v for v in cfg.derived_views if v not in VIEWS]
+        if bad:
+            raise SystemExit(
+                f"unknown derived view(s) {bad}; registered: "
+                f"{sorted(VIEWS)}")
     cfg.ensure_dirs()
     return cfg
 

@@ -609,6 +609,20 @@ def _top_numeric_tokens(cfg, k: int) -> "list[str]":
     return [r["token"] for r in top]
 
 
+def _assert_pruned_union(cfg, tokens, what: str) -> None:
+    """Shared prune gate for the search queries: the union of the
+    tokens' index bucket sets must be smaller than a full fan-out."""
+    from .matview import token_buckets
+
+    union: set = set()
+    nb = cfg.num_buckets
+    for tok in tokens:
+        hit, nb = token_buckets(cfg, tok)
+        union |= set(hit)
+    if not len(union) < nb:
+        raise AssertionError(f"{what} pruned no bucket scan")
+
+
 def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
     """Serving-side SEARCH over the inverted index: build the table,
     refresh `token_index`, then `matview.search_tokens(any_of=...)`
@@ -617,18 +631,12 @@ def cdc_token_search(sf_dir: str) -> ray.data.Dataset:
     fan-out. Numeric tokens are 1:1 with live rows here (each text is
     'txt-<winning lsn>'), so the oracle is the top-10 rows by numeric
     text suffix."""
-    from .matview import refresh_matview, search_tokens, token_buckets
+    from .matview import refresh_matview, search_tokens
 
     cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "ts")
     refresh_matview(cfg, "token_index")
     tokens = _top_numeric_tokens(cfg, 10)
-    union: set = set()
-    nb = cfg.num_buckets
-    for tok in tokens:
-        hit, nb = token_buckets(cfg, tok)
-        union |= set(hit)
-    if not len(union) < nb:
-        raise AssertionError("index never pruned a bucket scan")
+    _assert_pruned_union(cfg, tokens, "token search")
     return search_tokens(cfg, any_of=tokens) \
         .sort(["conv_id", "turn_idx"])
 
@@ -640,17 +648,12 @@ def cdc_token_search_bool(sf_dir: str) -> ray.data.Dataset:
     (everything) with the union of the rare tokens' sets, so the scan
     touches only the rare tokens' buckets (asserted in-code). Result =
     the top-5 rows by numeric text suffix."""
-    from .matview import refresh_matview, search_tokens, token_buckets
+    from .matview import refresh_matview, search_tokens
 
     cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "tb")
     refresh_matview(cfg, "token_index")
     any_tokens = _top_numeric_tokens(cfg, 5)
-    union = set()
-    for t in any_tokens:
-        hit, nb = token_buckets(cfg, t)
-        union |= set(hit)
-    if not len(union) < nb:
-        raise AssertionError("boolean search pruned no bucket")
+    _assert_pruned_union(cfg, any_tokens, "boolean search")
     return search_tokens(cfg, all_of=("txt",), any_of=any_tokens) \
         .sort(["conv_id", "turn_idx"])
 
@@ -682,12 +685,16 @@ def cdc_ann_search(sf_dir: str) -> ray.data.Dataset:
         GROUPED_MATVIEWS["ivf_index"].derived_key, state.load_latest())
     probes = ann_probe_cells(ANN_QUERY, 4)
     idx = pads.dataset(paths, format="parquet")
-    n_probe_rows = idx.count_rows(
-        filter=pads.field("cell").isin(probes))
-    n_total = idx.count_rows()
-    if not n_probe_rows < n_total:
-        raise AssertionError("probe read pruned nothing: "
-                             f"{n_probe_rows} of {n_total} rows")
+    # the substantive claim: posting rows OUTSIDE the probed cells
+    # exist and were skipped (marker rows and superseded generations
+    # would make a plain total-vs-probed comparison vacuously true)
+    n_skipped = idx.count_rows(
+        filter=~pads.field("cell").isin(probes)
+        & ~pads.field("cell").is_null())
+    if not n_skipped > 0:
+        raise AssertionError(
+            "probe read pruned nothing: no posting rows outside the "
+            f"{len(probes)} probed cells")
     return search_ann(cfg, ANN_QUERY, k=10, nprobe=4) \
         .sort(["conv_id", "turn_idx"])
 
@@ -699,19 +706,12 @@ def cdc_hybrid_search(sf_dir: str) -> ray.data.Dataset:
     embedding cosine and keeps the top 5. Both stages serve from
     incrementally-maintained engine state; bucket pruning asserted
     like the token-search queries."""
-    from .matview import (ANN_QUERY, refresh_matview, search_hybrid,
-                          token_buckets)
+    from .matview import ANN_QUERY, refresh_matview, search_hybrid
 
     cfg, _cutoff, _v1, _v2 = _two_phase_versions(sf_dir, "hs")
     refresh_matview(cfg, "token_index")
     tokens = _top_numeric_tokens(cfg, 10)
-    union: set = set()
-    nb = cfg.num_buckets
-    for tok in tokens:
-        hit, nb = token_buckets(cfg, tok)
-        union |= set(hit)
-    if not len(union) < nb:
-        raise AssertionError("hybrid search pruned no bucket")
+    _assert_pruned_union(cfg, tokens, "hybrid search")
     return search_hybrid(cfg, ANN_QUERY, k=5, any_of=tokens) \
         .sort(["conv_id", "turn_idx"])
 

@@ -1107,19 +1107,36 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
     any_of = [t.lower() for t in any_of]
     if not all_of and not any_of:
         raise ValueError("search needs at least one token")
-    buckets: "set[int] | None" = None
-    for t in all_of:
-        hit, _nb = token_buckets(cfg, t, name)
-        buckets = set(hit) if buckets is None else buckets & set(hit)
-        if not buckets:
-            break
-    if any_of and (buckets is None or buckets):
-        union: set[int] = set()
-        for t in any_of:
+    # layout guard: the index's bucket ids refer to the layout at its
+    # LAST REFRESH; after a rebucket migration they no longer name the
+    # current snapshot's buckets, so pruning with them would read the
+    # wrong rows. Fall back to the full verified scan (correct, just
+    # unpruned) until the next refresh re-indexes under the new layout.
+    state = TableState(cfg.table_dir)
+    m = state.load_latest()
+    view = GROUPED_MATVIEWS[name]
+    last = _last_refreshed(m, view)
+    if last is None:
+        raise ValueError(
+            f"index {name!r} has never been refreshed on this table; "
+            f"run refresh_matview(cfg, {name!r}) first")
+    cur_nb = m.num_buckets or cfg.num_buckets
+    if (state.load(last).num_buckets or cfg.num_buckets) != cur_nb:
+        ds = read_snapshot(cfg)
+    else:
+        buckets: "set[int] | None" = None
+        for t in all_of:
             hit, _nb = token_buckets(cfg, t, name)
-            union |= set(hit)
-        buckets = union if buckets is None else buckets & union
-    ds = read_snapshot(cfg, buckets=sorted(buckets or ()))
+            buckets = set(hit) if buckets is None else buckets & set(hit)
+            if not buckets:
+                break
+        if any_of and (buckets is None or buckets):
+            union: set[int] = set()
+            for t in any_of:
+                hit, _nb = token_buckets(cfg, t, name)
+                union |= set(hit)
+            buckets = union if buckets is None else buckets & union
+        ds = read_snapshot(cfg, buckets=sorted(buckets or ()))
 
     def verify(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
@@ -1211,7 +1228,13 @@ def search_ann(cfg: EngineConfig, query, k: int = 10, nprobe: int = 4,
             f"index {name!r} has never been refreshed on this table; "
             f"run refresh_matview(cfg, {name!r}) first")
     cur = _bucket_epochs(paths)
-    nb = m.num_buckets or cfg.num_buckets
+    # sized by the LARGEST bucket id the index files carry, not the
+    # manifest's current count: after a rebucket migration the
+    # not-yet-refreshed index legitimately holds old-layout ids and
+    # must keep serving its last refreshed state (token_buckets' dict
+    # handles the same state; this is its vectorized equivalent)
+    nb = max(m.num_buckets or cfg.num_buckets,
+             max(cur.keys(), default=-1) + 1)
     cur_arr = np.full(nb, -1, np.int64)
     for bk, sq in cur.items():
         cur_arr[int(bk)] = sq

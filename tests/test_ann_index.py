@@ -142,7 +142,13 @@ def test_probe_read_is_cell_pruned(tmp_path):
     probes = ann_probe_cells(ANN_QUERY, 4)
     idx = pads.dataset(paths, format="parquet")
     n_probe = idx.count_rows(filter=pads.field("cell").isin(probes))
-    assert 0 < n_probe < idx.count_rows()
+    # substantive: posting rows OUTSIDE the probed cells exist and were
+    # skipped (a total-rows comparison is vacuous — marker rows and
+    # superseded generations never match the isin filter anyway)
+    n_skipped = idx.count_rows(
+        filter=~pads.field("cell").isin(probes)
+        & ~pads.field("cell").is_null())
+    assert n_probe > 0 and n_skipped > 0
 
 
 def test_zero_norm_query_rejected(tmp_path):
@@ -189,3 +195,39 @@ def test_hybrid_search_token_filter_then_vector_rank(tmp_path):
         check_dtype=False)
     with pytest.raises(ValueError, match="zero norm"):
         search_hybrid(cfg, [0.0] * 10, all_of=(tok,))
+
+
+def test_search_serves_stale_index_across_rebucket(tmp_path):
+    """A rebucket migration between refresh and search: ANN search
+    keeps serving the last refreshed state (postings carry keys
+    directly; old-layout bucket ids only gate epochs), and token
+    search falls back to the full verified scan because its pruning
+    ids refer to the OLD layout — results must equal the pre-migration
+    truth in both cases, and re-refreshing restores pruning."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        refresh_matview as _refresh, search_token)
+
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    _refresh(cfg, "token_index")
+    snap = ingest.snapshot_to_pandas(cfg)
+    tok = snap["text"].dropna().str.lower().str.split(r"[^a-z0-9]+") \
+        .explode().value_counts().index[0]
+    ann_before = _search_df(cfg)
+    tok_before = search_token(cfg, tok).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    assert len(tok_before) > 0
+
+    cfg.num_buckets = 4                    # migrate 8 -> 4 buckets
+    ingest.compact(cfg, rebucket=True)
+    pd.testing.assert_frame_equal(_search_df(cfg), ann_before)
+    tok_after = search_token(cfg, tok).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(tok_after, tok_before)
+
+    _refresh(cfg, "ivf_index")             # forced-full under new layout
+    _refresh(cfg, "token_index")
+    pd.testing.assert_frame_equal(_search_df(cfg), ann_before)
+    tok_re = search_token(cfg, tok).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(tok_re, tok_before)

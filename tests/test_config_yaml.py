@@ -99,3 +99,16 @@ def test_yaml_scalar_view_name_coerces_and_bad_type_rejected(tmp_path):
     p.write_text("derived-views: 7\n")
     with pytest.raises(ValueError, match="derived_views must be a list"):
         EngineConfig.from_yaml(str(p))
+
+
+def test_cli_rejects_unknown_derived_view_from_yaml(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.__main__ import main
+
+    conf = tmp_path / "conf.yml"
+    conf.write_text(yaml.safe_dump({
+        "table-dir": str(tmp_path / "t"),
+        "wal-dir": str(tmp_path / "w"),
+        "derived-views": ["conv_stat"],      # typo'd sink name
+    }))
+    with pytest.raises(SystemExit, match="unknown derived view"):
+        main(["--conf", str(conf), "replay", "--stop-when-idle"])
