@@ -59,8 +59,9 @@ QUERY_NAMES = [
     "cdc_token_index", "cdc_token_search", "cdc_erase_conversation",
     "cdc_join_matview_drift",
     # round-4 operators: ANN search as an incrementally-maintained IVF
-    # matview, distributed connected components for near-dup clustering
-    "cdc_ann_search", "minhash_dedup_clusters",
+    # matview, distributed connected components for near-dup
+    # clustering, token-filtered + vector-ranked hybrid search
+    "cdc_ann_search", "minhash_dedup_clusters", "cdc_hybrid_search",
 ]
 
 
