@@ -1049,17 +1049,26 @@ def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],
 # -- inverted-index search ----------------------------------------------------
 
 def token_buckets(cfg: EngineConfig, token: str,
-                  name: str = "token_index") -> "tuple[list[int], int]":
+                  name: str = "token_index",
+                  m: "Manifest | None" = None) -> "tuple[list[int], int]":
     """Buckets whose CURRENT index epoch contains `token`, plus the
     stored bucket count — the SKIPPING read of the inverted index. The
     scan touches only the index files' (token, bucket, seq) columns
     with a `token ==` parquet predicate (row groups prune on footer
-    stats), so the cost is index-sized, never table-sized."""
+    stats), so the cost is index-sized, never table-sized.
+
+    Contract: the hit ids are in the layout of the index's LAST
+    REFRESH. A caller pruning a snapshot read with them must compare
+    that layout against the manifest it reads (as `search_tokens`
+    does, pinning one manifest via `m` across the guard, the lookups
+    and the read); after a rebucket migration the pair (old-layout
+    ids, new bucket count) is not coherent for pruning."""
     import pyarrow.dataset as pads
 
     view = GROUPED_MATVIEWS[name]
     state = TableState(cfg.table_dir)
-    m = state.load_latest()
+    if m is None:
+        m = state.load_latest()
     nb = m.num_buckets or cfg.num_buckets
     paths = state.derived_paths(view.derived_key, m)
     if not paths:
@@ -1107,13 +1116,16 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
     any_of = [t.lower() for t in any_of]
     if not all_of and not any_of:
         raise ValueError("search needs at least one token")
-    # layout guard: the index's bucket ids refer to the layout at its
+    # Layout guard: the index's bucket ids refer to the layout at its
     # LAST REFRESH; after a rebucket migration they no longer name the
     # current snapshot's buckets, so pruning with them would read the
     # wrong rows. Fall back to the full verified scan (correct, just
-    # unpruned) until the next refresh re-indexes under the new layout.
+    # unpruned) until the next refresh re-indexes under the new
+    # layout. ONE manifest is pinned through the guard, the bucket
+    # lookups AND the snapshot read — a rebucket committing mid-search
+    # cannot defeat the check (each stage reloading "latest" would).
     state = TableState(cfg.table_dir)
-    m = state.load_latest()
+    ver, m = state.load_latest_versioned()
     view = GROUPED_MATVIEWS[name]
     last = _last_refreshed(m, view)
     if last is None:
@@ -1121,22 +1133,35 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
             f"index {name!r} has never been refreshed on this table; "
             f"run refresh_matview(cfg, {name!r}) first")
     cur_nb = m.num_buckets or cfg.num_buckets
-    if (state.load(last).num_buckets or cfg.num_buckets) != cur_nb:
-        ds = read_snapshot(cfg)
+    if last == ver:                      # index fresh: trivially same
+        pruning_ok = True
+    else:
+        try:
+            pruning_ok = (state.load(last).num_buckets
+                          or cfg.num_buckets) == cur_nb
+        except FileNotFoundError:
+            # clones keep the SOURCE's derived file names (embedding
+            # source version numbers) over a fresh v0-only lineage, so
+            # the layout at refresh time is unknowable there — serve
+            # the correct-but-unpruned scan
+            pruning_ok = False
+    if not pruning_ok:
+        ds = read_snapshot(cfg, manifest=m)
     else:
         buckets: "set[int] | None" = None
         for t in all_of:
-            hit, _nb = token_buckets(cfg, t, name)
+            hit, _nb = token_buckets(cfg, t, name, m=m)
             buckets = set(hit) if buckets is None else buckets & set(hit)
             if not buckets:
                 break
         if any_of and (buckets is None or buckets):
             union: set[int] = set()
             for t in any_of:
-                hit, _nb = token_buckets(cfg, t, name)
+                hit, _nb = token_buckets(cfg, t, name, m=m)
                 union |= set(hit)
             buckets = union if buckets is None else buckets & union
-        ds = read_snapshot(cfg, buckets=sorted(buckets or ()))
+        ds = read_snapshot(cfg, manifest=m,
+                           buckets=sorted(buckets or ()))
 
     def verify(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(

@@ -231,3 +231,33 @@ def test_search_serves_stale_index_across_rebucket(tmp_path):
     tok_re = search_token(cfg, tok).to_pandas().sort_values(
         ["conv_id", "turn_idx"], ignore_index=True)
     pd.testing.assert_frame_equal(tok_re, tok_before)
+
+
+def test_search_on_clone_serves_unpruned(tmp_path):
+    """A clone keeps the source's derived index files (whose names
+    embed SOURCE version numbers) over a fresh v0-only manifest
+    lineage: the layout guard must treat the refresh layout as
+    unknowable and fall back to the full verified scan — never crash,
+    and results must equal the source's."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        refresh_matview as _refresh, search_token)
+
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    ingest.compact(cfg)                  # source version advances past 0
+    _refresh(cfg, "token_index")
+    snap = ingest.snapshot_to_pandas(cfg)
+    tok = snap["text"].dropna().str.lower().str.split(r"[^a-z0-9]+") \
+        .explode().value_counts().index[0]
+    want = search_token(cfg, tok).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    assert len(want) > 0
+
+    cfg2 = EngineConfig(table_dir=str(tmp_path / "t2"),
+                        wal_dir=str(tmp_path / "w2"), num_buckets=8,
+                        apply_mode="direct")
+    cfg2.ensure_dirs()
+    ingest.clone_table(cfg, cfg2)
+    got = search_token(cfg2, tok).to_pandas().sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    pd.testing.assert_frame_equal(got, want)
