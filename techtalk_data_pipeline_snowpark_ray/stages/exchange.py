@@ -38,6 +38,9 @@ import ray.data
 
 @ray.remote
 def _split_block(tbl: pa.Table, col: str, n: int):
+    # strip dict-valued (pandas) schema metadata so every emitted slice
+    # keeps a hashable schema -- Ray's block-schema dedup depends on it
+    tbl = tbl.replace_schema_metadata(None)
     if tbl.num_rows == 0:
         # Ray emits SCHEMALESS empty blocks for empty upstream batches
         # (no part column to read); every partition gets an empty slice,
@@ -62,12 +65,13 @@ def _split_block(tbl: pa.Table, col: str, n: int):
 
 @ray.remote(num_returns=2)
 def _reduce_part(fn, drop_col: str, pandas: bool, *parts):
-    """Returns (reduced table, non-empty flag). The flag travels as its
-    own tiny object so the driver's empty-partition filter never
-    fetches (or cross-node transfers) the reduced tables themselves."""
+    """Returns (reduced table, result row count | None). The count
+    travels as its own tiny object so the driver's empty-partition
+    filter never fetches (or cross-node transfers) the reduced tables
+    themselves. None means the partition had no input rows at all."""
     parts = [p for p in parts if p.num_rows]
     if not parts:
-        return None, False
+        return None, None
     tbl = pa.concat_tables(parts, promote_options="default")
     if drop_col:
         tbl = tbl.drop_columns([drop_col])
@@ -85,8 +89,11 @@ def _reduce_part(fn, drop_col: str, pandas: bool, *parts):
                       and tbl.schema.get_field_index(f.name) != -1
                       else f for f in res.schema]
             res = pa.schema(fields).empty_table()
-        return res, True
-    return fn(tbl), True
+        return res, res.num_rows
+    out = fn(tbl)
+    if isinstance(out, pa.Table):
+        out = out.replace_schema_metadata(None)
+    return out, out.num_rows
 
 
 def exchange_map_groups(ds: ray.data.Dataset, part_col: str,
@@ -109,7 +116,18 @@ def exchange_map_groups(ds: ray.data.Dataset, part_col: str,
     pairs = [_reduce_part.remote(fn, drop, batch_format == "pandas",
                                  *slices) for slices in zip(*outs)]
     # None results (empty partitions) must not reach from_arrow_refs;
-    # only the bool flags are fetched, never the tables
-    flags = ray.get([flag for _, flag in pairs])
-    refs = [tbl for (tbl, _), ok in zip(pairs, flags) if ok]
+    # only the tiny row counts are fetched, never the tables. Empty
+    # REDUCE results (non-empty input, 0-row output) are dropped too --
+    # an empty pandas result degrades untyped columns to arrow `null`,
+    # and mixing null-typed and typed blocks trips the streaming
+    # executor's schema-consistency check -- unless every partition
+    # came back empty, in which case one empty table survives as the
+    # downstream schema carrier.
+    counts = ray.get([cnt for _, cnt in pairs])
+    refs = [tbl for (tbl, _), c in zip(pairs, counts) if c]
+    if not refs:
+        refs = [tbl for (tbl, _), c in zip(pairs, counts)
+                if c is not None][:1]
+    if not refs:
+        return ds.limit(0)
     return ray.data.from_arrow_refs(refs)

@@ -86,6 +86,10 @@ def routed_pair_verify(pairs: pd.DataFrame, items: ray.data.Dataset,
 
     def route(batch: pa.Table) -> pa.Table:
         ids_sorted, parts = fetch_broadcast(needs_ref)
+        # a pandas-produced upstream batch carries dict-valued pandas
+        # schema metadata, which makes the output schema unhashable and
+        # defeats Ray's block-schema dedup (see sources/tables.py)
+        batch = batch.replace_schema_metadata(None)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         # for each batch row, the slice of needs entries with its id
         lo = np.searchsorted(ids_sorted, ids, side="left")

@@ -39,3 +39,46 @@ def test_headline_survives_sigkill(tmp_path):
     assert parsed["value"] > 0
     assert parsed["events"] > 0
     assert parsed.get("partial") is True
+
+
+def test_exchange_stages_emit_hashable_schemas(tmp_path):
+    """Ray's block-schema dedup must not be defeated by dict-valued
+    (pandas) schema metadata in the routed-exchange stages: a pandas-
+    sourced pipeline through routed_pair_verify + exchange_map_groups
+    must log zero "Failed to hash the schemas" warnings (each such line
+    means Ray fell back to per-block schema copies)."""
+    script = r"""
+import numpy as np, pandas as pd, ray
+ray.init(address="local", num_cpus=4, include_dashboard=False)
+from techtalk_data_pipeline_snowpark_ray.stages.pairverify import (
+    routed_pair_verify)
+from techtalk_data_pipeline_snowpark_ray.stages.exchange import (
+    exchange_map_groups)
+# pandas-format source --> blocks carry pandas schema metadata unless
+# the exchange stages strip it
+items = pd.DataFrame({"doc_id": np.repeat(np.arange(40), 3),
+                      "h": np.arange(120, dtype=np.uint64)})
+ds = ray.data.from_pandas(items).map_batches(
+    lambda b: b, batch_format="pandas", batch_size=16)
+pairs = pd.DataFrame({"id_a": [0, 2, 4], "id_b": [1, 3, 5]})
+def verify(payload, prs):
+    return prs.assign(ok=True)
+out = routed_pair_verify(pairs, ds, "doc_id", verify, num_partitions=4)
+assert len(out) == 3, out
+ds2 = ray.data.from_pandas(items.assign(part=items.doc_id % 4)) \
+    .map_batches(lambda b: b, batch_format="pandas", batch_size=16)
+agg = exchange_map_groups(
+    ds2, "part", 4,
+    lambda g: g.groupby("doc_id", as_index=False).agg(n=("h", "size")))
+assert agg.to_pandas()["n"].sum() == 120
+ray.shutdown()
+print("OK-SENTINEL")
+"""
+    env = dict(os.environ)
+    out = subprocess.run([sys.executable, "-c", script], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=REPO)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "OK-SENTINEL" in out.stdout
+    combined = out.stdout + out.stderr
+    assert "Failed to hash the schemas" not in combined, combined[-3000:]
