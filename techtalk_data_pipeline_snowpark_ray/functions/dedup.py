@@ -466,26 +466,40 @@ def _star_round(edges: "ray.data.Dataset", num_partitions: int,
                                lambda g: _star_partition(g, large))
 
 
-def _edge_signature(edges: "ray.data.Dataset") -> tuple[int, int]:
-    """(count, order-independent checksum) of a canonical edge set —
-    the fixpoint detector for the star rounds. Only two ints reach the
-    driver per round."""
+def _edge_signature(edges: "ray.data.Dataset") -> tuple[int, int, int]:
+    """(count, xor checksum, modular-sum checksum) of a canonical edge
+    set — the fixpoint detector for the star rounds. Only three ints
+    reach the driver per round. Two INDEPENDENT order-insensitive
+    checksums: xor alone cancels even-multiplicity duplicate edges
+    (the per-partition-only dedup can produce cross-partition repeats),
+    so a colliding pair of different edge sets would also need an
+    identical mod-2^64 sum of the same 57-bit hashes — the sum weights
+    multiplicity, which is exactly what xor discards."""
     mix = np.uint64(0x9E3779B97F4A7C15)
 
     def sig(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False).astype(np.uint64)
         b = t["b"].to_numpy(zero_copy_only=False).astype(np.uint64)
         h = (a * mix + b) * mix >> np.uint64(7)
+        empty = t.num_rows == 0
+        with np.errstate(over="ignore"):
+            tot = int(np.add.reduce(h)) if not empty else 0
         return pa.table({"cnt": [t.num_rows],
                          "s": [int(np.bitwise_xor.reduce(h))
-                               if t.num_rows else 0]})
+                               if not empty else 0],
+                         "m": pa.array([tot % (1 << 64)],
+                                       type=pa.uint64())})
 
     parts = edges.map_batches(sig, batch_format="pyarrow",
                               zero_copy_batch=True).to_pandas()
+    if not len(parts):
+        return (0, 0, 0)
+    with np.errstate(over="ignore"):
+        modsum = int(np.add.reduce(
+            parts["m"].to_numpy(dtype=np.uint64))) % (1 << 64)
     return (int(parts["cnt"].sum()),
-            int(np.bitwise_xor.reduce(
-                parts["s"].to_numpy(dtype=np.uint64)))
-            if len(parts) else 0)
+            int(np.bitwise_xor.reduce(parts["s"].to_numpy(dtype=np.uint64))),
+            modsum)
 
 
 def cluster_pairs_distributed(pairs: pd.DataFrame,

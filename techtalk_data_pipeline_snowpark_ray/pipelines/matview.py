@@ -660,11 +660,16 @@ def _view_bytes(paths: list[str]) -> int:
 
 def _restore_int_dtypes(df: pd.DataFrame, schema: pa.Schema) -> pd.DataFrame:
     """Undo pandas' null-driven int->float promotion against the
-    declared schema (rows carrying the nulls are already dropped)."""
+    declared schema (rows carrying the nulls are already dropped).
+    Casts to each field's DECLARED width, not a blanket int64 — an
+    int32/int16 agg field must come back at its own width or
+    tombstone-carrying partitions would emit wider blocks than the
+    rest and break the blocks-must-agree invariant."""
     for f in schema:
-        if pa.types.is_integer(f.type) and f.name in df.columns \
-                and df[f.name].dtype != np.int64:
-            df[f.name] = df[f.name].astype("int64")
+        if pa.types.is_integer(f.type) and f.name in df.columns:
+            want = np.dtype(f.type.to_pandas_dtype())
+            if df[f.name].dtype != want:
+                df[f.name] = df[f.name].astype(want)
     return df
 
 
@@ -1191,6 +1196,22 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
                           zero_copy_batch=True)
 
 
+def _local_topk(t: pa.Table, k: int) -> pa.Table:
+    """Prune a scored batch to its own top-k under the FULL search
+    order (sim desc, conv_id asc, turn_idx asc). Any row outside its
+    batch's top-k has >= k rows ahead of it globally, so the global
+    sort+limit result is unchanged — but the sort exchange now moves
+    at most k rows per block instead of the whole candidate set (the
+    difference between probe-bounded and cell-count-unbounded cost
+    when a caller passes nprobe=ANN_CELLS)."""
+    if t.num_rows <= k:
+        return t
+    idx = pc.sort_indices(t, sort_keys=[("sim", "descending"),
+                                        ("conv_id", "ascending"),
+                                        ("turn_idx", "ascending")])
+    return t.take(idx.slice(0, k))
+
+
 # -- hybrid search: token-pruned candidates, vector-ranked --------------------
 
 def search_hybrid(cfg: EngineConfig, query, k: int = 10,
@@ -1219,7 +1240,7 @@ def search_hybrid(cfg: EngineConfig, query, k: int = 10,
         t = t.filter(pa.array(keep))
         sim = np.round((E[keep] @ qn) / norm[keep], 6) if t.num_rows \
             else np.array([], np.float64)
-        return t.append_column("sim", pa.array(sim))
+        return _local_topk(t.append_column("sim", pa.array(sim)), k)
 
     top = cand.map_batches(score, batch_format="pyarrow",
                            zero_copy_batch=True) \
@@ -1283,9 +1304,9 @@ def search_ann(cfg: EngineConfig, query, k: int = 10, nprobe: int = 4,
         norm = np.linalg.norm(E, axis=1)
         sim = np.round((E @ qn) / norm, 6) if t.num_rows \
             else np.array([], np.float64)
-        return pa.table({"conv_id": t["conv_id"],
-                         "turn_idx": t["turn_idx"],
-                         "sim": pa.array(sim)})
+        return _local_topk(pa.table({"conv_id": t["conv_id"],
+                                     "turn_idx": t["turn_idx"],
+                                     "sim": pa.array(sim)}), k)
 
     cand = ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)

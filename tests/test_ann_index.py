@@ -261,3 +261,18 @@ def test_search_on_clone_serves_unpruned(tmp_path):
     got = search_token(cfg2, tok).to_pandas().sort_values(
         ["conv_id", "turn_idx"], ignore_index=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_exhaustive_probe_equals_brute_force(tmp_path):
+    """nprobe=ANN_CELLS (probe every cell) must return the exact
+    brute-force top-k — and exercises the per-batch local top-k prune
+    in front of the global sort (candidate set = every embeddable row,
+    far larger than k, so pruned batches feed the sort exchange)."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import ANN_CELLS
+    cfg = _mk_cfg(tmp_path)
+    _build_two_phase(cfg)
+    snap = ingest.snapshot_to_pandas(cfg)
+    for k in (3, 10):
+        want = _brute(snap, ANN_QUERY, k=k, nprobe=ANN_CELLS)
+        got = _search_df(cfg, k=k, nprobe=ANN_CELLS)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
