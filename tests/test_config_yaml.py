@@ -112,3 +112,46 @@ def test_cli_rejects_unknown_derived_view_from_yaml(tmp_path):
     }))
     with pytest.raises(SystemExit, match="unknown derived view"):
         main(["--conf", str(conf), "replay", "--stop-when-idle"])
+
+
+def test_readme_quickstart_demo():
+    """The README quick-start commands run VERBATIM: extract the bash
+    block under '### Quick start' and execute it (fresh scratch dirs),
+    asserting the demo's JSON summary — two tables ingested, the join
+    view populated, the fan-in analytics computed — and that a second
+    verbatim run drains (exactly-once) instead of duplicating."""
+    import re
+    import shutil
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"### Quick start.*?```bash\n(.*?)```", readme, re.S)
+    assert m, "README quick-start bash block missing"
+    cmd = m.group(1).strip()
+    assert "demo" in cmd
+    shutil.rmtree("/tmp/ttdps-demo", ignore_errors=True)
+    env = dict(os.environ)
+
+    def run():
+        out = subprocess.run(["bash", "-c", cmd], env=env, cwd=repo,
+                             capture_output=True, text=True, timeout=570)
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+        return json.loads(lines[-1])
+
+    first = run()
+    assert first["events_applied"] == {"a": 4000, "b": 2000}
+    assert first["rows"]["a"] > 0 and first["rows"]["b"] > 0
+    assert first["drift_rows"] > 0
+    assert {r["role"] for r in first["role_totals"]} == {
+        "assistant", "system", "tool", "user"}
+    assert sum(r["n_turns"] for r in first["role_totals"]) \
+        == first["rows"]["a"] + first["rows"]["b"]
+    again = run()                         # verbatim re-run: drained
+    assert again["events_applied"] == {"a": 0, "b": 0}
+    assert again["rows"] == first["rows"]
+    assert again["role_totals"] == first["role_totals"]
+    shutil.rmtree("/tmp/ttdps-demo", ignore_errors=True)
