@@ -135,25 +135,34 @@ def resolve_final(df: pd.DataFrame, payload_cols: list[str],
 
 _ALL_OPS = [schemas.OP_INSERT, schemas.OP_UPDATE, schemas.OP_DELETE,
             schemas.OP_FULL, schemas.OP_PARTIAL]
-#: insert->full, update->partial, delete->delete, full->full, partial->partial
-_COLLAPSED_CODE = np.array([0, 1, 2, 0, 1], dtype=np.int32)
-_COLLAPSED_OPS_ARR = None  # built lazily (needs pyarrow)
+_COLLAPSED_OPS_ARR = None  # [full, partial, delete], built lazily (needs pyarrow)
 
 
 def fold_table(batch: "pa.Table", payload_cols: list[str],
                kh: np.ndarray | None = None,
                barriers: list[int] | None = None) -> "pa.Table":
-    """Arrow-native fold of a change-record table (columns: key cols,
-    lsn, op, payload, any passthrough) to one collapsed record per key.
+    """Arrow/numpy fold of a change-record table (columns: key cols,
+    lsn, op, payload, any passthrough) to one collapsed record per key
+    — the vectorized equivalent of :func:`collapse_events` (pinned
+    row-for-row equal by tests/test_collapse.py's differential
+    property test).
 
-    Fast path: rows whose 64-bit key hash is unique within the batch
-    (the overwhelming majority when keys >> batch) are handled entirely
-    in Arrow/numpy -- their fold is just the op rename. Rows sharing a
-    key hash (true repeats + vanishing hash collisions) take the exact
-    pandas :func:`collapse_events`, which groups by the REAL key
-    columns, so collisions are harmless.
+    Shape (everything O(n log n) numpy + O(columns) arrow gathers, no
+    pandas on the main path): sort by (key-hash, lsn, absolute-rank),
+    dedup re-delivered (key, lsn) duplicates keeping the
+    information-bearing absolute record, find each group's last
+    barrier (insert/full/delete — rows before it can never influence
+    the fold), and emit the group's LAST row with each payload column
+    overridden by its last non-null value inside that final segment
+    (exactly what collapse_events' ffill-then-tail computes). Groups
+    whose 64-bit key hashes collide on different REAL keys (vanishing
+    probability, checked explicitly) are demoted to the exact pandas
+    path, which groups by the real key columns.
 
-    Same interval-partition precondition as collapse_events.
+    Same interval-partition precondition as collapse_events. With
+    ``barriers`` (control-op epochs) the epoch is mixed into the
+    group hash, so groups are (key, epoch) — the same grouping
+    collapse_events builds from the raw lsns.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -176,31 +185,31 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
         # epoch barriers (control ops): same key, different epoch must
         # stay distinct groups -- mix the epoch into the key hash (same
         # key/epoch pairs keep identical hashes, so the collision guard
-        # below still compares real keys soundly)
+        # below still compares real keys soundly). Equal-lsn duplicates
+        # always share an epoch, so the (hash, lsn) dedup stays sound.
         epoch = np.searchsorted(np.asarray(barriers, dtype=np.int64),
                                 lsn, side="right").astype(np.uint64)
         kh = kh * np.uint64(0x9E3779B97F4A7C15) + epoch
     codes = pc.index_in(batch[schemas.OP_COL],
                         value_set=pa.array(_ALL_OPS)).to_numpy(zero_copy_only=False)
-    # relative records (update/partial) need prior state -> exact path
-    is_rel = (codes == 1) | (codes == 4)
+    is_rel = (codes == 1) | (codes == 4)        # update / partial
+    # exactly-once vs duplicate delivery (same ranking as
+    # collapse_events): among equal-(key, lsn) records the absolute one
+    # must survive the dedup -- rank it last within the (hash, lsn) run
+    prn = np.where(is_rel, np.int8(0), np.int8(1))
 
-    order = np.lexsort((lsn, kh))          # stable: arrival order breaks lsn ties
+    order = np.lexsort((prn, lsn, kh))   # stable: arrival breaks full ties
     kh_s = kh[order]
     new_grp = np.ones(n, dtype=bool)
     new_grp[1:] = kh_s[1:] != kh_s[:-1]
-    grp = np.cumsum(new_grp) - 1
-    n_grp = int(grp[-1]) + 1
-    grp_has_rel = np.zeros(n_grp, dtype=bool)
-    np.logical_or.at(grp_has_rel, grp, is_rel[order])
-    grp_size = np.bincount(grp, minlength=n_grp)
-    grp_last_pos = np.cumsum(grp_size) - 1
 
-    # hash-collision guard: within repeated-hash positions, verify the
-    # REAL key matches the previous row; any mismatching group is
-    # demoted to the exact pandas path (which groups by real columns).
+    # hash-collision guard BEFORE the dedup (a collision could
+    # otherwise swallow a different key's record as a "duplicate"):
+    # within repeated-hash positions, verify the REAL key matches the
+    # previous row; any mismatching hash-group is demoted to the exact
+    # pandas path.
     rep_pos = np.flatnonzero(~new_grp)
-    collided = np.zeros(n_grp, dtype=bool)
+    coll_row = None
     if len(rep_pos):
         cur = pa.array(order[rep_pos])
         prv = pa.array(order[rep_pos - 1])
@@ -211,32 +220,88 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
         same_key = same_conv & (turn[order[rep_pos]] == turn[order[rep_pos - 1]])
         bad = rep_pos[~same_key]
         if len(bad):
-            collided[np.unique(grp[bad])] = True
-
-    # absolute-only, collision-free groups (incl. all singletons
-    # without relative ops): LWW == last row by lsn; lsn ties are
-    # byte-identical re-delivered duplicates. Single relative-record
-    # groups: the record itself, op -> partial.
-    easy_grp = (~grp_has_rel | (grp_size == 1)) & ~collided
-    easy_rows = order[grp_last_pos[easy_grp]]
-    hard_rows = order[~easy_grp[grp]]
+            grp_full = np.cumsum(new_grp) - 1
+            collided = np.zeros(int(grp_full[-1]) + 1, dtype=bool)
+            collided[np.unique(grp_full[bad])] = True
+            coll_row = collided[grp_full]           # ordered coords
 
     parts: list[pa.Table] = []
-    if len(easy_rows):
-        fast = batch.take(pa.array(np.sort(easy_rows)))
-        fcodes = codes[np.sort(easy_rows)]
-        out_op = _COLLAPSED_OPS_ARR.take(pa.array(_COLLAPSED_CODE[fcodes]))
-        fast = fast.set_column(fast.schema.get_field_index(schemas.OP_COL),
-                               schemas.OP_COL, out_op)
-        parts.append(fast)
-    if len(hard_rows):
-        sub_t = batch.take(pa.array(hard_rows))
+    if coll_row is not None:
+        sub_t = batch.take(pa.array(np.sort(order[coll_row])))
         folded = collapse_events(sub_t.to_pandas(), payload_cols,
                                  barriers=barriers)
         parts.append(pa.Table.from_pandas(folded[batch.column_names],
                                           schema=sub_t.schema,
                                           preserve_index=False)
                      .replace_schema_metadata(None))
+        keep_vec = ~coll_row
+        order, kh_s, lsn_s = order[keep_vec], kh_s[keep_vec], lsn[order][keep_vec]
+    else:
+        lsn_s = lsn[order]
+
+    if len(order):
+        # dedup (hash, lsn): keep the LAST of each run (highest
+        # absolute-rank, then latest arrival -- the sort key above)
+        keep = np.ones(len(order), dtype=bool)
+        keep[:-1] = (kh_s[1:] != kh_s[:-1]) | (lsn_s[1:] != lsn_s[:-1])
+        o2, k2 = order[keep], kh_s[keep]
+        m = len(o2)
+        ng = np.ones(m, dtype=bool)
+        ng[1:] = k2[1:] != k2[:-1]
+        starts = np.flatnonzero(ng)
+        grp = np.cumsum(ng) - 1
+        idx = np.arange(m, dtype=np.int64)
+        ends = np.append(starts[1:], m) - 1
+        last_rows = o2[ends]                         # original coords
+
+        # final segment per group: from the LAST barrier row (insert/
+        # full/delete resets state) to the group end; rows before it
+        # cannot influence the folded record
+        is_bar2 = ~is_rel[o2]
+        last_bar = np.maximum.reduceat(
+            np.where(is_bar2, idx, np.int64(-1)), starts)
+        seg_start = np.maximum(last_bar, starts)
+        in_last = idx >= seg_start[grp]
+        had_bar = last_bar >= 0
+
+        # emit groups in last-row order: a SORTED gather is measurably
+        # faster on wide string columns, and the run is sorted again
+        # downstream anyway
+        sig = np.argsort(last_rows, kind="stable")
+        vec = batch.take(pa.array(last_rows[sig]))
+        # op: delete if the group's final record is a delete; full when
+        # any barrier fixed the row's absolute state; else partial
+        last_codes = codes[last_rows[sig]]
+        out_code = np.where(last_codes == 2, np.int32(2),
+                            np.where(had_bar[sig], np.int32(0),
+                                     np.int32(1)))
+        vec = vec.set_column(vec.schema.get_field_index(schemas.OP_COL),
+                             schemas.OP_COL,
+                             _COLLAPSED_OPS_ARR.take(pa.array(out_code)))
+        # payload: last non-null value within the final segment (what
+        # collapse_events' groupwise ffill leaves on the tail row). A
+        # column only differs from the tail row where the tail is null
+        # and an earlier in-segment row is not (partial-update
+        # inheritance) -- columns with no such group skip the gather.
+        for name in payload_cols:
+            col = batch.column(name)
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            pos = np.where(valid[o2] & in_last, idx, np.int64(-1))
+            lastv = np.maximum.reduceat(pos, starts)
+            # lastv == ends: tail row itself non-null (value exact);
+            # lastv == -1: whole segment null, tail therefore null too
+            if bool(np.all((lastv == ends) | (lastv < 0))):
+                continue                     # tail row already exact
+            lastv = lastv[sig]
+            gather = o2[np.clip(lastv, 0, None)]
+            ind = pa.array(gather, mask=lastv < 0)   # null idx -> null
+            vec = vec.set_column(
+                vec.schema.get_field_index(name), name,
+                col.take(ind).combine_chunks())
+        parts.append(vec)
+
+    if len(parts) == 1:
+        return parts[0]
     return pa.concat_tables(parts, promote_options="default")
 
 

@@ -89,3 +89,77 @@ def test_window_formula_coverage_and_no_subset(n, w, data):
         for lo, hi in wins[:-1]:
             partial_cover.update(range(lo, hi))
         assert partial_cover != set(range(n))   # last window is needed
+
+
+# ---- fold_table (vectorized) vs collapse_events (pandas) differential ----
+
+def _chaos_stream(seed: int, n: int, n_convs: int, n_turns: int,
+                  p_dup: float) -> pd.DataFrame:
+    """Randomized change stream with every hard case for the vectorized
+    fold: re-delivered duplicates (same key+lsn, sometimes as a bare
+    partial next to its collapsed full), already-collapsed ops mixed
+    with raw ones, null payload columns, and multi-row keys."""
+    rng = np.random.default_rng(seed)
+    ops = rng.choice(["insert", "update", "delete", "full", "partial"],
+                     size=n, p=[0.3, 0.3, 0.1, 0.15, 0.15])
+    lsn = np.sort(rng.choice(np.arange(n * 2), size=n, replace=False))
+    df = pd.DataFrame({
+        "lsn": lsn.astype(np.int64),
+        "op": ops,
+        "conv_id": [f"c{i}" for i in rng.integers(0, n_convs, n)],
+        "turn_idx": rng.integers(0, n_turns, n).astype(np.int64),
+        "role": np.where(rng.random(n) < 0.3, None, "user"),
+        "text": np.where(ops == "delete", None,
+                         np.array([f"t{i}" for i in range(n)], dtype=object)),
+        "tool": np.where(rng.random(n) < 0.7, None, "search"),
+        "ts": None,
+        "model": np.where(rng.random(n) < 0.5, None, "m1"),
+    })
+    # duplicate re-deliveries: clone random rows at the SAME (key, lsn);
+    # half the clones of absolute rows are degraded to a bare partial
+    # (the collapsed-vs-bare equal-lsn shape collapse_events ranks)
+    dup = df.sample(frac=p_dup, random_state=seed)
+    bare = dup.sample(frac=0.5, random_state=seed + 1).index
+    dup.loc[bare, "op"] = "partial"
+    dup.loc[bare, ["tool", "model"]] = None
+    return pd.concat([df, dup], ignore_index=True) \
+        .sample(frac=1, random_state=seed + 2, ignore_index=True)
+
+
+def _fold_both(df: pd.DataFrame, barriers=None):
+    import pyarrow as pa
+    from techtalk_data_pipeline_snowpark_ray.stages.apply import fold_table
+    tbl = pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+    vec = fold_table(tbl, PAYLOAD, barriers=barriers).to_pandas()
+    ref = collapse_events(df, PAYLOAD, barriers=barriers)
+    key = ["conv_id", "turn_idx"]
+    vec = vec.sort_values(key, ignore_index=True)[ref.columns]
+    ref = ref.sort_values(key, ignore_index=True).reset_index(drop=True)
+    return vec, ref
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 100_000), n=st.integers(1, 400),
+       n_convs=st.integers(1, 25), n_turns=st.integers(1, 4),
+       p_dup=st.floats(0, 0.4))
+def test_fold_table_equals_collapse_events(seed, n, n_convs, n_turns, p_dup):
+    vec, ref = _fold_both(_chaos_stream(seed, n, n_convs, n_turns, p_dup))
+    pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 100_000), n=st.integers(2, 300),
+       n_barriers=st.integers(1, 4))
+def test_fold_table_equals_collapse_events_with_barriers(seed, n, n_barriers):
+    df = _chaos_stream(seed, n, 10, 3, 0.2)
+    hi = int(df["lsn"].max())
+    rng = np.random.default_rng(seed + 7)
+    barriers = sorted(set(rng.integers(0, hi + 1,
+                                       size=n_barriers).tolist()))
+    vec, ref = _fold_both(df, barriers=barriers)
+    # barriers keep one record per (key, epoch): compare on (key, lsn)
+    key = ["conv_id", "turn_idx", "lsn"]
+    vec = vec.sort_values(key, ignore_index=True)
+    ref = ref.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
