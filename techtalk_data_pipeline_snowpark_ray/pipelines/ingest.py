@@ -195,13 +195,13 @@ class DirectApplier:
     compaction / snapshot read, which operate on the already-collapsed
     (much smaller) records.
 
-    Hot-path note: rows whose 64-bit key hash (`_kh`, from the
-    Partitioner) is UNIQUE within the batch -- the overwhelming
-    majority when keys >> batch -- are handled entirely in Arrow/numpy
-    (no pandas object conversion): their fold is just the op rename.
-    Only rows sharing a key hash (true repeats + the vanishing hash
-    collisions) take the exact pandas collapse; collisions are thereby
-    harmless, since the pandas path groups by the REAL key columns.
+    Hot-path note: the whole per-batch fold runs in Arrow/numpy
+    (`stages.apply.fold_table`: one lexsort over (key-hash, lsn,
+    absolute-rank) plus O(columns) gathers) -- repeated-key batches pay
+    no pandas groupby. Only hash-groups where two DIFFERENT real keys
+    collide on the 64-bit key hash (vanishing probability, checked
+    explicitly) are demoted to the exact pandas collapse, which groups
+    by the REAL key columns; collisions are thereby harmless.
     """
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],

@@ -144,8 +144,9 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
     """Arrow/numpy fold of a change-record table (columns: key cols,
     lsn, op, payload, any passthrough) to one collapsed record per key
     — the vectorized equivalent of :func:`collapse_events` (pinned
-    row-for-row equal by tests/test_collapse.py's differential
-    property test).
+    row-for-row equal by tests/test_property_fold.py's hypothesis
+    differential tests, incl. forced hash collisions and null keys,
+    plus tests/test_collapse.py's collision unit test).
 
     Shape (everything O(n log n) numpy + O(columns) arrow gathers, no
     pandas on the main path): sort by (key-hash, lsn, absolute-rank),
@@ -214,7 +215,13 @@ def fold_table(batch: "pa.Table", payload_cols: list[str],
         cur = pa.array(order[rep_pos])
         prv = pa.array(order[rep_pos - 1])
         conv = batch["conv_id"]
-        same_conv = pc.equal(conv.take(cur), conv.take(prv)).to_numpy(
+        a, b = conv.take(cur), conv.take(prv)
+        # null-safe compare: collapse_events groups null keys together
+        # (groupby dropna=False), so null == null is the SAME key;
+        # pc.equal alone would yield null there and crash the `&` below
+        same_conv = pc.or_(
+            pc.fill_null(pc.equal(a, b), False),
+            pc.and_(pc.is_null(a), pc.is_null(b))).to_numpy(
             zero_copy_only=False)
         turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
         same_key = same_conv & (turn[order[rep_pos]] == turn[order[rep_pos - 1]])

@@ -163,3 +163,49 @@ def test_fold_table_equals_collapse_events_with_barriers(seed, n, n_barriers):
     vec = vec.sort_values(key, ignore_index=True)
     ref = ref.sort_values(key, ignore_index=True)
     pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 100_000), n=st.integers(2, 300),
+       n_hash_buckets=st.integers(1, 8), p_dup=st.floats(0, 0.4),
+       with_barriers=st.booleans())
+def test_fold_table_collision_demotion_differential(seed, n, n_hash_buckets,
+                                                    p_dup, with_barriers):
+    """Force 64-bit key-hash collisions (kh reduced mod n_hash_buckets,
+    so DIFFERENT real keys share a hash in nearly every example) and
+    run the full chaos stream through the collision-demotion branch --
+    the coordinate re-filtering (order/kh_s/lsn_s) that the main
+    differential never reaches, because its real hashes never collide.
+    Combined with duplicate delivery, relative ops and barriers."""
+    import pyarrow as pa
+    from techtalk_data_pipeline_snowpark_ray.stages.apply import fold_table
+    from techtalk_data_pipeline_snowpark_ray.stages.partition import key_hash
+
+    df = _chaos_stream(seed, n, 12, 3, p_dup)
+    barriers = None
+    if with_barriers:
+        hi = int(df["lsn"].max())
+        rng = np.random.default_rng(seed + 7)
+        barriers = sorted(set(rng.integers(0, hi + 1, size=2).tolist()))
+    tbl = pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+    kh = key_hash(tbl["conv_id"],
+                  tbl["turn_idx"].to_numpy(zero_copy_only=False))
+    kh = (kh % np.uint64(n_hash_buckets)).astype(np.uint64)
+    vec = fold_table(tbl, PAYLOAD, kh=kh, barriers=barriers).to_pandas()
+    ref = collapse_events(df, PAYLOAD, barriers=barriers)
+    key = ["conv_id", "turn_idx", "lsn"]
+    vec = vec.sort_values(key, ignore_index=True)[ref.columns]
+    ref = ref.sort_values(key, ignore_index=True).reset_index(drop=True)
+    pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
+
+
+def test_fold_table_null_keys_match_collapse_events():
+    """Null conv_id rows group as ONE key (collapse_events uses groupby
+    dropna=False); the fold's hash-collision guard must compare null
+    keys null-safely instead of crashing on pc.equal's null result
+    (null keys always share a hash, so they always reach the guard)."""
+    df = _chaos_stream(3, 120, 6, 2, 0.3)
+    df.loc[df.sample(frac=0.3, random_state=9).index, "conv_id"] = None
+    vec, ref = _fold_both(df)
+    pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
