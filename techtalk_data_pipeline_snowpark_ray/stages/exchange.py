@@ -129,5 +129,9 @@ def exchange_map_groups(ds: ray.data.Dataset, part_col: str,
         refs = [tbl for (tbl, _), c in zip(pairs, counts)
                 if c is not None][:1]
     if not refs:
-        return ds.limit(0)
+        # every partition was input-empty: a schema-less empty dataset
+        # (NOT ds.limit(0), whose schema still carries the part column
+        # and lacks the reduce's output columns) unions/consumes cleanly
+        # downstream, exactly like the all-empty-blocks case upstream
+        return ray.data.from_arrow_refs([])
     return ray.data.from_arrow_refs(refs)

@@ -43,14 +43,21 @@ _BROADCAST_CACHE: dict = {}
 _BROADCAST_CACHE_MAX = 8
 
 
+def _cache_put(key, val):
+    """Insert into the per-worker broadcast cache under the FIFO bound
+    (EVERY insert must go through here — an unbounded insert path would
+    defeat the cap and pin broadcasts until worker OOM)."""
+    while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+    _BROADCAST_CACHE[key] = val
+
+
 def fetch_broadcast(ref):
     """ray.get(ref), memoized per worker process (bounded cache)."""
     val = _BROADCAST_CACHE.get(ref)
     if val is None:
         val = ray.get(ref)
-        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
-            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
-        _BROADCAST_CACHE[ref] = val
+        _cache_put(ref, val)
     return val
 
 
@@ -73,6 +80,14 @@ def broadcast_join(left: ray.data.Dataset, right: "ray.data.Dataset | pd.DataFra
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
     right_df = right.to_pandas() if isinstance(right, ray.data.Dataset) else right
+    # SQL join semantics on BOTH merge paths: a null key never matches.
+    # acero already guarantees that; pandas merge would match NaN==NaN,
+    # silently diverging from the acero path (and from every oracle) on
+    # whichever batches happen to take the fallback. Null-keyed right
+    # rows can never contribute to an inner or left join's output, so
+    # dropping them once up front makes the two paths agree.
+    if len(right_df):
+        right_df = right_df.dropna(subset=list(right_on))
     join_type = "left outer" if how == "left" else how
     try:
         rtbl = pa.Table.from_pandas(right_df, preserve_index=False) \
@@ -124,9 +139,7 @@ def _broadcast_as_pandas(ref) -> pd.DataFrame:
     df = _BROADCAST_CACHE.get(key)
     if df is None:
         df = fetch_broadcast(ref).to_pandas()
-        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
-            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
-        _BROADCAST_CACHE[key] = df
+        _cache_put(key, df)
     return df
 
 
@@ -212,7 +225,9 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
     broadcast key set (use :func:`bloom_semi_join` when the key set is
     too large to broadcast exactly). Arrow-native: one `pc.is_in`
     against a per-worker cached value-set array, the batch never
-    round-trips through pandas."""
+    round-trips through pandas. SQL ``IN`` semantics: a null key never
+    matches any row. A key set that cannot be cast to the column's type
+    fails LOUDLY (TypeError) rather than silently matching nothing."""
     import pyarrow.compute as pc
     ref = ray.put(frozenset(keys))
 
@@ -221,8 +236,16 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
         ckey = (ref, "valueset", str(col.type))
         vs = _BROADCAST_CACHE.get(ckey)
         if vs is None:
-            vs = pa.array(list(fetch_broadcast(ref))).cast(col.type)
-            _BROADCAST_CACHE[ckey] = vs
+            try:
+                vs = pa.array(list(fetch_broadcast(ref))).cast(col.type)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                    pa.ArrowTypeError) as e:
+                raise TypeError(
+                    f"broadcast_semi_join: key set is not castable to "
+                    f"column {on!r}'s type {col.type}; pass keys of the "
+                    f"column's type") from e
+            vs = vs.drop_null()
+            _cache_put(ckey, vs)
         mask = pc.is_in(col, value_set=vs)
         if anti:
             mask = pc.invert(mask)
@@ -391,6 +414,8 @@ def _or_bloom_parts(*tbls):
     """OR-fold a chunk of partial-bloom tables to one bit blob."""
     acc = None
     for t in tbls:
+        if "bits" not in t.schema.names:
+            continue        # schema-less empty block (empty right side)
         for blob in t["bits"].to_pylist():
             arr = np.frombuffer(blob, dtype=np.uint64)
             acc = arr.copy() if acc is None else (acc | arr)

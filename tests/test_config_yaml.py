@@ -114,16 +114,16 @@ def test_cli_rejects_unknown_derived_view_from_yaml(tmp_path):
         main(["--conf", str(conf), "replay", "--stop-when-idle"])
 
 
-def test_readme_quickstart_demo():
-    """The README quick-start commands run VERBATIM: extract the bash
-    block under '### Quick start' and execute it (fresh scratch dirs),
-    asserting the demo's JSON summary — two tables ingested, the join
-    view populated, the fan-in analytics computed — and that a second
-    verbatim run drains (exactly-once) instead of duplicating."""
+def test_readme_quickstart_demo(tmp_path):
+    """The README quick-start commands run as published — modulo ONE
+    substitution: the documented shared scratch dir is remapped into
+    tmp_path so concurrent suite runs can't rmtree each other's WAL
+    mid-test. Asserts the demo's JSON summary — two tables ingested,
+    the join view populated, the fan-in analytics computed — and that
+    a second identical run drains (exactly-once) instead of
+    duplicating."""
     import re
-    import shutil
     import subprocess
-    import sys
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -132,7 +132,9 @@ def test_readme_quickstart_demo():
     assert m, "README quick-start bash block missing"
     cmd = m.group(1).strip()
     assert "demo" in cmd
-    shutil.rmtree("/tmp/ttdps-demo", ignore_errors=True)
+    assert "/tmp/ttdps-demo" in cmd, \
+        "README demo scratch dir changed; update this remap"
+    cmd = cmd.replace("/tmp/ttdps-demo", str(tmp_path / "ttdps-demo"))
     env = dict(os.environ)
 
     def run():
@@ -150,8 +152,7 @@ def test_readme_quickstart_demo():
         "assistant", "system", "tool", "user"}
     assert sum(r["n_turns"] for r in first["role_totals"]) \
         == first["rows"]["a"] + first["rows"]["b"]
-    again = run()                         # verbatim re-run: drained
+    again = run()                         # identical re-run: drained
     assert again["events_applied"] == {"a": 0, "b": 0}
     assert again["rows"] == first["rows"]
     assert again["role_totals"] == first["role_totals"]
-    shutil.rmtree("/tmp/ttdps-demo", ignore_errors=True)

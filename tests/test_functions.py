@@ -358,6 +358,74 @@ def test_auto_join_left_both_paths():
         assert (out.loc[matched, "k"] % 2 == 0).all()
 
 
+def test_broadcast_join_null_keys_sql_semantics():
+    """Null join keys never match, on the acero fast path AND on the
+    pandas fallback (pandas merge would match NaN==NaN, silently
+    diverging from SQL / the oracles on whichever batches fall back)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import broadcast_join
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["a", None, "b", None], "v": [1, 2, 3, 4]}))
+    right = pd.DataFrame({"k": ["a", None], "w": [10, 20]})
+    inner = broadcast_join(left, right, on="k").to_pandas()
+    assert inner["v"].tolist() == [1]                 # null never matches
+    lt = broadcast_join(left, right, on="k", how="left").to_pandas()
+    assert len(lt) == 4
+    assert lt.loc[lt["k"].isna(), "w"].isna().all()   # null-extended only
+    # full-pandas fallback path (right table arrow conversion fails):
+    # same null-key semantics as the acero path
+    right_obj = pd.DataFrame({"k": ["a", None], "w": [10, 20],
+                              "blob": [{1}, {2}]})    # sets defeat Arrow
+    inner2 = broadcast_join(left, right_obj, on="k").to_pandas()
+    assert inner2["v"].tolist() == [1]
+
+
+def test_broadcast_semi_join_null_keys_and_loud_cast_failure():
+    """Membership-filter null semantics (null keys in the SET are
+    dropped — SQL IN; a null ROW value matches nothing, so semi drops
+    it and anti keeps it), and an un-castable key set fails loudly
+    instead of silently matching nothing."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages import joins
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, None], pa.int64()), "v": [10, 20, 30]}))
+    out = joins.broadcast_semi_join(left, {1, None}, on="k").to_pandas()
+    assert out["v"].tolist() == [10]
+    anti = joins.broadcast_semi_join(left, {1, None}, on="k",
+                                     anti=True).to_pandas()
+    assert sorted(anti["v"].tolist()) == [20, 30]
+    import ray.exceptions
+    with pytest.raises(ray.exceptions.RayTaskError, match="not castable"):
+        joins.broadcast_semi_join(left, {"x"}, on="k").to_pandas()
+
+
+def test_exchange_all_empty_input_unions_cleanly():
+    """An exchange whose every partition is input-empty returns a
+    schema-less empty dataset — NOT one carrying the exchange INPUT
+    schema (part column included, reduce-output columns absent), which
+    would poison a downstream union (the bloom anti-join shape)."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.exchange import (
+        exchange_map_groups)
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        bloom_semi_join)
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.Series(dtype="int64"), "_part": pd.Series(dtype="int64")}))
+    out = exchange_map_groups(empty, "_part", 4,
+                              lambda g: g.assign(extra=1))
+    assert out.count() == 0
+    typed = ray.data.from_items([{"k": 1, "v": 2}])
+    assert typed.union(out).take_all() == [{"k": 1, "v": 2}]
+    # end-to-end shape that hit this: anti join against an EMPTY right
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": np.arange(10, dtype=np.int64), "v": np.arange(10)}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"rk": pd.Series(dtype="int64")}))
+    got = bloom_semi_join(left, right, on="k", right_on="rk",
+                          anti=True).to_pandas()
+    assert sorted(got["v"].tolist()) == list(range(10))
+
+
 def test_customer_event_counts_left_semantics():
     """Segment totals must count zero-event customers (LEFT join)."""
     from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
