@@ -232,13 +232,13 @@ def main(argv: "list[str] | None" = None) -> int:
         # state: deterministic generator (the REST-provider analogue,
         # SURVEY §3.4) -> two CDC ingests -> {matviews on A, the A><B
         # join view, one fan-in analytics reduce across both tables}
-        import os
         from dataclasses import replace
 
         from .pipelines.analytics import small_groupby
         from .pipelines.dag import (DagRunner, Step, ingest_step,
                                     joinview_step, matview_step)
         from .pipelines.joinview import read_join_matview
+        from .sources import wal
         from .sources.generate import GenSpec, write_wal
 
         other = replace(
@@ -251,8 +251,7 @@ def main(argv: "list[str] | None" = None) -> int:
                                cfg.seed + 1)):
             # generate once per empty WAL: re-running the demo drains
             # instead of duplicating the source (idempotent front door)
-            if not any(f.endswith(".parquet")
-                       for f in os.listdir(c.wal_dir)):
+            if not wal.list_segments(c.wal_dir):
                 write_wal(GenSpec(n_events=n_ev,
                                   n_conversations=args.conversations,
                                   seed=seed),

@@ -96,6 +96,14 @@ def broadcast_join(left: ray.data.Dataset, right: "ray.data.Dataset | pd.DataFra
         rtbl = None
     drop = [c for c in right_on if c not in on]
 
+    # ONE pandas merge shared by both fallback paths (acero-failed batch
+    # and from_pandas-failed right side) so the join semantics -- suffix
+    # handling, right-key drop, null-key rule -- can never diverge
+    # between them
+    def _pandas_merge(df: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        out = df.merge(rdf, how=how, left_on=on, right_on=right_on)
+        return out.drop(columns=[c for c in drop if c in out.columns])
+
     if rtbl is not None:
         ref = ray.put(rtbl)
 
@@ -111,10 +119,8 @@ def broadcast_join(left: ray.data.Dataset, right: "ray.data.Dataset | pd.DataFra
                     left_suffix="_x", right_suffix="_y")
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                     pa.ArrowTypeError):
-                rdf = _broadcast_as_pandas(ref)
-                out = batch.to_pandas().merge(rdf, how=how,
-                                              left_on=on, right_on=right_on)
-                out = out.drop(columns=[c for c in drop if c in out.columns])
+                out = _pandas_merge(batch.to_pandas(),
+                                    _broadcast_as_pandas(ref))
                 return pa.Table.from_pandas(out, preserve_index=False) \
                     .replace_schema_metadata(None)
 
@@ -124,9 +130,7 @@ def broadcast_join(left: ray.data.Dataset, right: "ray.data.Dataset | pd.DataFra
     ref = ray.put(right_df)
 
     def merge_batch_pd(batch: pd.DataFrame) -> pd.DataFrame:
-        rdf = fetch_broadcast(ref)
-        out = batch.merge(rdf, how=how, left_on=on, right_on=right_on)
-        return out.drop(columns=[c for c in drop if c in out.columns])
+        return _pandas_merge(batch, fetch_broadcast(ref))
 
     return left.map_batches(merge_batch_pd, batch_format="pandas",
                             batch_size=batch_size)
@@ -237,14 +241,20 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
         vs = _BROADCAST_CACHE.get(ckey)
         if vs is None:
             try:
-                vs = pa.array(list(fetch_broadcast(ref))).cast(col.type)
+                # from_pandas=True maps NaN -> null (to_pandas_refs turns a
+                # nullable int key column into float64-with-NaN upstream);
+                # nulls are dropped BEFORE the cast -- SQL IN semantics say
+                # they never match, and a NaN would otherwise make the
+                # int cast raise on a key set the docstring promises to
+                # accept
+                vs = pa.array(list(fetch_broadcast(ref)),
+                              from_pandas=True).drop_null().cast(col.type)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                     pa.ArrowTypeError) as e:
                 raise TypeError(
                     f"broadcast_semi_join: key set is not castable to "
                     f"column {on!r}'s type {col.type}; pass keys of the "
                     f"column's type") from e
-            vs = vs.drop_null()
             _cache_put(ckey, vs)
         mask = pc.is_in(col, value_set=vs)
         if anti:

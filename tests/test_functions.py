@@ -397,6 +397,28 @@ def test_broadcast_semi_join_null_keys_and_loud_cast_failure():
     import ray.exceptions
     with pytest.raises(ray.exceptions.RayTaskError, match="not castable"):
         joins.broadcast_semi_join(left, {"x"}, on="k").to_pandas()
+    # float NaN in the key set (what auto_semi_join's to_pandas_refs
+    # materialization produces for a nullable-int right key column) is
+    # a null-like too: dropped like None, never a TypeError
+    nan = joins.broadcast_semi_join(left, {1.0, float("nan")},
+                                    on="k").to_pandas()
+    assert nan["v"].tolist() == [10]
+
+
+def test_auto_semi_join_nullable_int_right_key():
+    """End-to-end: a right side whose int key column contains a null
+    (pandas materialization turns it into float64-with-NaN) must behave
+    as SQL IN — null matches nothing — not crash in the value-set cast."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages import joins
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 3, None], pa.int64()), "v": [10, 20, 30, 40]}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 3, None], pa.int64())}))
+    semi = joins.auto_semi_join(left, right, on="k").to_pandas()
+    assert sorted(semi["v"].tolist()) == [10, 30]
+    anti = joins.auto_semi_join(left, right, on="k", anti=True).to_pandas()
+    assert sorted(anti["v"].tolist()) == [20, 40]
 
 
 def test_exchange_all_empty_input_unions_cleanly():

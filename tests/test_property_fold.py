@@ -41,7 +41,8 @@ def test_fold_equals_oracle(seed, n, n_keys, p_partial):
     engine = resolve_final(df, PAYLOAD)[["conv_id", "turn_idx", *PAYLOAD]] \
         .reset_index(drop=True)
     oracle = apply_events_oracle(df, PAYLOAD)
-    pd.testing.assert_frame_equal(engine, oracle, check_dtype=False)
+    pd.testing.assert_frame_equal(_nullnorm(engine), _nullnorm(oracle),
+                                  check_dtype=False)
 
 
 @settings(max_examples=25, deadline=None)
@@ -53,11 +54,13 @@ def test_fold_interval_associativity(seed, n, n_cuts):
     df = _stream(seed, n, 12, 0.3)
     rng = np.random.default_rng(seed + 1)
     cuts = sorted(set(rng.integers(1, n, size=min(n_cuts, n - 1)).tolist()))
-    chunks = np.split(df, cuts)
+    bounds = [0, *cuts, len(df)]
+    chunks = [df.iloc[a:b] for a, b in zip(bounds, bounds[1:])]
     refold = pd.concat([collapse_events(c, PAYLOAD) for c in chunks if len(c)])
     whole = resolve_final(df, PAYLOAD).reset_index(drop=True)
     again = resolve_final(refold, PAYLOAD).reset_index(drop=True)
-    pd.testing.assert_frame_equal(again[whole.columns], whole, check_dtype=False)
+    pd.testing.assert_frame_equal(_nullnorm(again[whole.columns]),
+                                  _nullnorm(whole), check_dtype=False)
 
 
 @settings(max_examples=200, deadline=None)
@@ -126,6 +129,17 @@ def _chaos_stream(seed: int, n: int, n_convs: int, n_turns: int,
         .sample(frac=1, random_state=seed + 2, ignore_index=True)
 
 
+def _nullnorm(df: pd.DataFrame) -> pd.DataFrame:
+    """Round-trip through Arrow so every null-like is the same object:
+    fold_table output arrives arrow-sourced (nulls -> None) while
+    collapse_events stays pandas-native (nulls -> NaN); comparing the
+    two mixed forms relies on assert_frame_equal leniency that pandas
+    has deprecated (FutureWarning: 'Mismatched null-like values None
+    and nan ... will raise')."""
+    import pyarrow as pa
+    return pa.Table.from_pandas(df, preserve_index=False).to_pandas()
+
+
 def _fold_both(df: pd.DataFrame, barriers=None):
     import pyarrow as pa
     from techtalk_data_pipeline_snowpark_ray.stages.apply import fold_table
@@ -134,8 +148,9 @@ def _fold_both(df: pd.DataFrame, barriers=None):
     vec = fold_table(tbl, PAYLOAD, barriers=barriers).to_pandas()
     ref = collapse_events(df, PAYLOAD, barriers=barriers)
     key = ["conv_id", "turn_idx"]
-    vec = vec.sort_values(key, ignore_index=True)[ref.columns]
-    ref = ref.sort_values(key, ignore_index=True).reset_index(drop=True)
+    vec = _nullnorm(vec.sort_values(key, ignore_index=True)[ref.columns])
+    ref = _nullnorm(ref.sort_values(key, ignore_index=True)
+                    .reset_index(drop=True))
     return vec, ref
 
 
@@ -195,8 +210,9 @@ def test_fold_table_collision_demotion_differential(seed, n, n_hash_buckets,
     vec = fold_table(tbl, PAYLOAD, kh=kh, barriers=barriers).to_pandas()
     ref = collapse_events(df, PAYLOAD, barriers=barriers)
     key = ["conv_id", "turn_idx", "lsn"]
-    vec = vec.sort_values(key, ignore_index=True)[ref.columns]
-    ref = ref.sort_values(key, ignore_index=True).reset_index(drop=True)
+    vec = _nullnorm(vec.sort_values(key, ignore_index=True)[ref.columns])
+    ref = _nullnorm(ref.sort_values(key, ignore_index=True)
+                    .reset_index(drop=True))
     pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
 
 
