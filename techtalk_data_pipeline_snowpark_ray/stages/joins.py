@@ -76,6 +76,15 @@ def broadcast_join(left: ray.data.Dataset, right: "ray.data.Dataset | pd.DataFra
     (e.g. exotic payload columns) fall back to the pandas merge, whose
     right-side frame is derived once per worker from the same broadcast
     (no second ``ray.put``)."""
+    if how not in ("inner", "left"):
+        # A right/full outer join is NOT expressible as a stateless
+        # per-batch map over the streamed left side: unmatched RIGHT
+        # rows must be emitted exactly once globally, and a per-batch
+        # merge would emit them once per batch. Fail loudly; auto_join
+        # routes these to the partitioned hash join instead.
+        raise ValueError(
+            f"broadcast_join supports how='inner'/'left', got {how!r}; "
+            f"use auto_join (partitioned path) for right/outer joins")
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on))
@@ -157,7 +166,7 @@ BROADCAST_THRESHOLD_BYTES = 256 * 1024 * 1024
 
 def auto_join(left: ray.data.Dataset, right: ray.data.Dataset,
               on: "list[str] | str", right_on: "list[str] | str | None" = None,
-              how: Literal["inner", "left"] = "inner",
+              how: Literal["inner", "left", "right"] = "inner",
               num_partitions: int = 16,
               broadcast_threshold_bytes: int = BROADCAST_THRESHOLD_BYTES,
               ) -> ray.data.Dataset:
@@ -173,7 +182,10 @@ def auto_join(left: ray.data.Dataset, right: ray.data.Dataset,
     broadcast path (raise the threshold) -- see module docstring."""
     right = right.materialize()
     rbytes = right.size_bytes() or 0
-    if rbytes <= broadcast_threshold_bytes:
+    # only inner/left can broadcast (see broadcast_join: a per-batch
+    # right-outer would duplicate unmatched right rows per batch);
+    # right/full outer joins always take the partitioned path
+    if rbytes <= broadcast_threshold_bytes and how in ("inner", "left"):
         return broadcast_join(left, right, on, right_on, how)
     on_l = [on] if isinstance(on, str) else list(on)
     on_r = on_l if right_on is None else (
@@ -223,6 +235,22 @@ def auto_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                            num_partitions=num_partitions, anti=anti)
 
 
+def _type_family(t: pa.DataType) -> str:
+    """Coarse type family for semi-join key/column compatibility."""
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_integer(t) or pa.types.is_floating(t) \
+            or pa.types.is_decimal(t):
+        return "numeric"
+    if pa.types.is_temporal(t):
+        return "temporal"
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
 def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
                         anti: bool = False) -> ray.data.Dataset:
     """Semi (keep matching) / anti (keep non-matching) join against a
@@ -230,8 +258,11 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
     too large to broadcast exactly). Arrow-native: one `pc.is_in`
     against a per-worker cached value-set array, the batch never
     round-trips through pandas. SQL ``IN`` semantics: a null key never
-    matches any row. A key set that cannot be cast to the column's type
-    fails LOUDLY (TypeError) rather than silently matching nothing."""
+    matches any row. A key set whose type FAMILY differs from the
+    column's (int keys vs a string column, say) or that cannot be cast
+    to the column's type fails LOUDLY (TypeError) — Arrow would happily
+    cast 1 -> '1' and silently match numeric-looking strings where a
+    type-strict membership test matches nothing."""
     import pyarrow.compute as pc
     ref = ray.put(frozenset(keys))
 
@@ -247,8 +278,17 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, on: str,
                 # they never match, and a NaN would otherwise make the
                 # int cast raise on a key set the docstring promises to
                 # accept
-                vs = pa.array(list(fetch_broadcast(ref)),
-                              from_pandas=True).drop_null().cast(col.type)
+                raw = pa.array(list(fetch_broadcast(ref)),
+                               from_pandas=True).drop_null()
+                if len(raw) and _type_family(raw.type) != \
+                        _type_family(col.type):
+                    raise TypeError(
+                        f"broadcast_semi_join: key set type {raw.type} "
+                        f"and column {on!r} type {col.type} are "
+                        f"different type families; a cast would change "
+                        f"membership semantics — pass keys of the "
+                        f"column's type")
+                vs = raw.cast(col.type)
             except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
                     pa.ArrowTypeError) as e:
                 raise TypeError(

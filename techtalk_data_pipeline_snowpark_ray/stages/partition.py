@@ -92,11 +92,20 @@ def hash_strings_arrow(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
         starts, ends = off[:-1], off[1:]
         lens = (ends - starts)
         h = _splitmix(lens.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
-        safe_end = np.maximum(ends - 1, starts)
+        # Zero-length rows (null / "") have starts == ends, which for a
+        # TRAILING such row equals len(data) -- clamp every gather index
+        # into the buffer. Bit-compatible with the frozen algorithm: a
+        # zero-length row's sampled bytes are zeroed by the (lens > k)
+        # mask (length-only hash), and rows with lens > 0 always have
+        # starts <= ends-1 <= len(data)-1, so their indices are
+        # untouched by the clamp.
+        last = np.int64(len(data) - 1)
+        safe_start = np.minimum(starts, last)
+        safe_end = np.minimum(np.maximum(ends - 1, starts), last)
         for k in range(8):
             # k-th byte from the front (clipped) and from the back
-            bf = data[np.minimum(starts + k, safe_end)] * (lens > k)
-            bb = data[np.maximum(ends - 1 - k, starts)] * (lens > k)
+            bf = data[np.minimum(safe_start + k, safe_end)] * (lens > k)
+            bb = data[np.maximum(ends - 1 - k, safe_start)] * (lens > k)
             h = (h ^ bf.astype(np.uint64)) * _FNV
             h = (h ^ (bb.astype(np.uint64) << np.uint64(8))) * _FNV
         out[pos:pos + n] = _splitmix(h)

@@ -173,3 +173,30 @@ def test_fold_table_hash_collision_safe():
     rb = out[out["conv_id"] == b].iloc[0]
     assert ra["op"] == "full" and ra["text"] == "x3"     # lsn 3 wins for a
     assert rb["op"] == "delete"                          # lsn 4 delete wins for b
+
+
+def test_hash_strings_arrow_trailing_zero_length():
+    """Frozen-hash kernel (fnv-sample-v1): a TRAILING null/empty string
+    (whose start offset equals the data-buffer length) must hash without
+    reading past the buffer; zero-length keys hash identically wherever
+    they sit; non-empty keys' hashes are independent of their neighbors.
+    Golden values pin the persisted bucket placement."""
+    import pyarrow as pa
+    from techtalk_data_pipeline_snowpark_ray.stages.partition import (
+        hash_strings_arrow)
+
+    EMPTY_H = 13375643620678262563          # hash of "" / null (length-only)
+    ABC_H = 16252155359719068514            # hash of "abc"
+    h = hash_strings_arrow(pa.array(["abc", None], pa.string()))
+    assert h[0] == ABC_H and h[1] == EMPTY_H
+    h = hash_strings_arrow(pa.array(["abc", ""], pa.string()))
+    assert h[0] == ABC_H and h[1] == EMPTY_H
+    h = hash_strings_arrow(pa.array(["x" * 100, "y", ""], pa.string()))
+    assert h[2] == EMPTY_H
+    # position-independence: each element hashes the same standalone
+    big = pa.array(["abc", None, "", "x" * 200, "y"], pa.large_string())
+    hb = hash_strings_arrow(big)
+    for i, v in enumerate(["abc", None, "", "x" * 200, "y"]):
+        assert hb[i] == hash_strings_arrow(pa.array([v], pa.string()))[0]
+    # sliced chunk (nonzero chunk offset) agrees with the full array
+    assert (hash_strings_arrow(big.slice(1, 3)) == hb[1:4]).all()

@@ -395,8 +395,12 @@ def test_broadcast_semi_join_null_keys_and_loud_cast_failure():
                                      anti=True).to_pandas()
     assert sorted(anti["v"].tolist()) == [20, 30]
     import ray.exceptions
-    with pytest.raises(ray.exceptions.RayTaskError, match="not castable"):
+    # string keys vs an int column: cross-family, loud
+    with pytest.raises(ray.exceptions.RayTaskError, match="type famil"):
         joins.broadcast_semi_join(left, {"x"}, on="k").to_pandas()
+    # same family but value-lossy cast (1.5 -> int64): loud too
+    with pytest.raises(ray.exceptions.RayTaskError, match="not castable"):
+        joins.broadcast_semi_join(left, {1.5}, on="k").to_pandas()
     # float NaN in the key set (what auto_semi_join's to_pandas_refs
     # materialization produces for a nullable-int right key column) is
     # a null-like too: dropped like None, never a TypeError
@@ -1407,3 +1411,42 @@ def test_ann_actor_pool_survives_actor_kill(tmp_path):
     assert marker.exists()                       # the kill really fired
     want = similarity.ann_topk_lsh(SF_TINY)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_auto_join_right_always_partitioned():
+    """how='right' cannot broadcast — a per-batch right-outer merge
+    would emit unmatched RIGHT rows once per left batch instead of once
+    globally. auto_join must route it to the partitioned path even when
+    the right side is under the broadcast threshold, and broadcast_join
+    must refuse it loudly rather than crash inside acero."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        auto_join, broadcast_join)
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": list(range(600)), "v": range(600)}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"rk": list(range(900)), "w": range(900)}))  # 300 unmatched
+    out = auto_join(left, right, on="k", right_on="rk", how="right",
+                    num_partitions=2).to_pandas()
+    assert len(out) == 900                  # every right row exactly once
+    assert out["v"].notna().sum() == 600
+    with pytest.raises(ValueError, match="broadcast_join supports"):
+        broadcast_join(left, right.to_pandas(), on="k", right_on="rk",
+                       how="right")
+
+
+def test_broadcast_semi_join_cross_family_loud():
+    """Int keys against a STRING column must fail loudly: Arrow would
+    cast 1 -> '1' and silently match numeric-looking strings where a
+    type-strict IN matches nothing (anti mode would silently DROP rows
+    it should always keep)."""
+    import ray.data
+    import ray.exceptions
+    from techtalk_data_pipeline_snowpark_ray.stages import joins
+    left = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["1", "2", "x"], pa.string()), "v": [10, 20, 30]}))
+    with pytest.raises(ray.exceptions.RayTaskError, match="type famil"):
+        joins.broadcast_semi_join(left, {1, 2}, on="k").to_pandas()
+    with pytest.raises(ray.exceptions.RayTaskError, match="type famil"):
+        joins.broadcast_semi_join(left, {1, 2}, on="k",
+                                  anti=True).to_pandas()

@@ -225,3 +225,17 @@ def test_fold_table_null_keys_match_collapse_events():
     df.loc[df.sample(frac=0.3, random_state=9).index, "conv_id"] = None
     vec, ref = _fold_both(df)
     pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
+
+
+def test_fold_table_trailing_null_or_empty_key():
+    """A batch whose LAST row carries a null or empty conv_id must fold,
+    not crash: the string-hash kernel samples key bytes by offset, and a
+    trailing zero-length key's start offset equals the data-buffer
+    length (out of bounds before the gather clamp)."""
+    df = _chaos_stream(5, 60, 6, 2, 0.2)
+    for sentinel in (None, ""):
+        d = df.copy()
+        d.loc[d.index[0], "conv_id"] = sentinel
+        d.loc[d.index[-1], "conv_id"] = sentinel
+        vec, ref = _fold_both(d)
+        pd.testing.assert_frame_equal(vec, ref, check_dtype=False)
