@@ -29,6 +29,7 @@ from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+import ray
 
 from .. import schemas
 
@@ -107,3 +108,59 @@ def resolve_views(names) -> list[DerivedView]:
                            f"{sorted(VIEWS)}")
         out.append(VIEWS[n])
     return out
+
+
+def _write_additive_base(tbl: pa.Table, runs_dir: str,
+                         fname: str) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+    tmp = os.path.join(runs_dir, fname + ".tmp")
+    pq.write_table(tbl, tmp, compression="zstd")
+    os.replace(tmp, os.path.join(runs_dir, fname))
+    return fname
+
+
+def compact_additive_files(runs_dir: str, view_name: str,
+                           files: "list[str]", txn: str) -> "list[str]":
+    """Compaction hook for ADDITIVE derived views (called from
+    ingest._compact_derived): merge a view's partial files into a base
+    set. Size-gated like the matview folds: a measured-small view
+    merges in-process; past SMALL_VIEW_BYTES the merge is a key-routed
+    hash exchange writing one base per partition — a conv_id-keyed
+    counter view over 10^9 conversations must never concat in a single
+    process. Readers are indifferent (read_derived group-merges
+    whatever partials the manifest lists), and per-partition bases are
+    key-exclusive so the merge stays exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .matview import SMALL_VIEW_BYTES, _compact_partitions, \
+        _split_partitions, _view_bytes
+    spec = VIEWS[view_name]
+    paths = [os.path.join(runs_dir, f) for f in files]
+    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                               promote_options="default")
+        return [_write_additive_base(
+            spec.merge_table(tbl), runs_dir,
+            f"derived-{view_name}-base-x{txn}.parquet")]
+    parts = _split_partitions(paths, _compact_partitions(paths),
+                              spec.key)
+    names = ray.get([
+        _merge_additive_part.remote(
+            runs_dir, view_name,
+            f"derived-{view_name}-base-x{txn}p{i}.parquet", *slices)
+        for i, slices in enumerate(parts)])
+    return [n for n in names if n is not None]
+
+
+@ray.remote
+def _merge_additive_part(runs_dir: str, view_name: str, fname: str,
+                         *slices: pa.Table) -> "str | None":
+    tbl = pa.concat_tables(slices, promote_options="default")
+    if tbl.num_rows == 0:
+        return None
+    return _write_additive_base(VIEWS[view_name].merge_table(tbl),
+                                runs_dir, fname)

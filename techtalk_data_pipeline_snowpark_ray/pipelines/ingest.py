@@ -202,12 +202,22 @@ class DirectApplier:
     collide on the 64-bit key hash (vanishing probability, checked
     explicitly) are demoted to the exact pandas collapse, which groups
     by the REAL key columns; collisions are thereby harmless.
+
+    ``fold=False`` is the PASS-THROUGH mode for inputs that are NOT
+    lsn-interval batches (replication windows: already-collapsed run
+    records whose lsn ranges interleave arbitrarily across files, and
+    which Ray's rebatching may bundle/split any way). Folding such a
+    batch is unsound — collapsing a FULL with a later PARTIAL can mint
+    a full record whose lsn masks an intermediate PARTIAL that landed
+    in a sibling batch — so pass-through re-partitions and lands the
+    records verbatim; read-time LWW resolution (which needs no
+    interval precondition) produces the exact state.
     """
 
     def __init__(self, runs_dir: str, txn_id: str, payload_cols: list[str],
                  pre_stages: tuple = (), scan_schema: pa.Schema | None = None,
                  derived_views: tuple = (),
-                 barriers: list[int] | None = None):
+                 barriers: list[int] | None = None, fold: bool = True):
         self.runs_dir = runs_dir
         self.txn_id = txn_id
         self.payload_cols = list(payload_cols)
@@ -215,6 +225,7 @@ class DirectApplier:
         self.scan_schema = scan_schema
         self.derived_views = tuple(derived_views)
         self.barriers = list(barriers) if barriers else None
+        self.fold = fold
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         if "paths" in batch.column_names:
@@ -241,9 +252,12 @@ class DirectApplier:
         if n == 0:
             return _empty_metrics()
         cols = RUN_COLS_FIXED + self.payload_cols
-        kh = batch[KEY_HASH_COL].to_numpy(zero_copy_only=False)
-        out = fold_table(batch.select(cols), self.payload_cols, kh=kh,
-                         barriers=self.barriers)
+        if self.fold:
+            kh = batch[KEY_HASH_COL].to_numpy(zero_copy_only=False)
+            out = fold_table(batch.select(cols), self.payload_cols, kh=kh,
+                             barriers=self.barriers)
+        else:
+            out = batch.select(cols)
         # order the run by (bucket, key-hash, lsn): pure-integer sort
         # that still co-locates each bucket's keys for read locality
         # (the user-visible (conv_id, turn_idx) ordering is produced by
@@ -722,7 +736,15 @@ def apply_tick(cfg: EngineConfig, hot_convs: list[str] | None = None,
                                 batch_size=None,   # block contiguity
                                 zero_copy_batch=True)
         if hot_convs is None and cfg.hot_key_threshold > 0:
-            hot_convs = detect_hot_convs(ds, cfg.hot_key_threshold,
+            # the pre-pass only counts keys: with no extractor in
+            # play, probe a conv_id-ONLY scan of the same segments
+            # instead of re-reading the full-width change stream
+            # (an extractor derives keys from other columns, which
+            # forces the full scan it already went through above)
+            probe = ds if key_extractor is not None \
+                else ray.data.read_parquet([s.path for s in segments],
+                                           columns=["conv_id"])
+            hot_convs = detect_hot_convs(probe, cfg.hot_key_threshold,
                                          cfg.batch_size)
     hot_ref = ray.put(list(hot_convs)) if hot_convs else None
 
@@ -1334,10 +1356,17 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
         keep_extra=_BOOKKEEPING)
     partitioner = Partitioner(cfg_dst.num_buckets, 1, None,
                               include_key_hash=True)
+    # fold=False: the window's records are already collapsed by the
+    # SOURCE's folds, and their lsn intervals interleave arbitrarily
+    # across files — Ray's rebatching does not preserve any interval
+    # discipline here, so re-folding could collapse a FULL over a gap
+    # whose PARTIAL sits in a sibling batch and mask it at read time.
+    # Pass-through is immutable under any bundling; the destination's
+    # read-time LWW fold resolves the exact state.
     applier = DirectApplier(
         runs_dir=state.runs_dir, txn_id=txn,
         payload_cols=schemas.payload_cols(cfg_dst.schema_version),
-        pre_stages=(normalizer, partitioner))
+        pre_stages=(normalizer, partitioner), fold=False)
     metrics = ds.map_batches(applier, batch_format="pyarrow",
                              batch_size=cfg_dst.direct_batch_rows,
                              zero_copy_batch=True).to_pandas()
@@ -1821,8 +1850,9 @@ def read_derived(cfg: EngineConfig, view: str = DERIVED_CONV_STATS,
 
 
 def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, list[str]]:
-    """Fold each derived view's partials into a single base file."""
-    from .derived import VIEWS
+    """Fold each derived view's partials into a base set (one file, or
+    one per hash partition for views past the distribution gate)."""
+    from .derived import compact_additive_files
 
     from .matview import GMV_PREFIX, MV_PREFIX, compact_gmv_files, \
         compact_mv_files
@@ -1849,14 +1879,10 @@ def _compact_derived(state: TableState, prev: Manifest, txn: str) -> dict[str, l
             out[view] = compact_jmv_files(state.runs_dir, view, files,
                                           txn)
             continue
-        tbl = pa.concat_tables([pq.read_table(os.path.join(state.runs_dir, f))
-                                for f in files], promote_options="default")
-        agg = VIEWS[view].merge_table(tbl)
-        fname = f"derived-{view}-base-x{txn}.parquet"
-        tmp = os.path.join(state.runs_dir, fname + ".tmp")
-        pq.write_table(agg, tmp, compression="zstd")
-        os.replace(tmp, os.path.join(state.runs_dir, fname))
-        out[view] = [fname]
+        # additive views: size-gated associative merge (key-routed
+        # exchange past SMALL_VIEW_BYTES — see derived.py)
+        out[view] = compact_additive_files(state.runs_dir, view, files,
+                                           txn)
     return out
 
 
@@ -2184,6 +2210,11 @@ def bootstrap_import(cfg: EngineConfig, source, lsn: int = -1) -> Manifest:
     metrics = ds.map_batches(import_batch, batch_format="pyarrow",
                              zero_copy_batch=True,
                              batch_size=cfg.direct_batch_rows).to_pandas()
+    if "file" not in metrics.columns:
+        # a ZERO-BLOCK source yields a columnless empty frame; an
+        # empty bootstrap is still a legitimate first commit (table
+        # exists, tail CDC from here)
+        metrics = _empty_metrics()
     return state.publish(expected_parent=prev_version, manifest=Manifest(
         txn_id=txn, committed_seq=prev.committed_seq, committed_lsn=lsn,
         schema_version=cfg.schema_version, num_buckets=nb,

@@ -150,6 +150,33 @@ def _last_join_refreshed(m: Manifest, view: JoinMatView
     return best
 
 
+def _jmv_watermark_native(state_a: TableState, cfg_b: EngineConfig,
+                          view: JoinMatView,
+                          last: "tuple[int, int]") -> bool:
+    """True iff the parsed ``(sa, sb)`` watermark was minted by THIS
+    A-lineage against THIS B table (the jmv analogue of
+    matview._watermark_native). The minting refresh publishes on A
+    with ``expected_parent=sa`` (strict CAS), so the commit at version
+    ``sa + 1`` must exist here and record
+    ``matview_refresh{view=derived_key, source_version=sa,
+    source_b={table_dir, version=sb}}``. Foreign stamps — a zero-copy
+    CLONE of A carrying the source's view files, or cfg_b re-pointed
+    at a different B lineage — fail the check and force the full
+    refresh, which replaces the file set with natively-stamped
+    files."""
+    la, lb = last
+    try:
+        mm = state_a.load(la + 1).metrics.get("matview_refresh") or {}
+    except FileNotFoundError:
+        return False
+    sb = mm.get("source_b") or {}
+    return (mm.get("view") == view.derived_key
+            and mm.get("source_version") == la
+            and sb.get("version") == lb
+            and os.path.realpath(str(sb.get("table_dir", "")))
+            == os.path.realpath(cfg_b.table_dir))
+
+
 def _affected_keys(state: TableState, files: "list[str]") -> "set[str]":
     if not files:
         return set()
@@ -240,6 +267,9 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
     if cur_a is None or cur_b is None:
         return None
     last = _last_join_refreshed(m_a, view)
+    if last is not None and not _jmv_watermark_native(state_a, cfg_b,
+                                                      view, last):
+        last = None                      # foreign (cloned) stamps
     if last is not None and last[0] >= cur_a and last[1] >= cur_b:
         return None                      # already fresh: idempotent
 

@@ -384,6 +384,32 @@ def _last_refreshed(m: Manifest, view: MatView) -> int | None:
     return best
 
 
+def _watermark_native(state: TableState, view_name: str,
+                      last: int) -> bool:
+    """True iff the parsed ``s<last>`` watermark was minted by THIS
+    table's lineage. A refresh always publishes with
+    ``expected_parent=last`` (strict CAS, no rebase), so the commit at
+    version ``last + 1`` must exist here and record
+    ``matview_refresh{view, source_version=last}``.
+
+    A ZERO-COPY CLONE carries the SOURCE's derived files — stamps from
+    a foreign lineage — over a fresh v0 history. Trusting them is
+    wrong two ways: ``last >= cur`` declares a diverged clone's view
+    falsely fresh forever, and ``last < cur`` windows the delta
+    against the clone's OWN version ``last``, a different manifest
+    than the one the stamp names. A failed check forces the full
+    recompute, which REPLACES the file set with natively-stamped
+    files, so only the first post-clone refresh pays it. (A swept
+    lineage manifest also fails the check — full recompute is the
+    correct fallback there too.)"""
+    try:
+        mm = state.load(last + 1).metrics.get("matview_refresh") or {}
+    except FileNotFoundError:
+        return False
+    return mm.get("view") == view_name \
+        and mm.get("source_version") == last
+
+
 def _delta_files(state: TableState, last: int, cur_m: Manifest,
                  cur: int) -> tuple[list[str] | None, str]:
     """Table run files added in (last, cur], or (None, reason) when the
@@ -537,6 +563,8 @@ def refresh_matview(cfg: EngineConfig, name: str) -> Manifest | None:
     if cur is None:
         return None
     last = _last_refreshed(m, view)
+    if last is not None and not _watermark_native(state, name, last):
+        last = None                      # foreign (cloned) stamps
     if last is not None and last >= cur:
         return None                      # already fresh: idempotent
 
@@ -809,6 +837,8 @@ def _refresh_grouped(cfg: EngineConfig,
     if cur is None:
         return None
     last = _last_refreshed(m, view)
+    if last is not None and not _watermark_native(state, view.name, last):
+        last = None                      # foreign (cloned) stamps
     if last is not None and last >= cur:
         return None
 
@@ -906,10 +936,15 @@ def _filter_current(tbl: pa.Table, cur_seq: dict[int, int],
                     keep_markers: bool) -> pa.Table:
     """Keep each bucket's newest-epoch rows (superseded partials and —
     unless kept — epoch markers drop)."""
-    b = tbl[MV_BUCKET_COL].to_numpy(zero_copy_only=False)
+    b = tbl[MV_BUCKET_COL].to_numpy(zero_copy_only=False).astype(np.int64)
     s = tbl[MV_SEQ_COL].to_numpy(zero_copy_only=False)
-    want = np.array([cur_seq[int(x)] for x in b], dtype=np.int64)
-    keep = s == want
+    # dense epoch lookup (bucket ids are small ints): one gather
+    # instead of a per-row Python dict probe
+    epoch = np.full(int(b.max()) + 1 if b.size else 1, -1, np.int64)
+    for bk, sq in cur_seq.items():
+        if bk < epoch.size:
+            epoch[bk] = sq
+    keep = s == epoch[b]
     if not keep_markers:
         keep &= ~tbl[MV_MARKER_COL].to_numpy(zero_copy_only=False)
     return tbl.filter(pa.array(keep))
@@ -1138,18 +1173,19 @@ def search_tokens(cfg: EngineConfig, all_of=(), any_of=(),
             f"index {name!r} has never been refreshed on this table; "
             f"run refresh_matview(cfg, {name!r}) first")
     cur_nb = m.num_buckets or cfg.num_buckets
-    if last == ver:                      # index fresh: trivially same
-        pruning_ok = True
+    if not _watermark_native(state, name, last):
+        # clones keep the SOURCE's derived file names (stamps from a
+        # FOREIGN lineage) over a fresh history: version `last` of
+        # THIS lineage — if it even exists — is a different manifest
+        # than the one the stamp names, so the layout at refresh time
+        # is unknowable. Serve the correct-but-unpruned scan until a
+        # refresh re-indexes natively. (This also covers the
+        # stamp == current-version coincidence a diverged clone can
+        # produce, which a naive load(last) compare would trust.)
+        pruning_ok = False
     else:
-        try:
-            pruning_ok = (state.load(last).num_buckets
-                          or cfg.num_buckets) == cur_nb
-        except FileNotFoundError:
-            # clones keep the SOURCE's derived file names (embedding
-            # source version numbers) over a fresh v0-only lineage, so
-            # the layout at refresh time is unknowable there — serve
-            # the correct-but-unpruned scan
-            pruning_ok = False
+        pruning_ok = (state.load(last).num_buckets
+                      or cfg.num_buckets) == cur_nb
     if not pruning_ok:
         ds = read_snapshot(cfg, manifest=m)
     else:

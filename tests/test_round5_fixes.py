@@ -1,0 +1,295 @@
+"""Round-5 defect fixes, each pinned by the scenario that exposed it:
+
+* clone-foreign matview watermarks (`s<V>` stamps from the SOURCE
+  lineage must never window a clone's refresh — falsely-fresh and
+  wrong-delta-baseline variants, keyed + grouped + join views, plus
+  the token-search layout guard),
+* replication pass-through (`DirectApplier(fold=False)`: a replicated
+  window's batches are not lsn intervals, so they must land verbatim),
+* distributed additive-view compaction (size-gated key-routed
+  exchange),
+* vectorized current-epoch filter equivalence,
+* empty-source bootstrap guard.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from techtalk_data_pipeline_snowpark_ray import schemas
+from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+from techtalk_data_pipeline_snowpark_ray.pipelines import ingest, matview
+from techtalk_data_pipeline_snowpark_ray.sources.wal import WalWriter
+from techtalk_data_pipeline_snowpark_ray.state.manifest import TableState
+
+from test_engine_e2e import assert_matches_oracle
+
+
+def _mk_cfg(tmp_path, name="t", **kw):
+    kw.setdefault("num_buckets", 4)
+    kw.setdefault("apply_mode", "direct")
+    cfg = EngineConfig(table_dir=str(tmp_path / name),
+                       wal_dir=str(tmp_path / f"w-{name}"), **kw)
+    cfg.ensure_dirs()
+    return cfg
+
+
+def _ev_table(rows):
+    """Hand-crafted v3 change-record table from [(lsn, op, conv, turn,
+    {payload overrides})]."""
+    n = len(rows)
+    cols = {
+        "lsn": pa.array([r[0] for r in rows], pa.int64()),
+        "op": pa.array([r[1] for r in rows], pa.string()),
+        "schema_version": pa.array(np.full(n, 3, np.int32)),
+        "conv_id": pa.array([r[2] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[3] for r in rows], pa.int64()),
+    }
+    for c in ("role", "text", "tool", "model"):
+        cols[c] = pa.array([r[4].get(c) for r in rows], pa.string())
+    cols["ts"] = pa.array([r[4].get("ts", 0) for r in rows],
+                          pa.timestamp("us"))
+    return pa.table(cols)
+
+
+def _tick(cfg, w, rows):
+    w.append(_ev_table(rows), 3)
+    w.flush()
+    assert ingest.apply_tick(cfg) is not None
+    return TableState(cfg.table_dir).latest_version()
+
+
+def _full(lsn, conv, turn, text, tool=None):
+    return (lsn, "insert", conv, turn,
+            {"role": "user", "text": text, "tool": tool})
+
+
+def _upd(lsn, conv, turn, **payload):
+    return (lsn, "update", conv, turn, payload)
+
+
+def _mv_turns(cfg):
+    mv = matview.read_matview(cfg, "conv_live_stats").to_pandas()
+    return mv.set_index("conv_id")["n_turns"].astype(int).to_dict()
+
+
+# -- clone-foreign watermarks -------------------------------------------------
+
+def test_clone_matview_not_falsely_fresh(tmp_path):
+    """A diverged clone whose foreign stamp >= its own version must
+    refresh (full), not report 'already fresh' forever."""
+    src = _mk_cfg(tmp_path, "src")
+    w = WalWriter(src.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(src, w, [_full(0, "c1", 0, "a"), _full(1, "c1", 1, "b")])
+    _tick(src, w, [_full(2, "c2", 0, "c")])                   # src v1
+    assert matview.refresh_matview(src, "conv_live_stats") is not None
+    # stamp s1 minted at src v2
+
+    dst = EngineConfig(table_dir=str(tmp_path / "dst"), wal_dir=src.wal_dir,
+                       num_buckets=4, apply_mode="direct")
+    ingest.clone_table(src, dst)                              # dst v0
+    _tick(dst, w, [_full(3, "c3", 0, "d")])                   # dst v1
+    # foreign stamp (1) >= clone cur (1): pre-fix this returned None
+    res = matview.refresh_matview(dst, "conv_live_stats")
+    assert res is not None
+    assert res.metrics["matview_refresh"]["mode"] == "full"
+    assert _mv_turns(dst) == {"c1": 2, "c2": 1, "c3": 1}
+    w.close()
+
+
+def test_clone_matview_wrong_delta_baseline(tmp_path):
+    """Foreign stamp < clone version: the delta window must NOT be
+    computed against the clone's own manifest at the stamp's number —
+    keys touched only by early clone ticks would never re-aggregate."""
+    src = _mk_cfg(tmp_path, "src")
+    w = WalWriter(src.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(src, w, [_full(0, "a", 0, "x"), _full(1, "b", 0, "y")])
+    _tick(src, w, [_full(2, "a", 1, "x2")])
+    _tick(src, w, [_full(3, "a", 2, "x3")])                   # src v2
+    assert matview.refresh_matview(src, "conv_live_stats") is not None
+    # stamp s2 minted at src v3
+
+    dst = EngineConfig(table_dir=str(tmp_path / "dst"), wal_dir=src.wal_dir,
+                       num_buckets=4, apply_mode="direct")
+    ingest.clone_table(src, dst)                              # dst v0
+    _tick(dst, w, [_full(4, "b", 1, "y2")])                   # dst v1
+    _tick(dst, w, [_full(5, "b", 2, "y3")])                   # dst v2
+    _tick(dst, w, [_full(6, "c", 0, "z")])                    # dst v3
+    # pre-fix: last=2 < cur=3 windowed the delta to dst (2,3] — only
+    # conv c re-aggregated; b stayed at its clone-time count of 1
+    res = matview.refresh_matview(dst, "conv_live_stats")
+    assert res is not None
+    assert res.metrics["matview_refresh"]["mode"] == "full"
+    assert _mv_turns(dst) == {"a": 3, "b": 3, "c": 1}
+    # post-refresh stamps are native: the NEXT refresh windows
+    # incrementally again
+    _tick(dst, w, [_full(7, "c", 1, "z2")])
+    res2 = matview.refresh_matview(dst, "conv_live_stats")
+    assert res2.metrics["matview_refresh"]["mode"] == "incremental"
+    assert _mv_turns(dst)["c"] == 2
+    w.close()
+
+
+def test_clone_token_search_stamp_version_coincidence(tmp_path):
+    """Grouped-index layout guard: a diverged clone whose own version
+    count catches the foreign stamp used to take the `last == ver`
+    trust-the-index fast path — a token present only in clone-added
+    rows then short-circuited to an empty result."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.matview import (
+        refresh_matview, search_tokens)
+
+    src = _mk_cfg(tmp_path, "src")
+    w = WalWriter(src.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(src, w, [_full(0, "c1", 0, "alpha words")])
+    _tick(src, w, [_full(1, "c1", 1, "beta words")])
+    _tick(src, w, [_full(2, "c2", 0, "gamma words")])         # src v2
+    assert refresh_matview(src, "token_index") is not None    # stamp s2
+
+    dst = EngineConfig(table_dir=str(tmp_path / "dst"), wal_dir=src.wal_dir,
+                       num_buckets=4, apply_mode="direct")
+    ingest.clone_table(src, dst)                              # dst v0
+    _tick(dst, w, [_full(3, "c3", 0, "plain filler")])        # dst v1
+    _tick(dst, w, [_full(4, "c4", 0, "zzzuniq payload")])     # dst v2 == stamp
+    hits = search_tokens(dst, all_of=["zzzuniq"]).to_pandas()
+    assert len(hits) == 1 and hits["conv_id"].iloc[0] == "c4"
+    w.close()
+
+
+def test_clone_join_matview_not_falsely_fresh(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.pipelines.joinview import (
+        read_join_matview, refresh_join_matview)
+
+    a = _mk_cfg(tmp_path, "a")
+    b = _mk_cfg(tmp_path, "b")
+    wa = WalWriter(a.wal_dir, segment_rows=100, reorder_slack=4)
+    wb = WalWriter(b.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(a, wa, [_full(0, "c1", 0, "aa"), _full(1, "c1", 1, "ab")])
+    _tick(b, wb, [_full(0, "c1", 0, "ba")])
+    assert refresh_join_matview(a, b, "conv_drift") is not None
+    # stamp (sa=0, sb=0) minted at a v1
+
+    a2 = EngineConfig(table_dir=str(tmp_path / "a2"), wal_dir=a.wal_dir,
+                      num_buckets=4, apply_mode="direct")
+    ingest.clone_table(a, a2)                                 # a2 v0
+    _tick(a2, wa, [_full(2, "c1", 2, "ac")])                  # a2 v1
+    # foreign (0, 0) with cur_a=1 — pre-fix the delta windowed against
+    # a2's own v0 manifest; with an equal-version clone it could also
+    # report falsely fresh. Native check forces the full join refresh.
+    res = refresh_join_matview(a2, b, "conv_drift")
+    assert res is not None
+    assert res.metrics["matview_refresh"]["mode"] == "full"
+    jv = read_join_matview(a2, "conv_drift").to_pandas() \
+        .set_index("conv_id")
+    assert int(jv.loc["c1", "n_turns_a"]) == 3
+    assert int(jv.loc["c1", "n_turns_b"]) == 1
+    wa.close()
+    wb.close()
+
+
+# -- replication pass-through -------------------------------------------------
+
+def test_replicate_delta_passthrough_no_fold(tmp_path):
+    """A replicated window lands verbatim: no per-batch fold (whose
+    lsn-interval precondition replication can't meet), byte-exact
+    resolved equality, and record counts preserved."""
+    src = _mk_cfg(tmp_path, "src")
+    w = WalWriter(src.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(src, w, [_full(2, "k", 0, "a", tool="x")])
+    _tick(src, w, [_upd(12, "k", 0, text="b")])
+    _tick(src, w, [_upd(25, "k", 0, tool="z")])
+    w.close()
+    v_hi = TableState(src.table_dir).latest_version()
+
+    # tiny batch size so Ray re-bundles the window's blocks arbitrarily
+    dst = _mk_cfg(tmp_path, "dst", direct_batch_rows=2)
+    m = ingest.replicate_delta(src, dst, from_version=-1, to_version=v_hi)
+    assert m is not None
+    # pass-through: every source window record lands (3 collapsed
+    # records from 3 single-event ticks), none re-folded away
+    assert m.metrics["records_written"] == 3
+    snap = ingest.snapshot_to_pandas(dst)
+    assert len(snap) == 1
+    row = snap.iloc[0]
+    assert (row["text"], row["tool"]) == ("b", "z")
+    pd.testing.assert_frame_equal(snap, ingest.snapshot_to_pandas(src))
+
+
+# -- distributed additive-view compaction -------------------------------------
+
+def test_additive_view_compaction_distributed(tmp_path, monkeypatch):
+    from techtalk_data_pipeline_snowpark_ray.pipelines.derived import (
+        DERIVED_CONV_STATS)
+
+    cfg = _mk_cfg(tmp_path, derived_conv_stats=True)
+    w = WalWriter(cfg.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(cfg, w, [_full(0, "a", 0, "x"), _full(1, "b", 0, "y"),
+                   _full(2, "a", 1, "x2")])
+    _tick(cfg, w, [_full(3, "b", 1, "y2"), _full(4, "c", 0, "z")])
+    w.close()
+    before = ingest.read_derived(cfg, DERIVED_CONV_STATS).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+    assert dict(zip(before["conv_id"], before["n_events"])) == \
+        {"a": 2, "b": 2, "c": 1}
+
+    monkeypatch.setattr(matview, "SMALL_VIEW_BYTES", 0)  # force exchange
+    assert ingest.compact(cfg) is not None
+    m = TableState(cfg.table_dir).load_latest()
+    bases = m.derived[DERIVED_CONV_STATS]
+    assert len(bases) >= 2                     # one base per partition
+    after = ingest.read_derived(cfg, DERIVED_CONV_STATS).to_pandas() \
+        .sort_values("conv_id", ignore_index=True)
+    pd.testing.assert_frame_equal(before, after)
+    # per-partition bases are key-exclusive
+    runs_dir = TableState(cfg.table_dir).runs_dir
+    seen = [set(pq.read_table(os.path.join(runs_dir, f))["conv_id"]
+                .to_pylist()) for f in bases]
+    for i in range(len(seen)):
+        for j in range(i + 1, len(seen)):
+            assert not (seen[i] & seen[j])
+
+
+# -- vectorized epoch filter ---------------------------------------------------
+
+def test_filter_current_matches_dict_reference():
+    rng = np.random.default_rng(7)
+    n = 5000
+    b = rng.integers(0, 16, n)
+    cur = {int(k): int(rng.integers(0, 5)) for k in np.unique(b)}
+    s = rng.integers(0, 5, n)
+    tbl = pa.table({
+        matview.MV_BUCKET_COL: pa.array(b, pa.int64()),
+        matview.MV_SEQ_COL: pa.array(s, pa.int64()),
+        matview.MV_MARKER_COL: pa.array(rng.random(n) < 0.1),
+        "v": pa.array(np.arange(n)),
+    })
+    for keep_markers in (False, True):
+        got = matview._filter_current(tbl, cur, keep_markers)
+        ref_keep = np.array([cur[int(x)] == y for x, y in zip(b, s)])
+        if not keep_markers:
+            ref_keep &= ~tbl[matview.MV_MARKER_COL] \
+                .to_numpy(zero_copy_only=False)
+        assert got["v"].to_pylist() == \
+            tbl.filter(pa.array(ref_keep))["v"].to_pylist()
+    # empty input
+    empty = matview._filter_current(tbl.slice(0, 0), cur, False)
+    assert empty.num_rows == 0
+
+
+# -- empty bootstrap ------------------------------------------------------------
+
+def test_bootstrap_import_empty_source_then_cdc(tmp_path):
+    cfg = _mk_cfg(tmp_path)
+    m = ingest.bootstrap_import(
+        cfg, ray.data.from_arrow(schemas.table_schema(3).empty_table()))
+    assert m.version == 0 and m.metrics["events_applied"] == 0
+    assert len(ingest.snapshot_to_pandas(cfg)) == 0
+    # the empty bootstrap is a real first commit: CDC tails from here
+    w = WalWriter(cfg.wal_dir, segment_rows=100, reorder_slack=4)
+    w.append(_ev_table([_full(0, "c1", 0, "hello")]), 3)
+    w.close()
+    assert ingest.apply_tick(cfg) is not None
+    assert_matches_oracle(cfg)
