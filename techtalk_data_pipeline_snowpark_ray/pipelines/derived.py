@@ -125,35 +125,26 @@ def compact_additive_files(runs_dir: str, view_name: str,
                            files: "list[str]", txn: str) -> "list[str]":
     """Compaction hook for ADDITIVE derived views (called from
     ingest._compact_derived): merge a view's partial files into a base
-    set. Size-gated like the matview folds: a measured-small view
-    merges in-process; past SMALL_VIEW_BYTES the merge is a key-routed
-    hash exchange writing one base per partition — a conv_id-keyed
-    counter view over 10^9 conversations must never concat in a single
-    process. Readers are indifferent (read_derived group-merges
-    whatever partials the manifest lists), and per-partition bases are
-    key-exclusive so the merge stays exact."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    from .matview import SMALL_VIEW_BYTES, _compact_partitions, \
-        _split_partitions, _view_bytes
+    set. Size-gated via matview.compact_view_sized (the shared driver):
+    a measured-small view merges in-process; past SMALL_VIEW_BYTES the
+    merge is a key-routed hash exchange writing one base per partition
+    — a conv_id-keyed counter view over 10^9 conversations must never
+    concat in a single process. Readers are indifferent (read_derived
+    group-merges whatever partials the manifest lists), and
+    per-partition bases are key-exclusive so the merge stays exact."""
+    from .matview import compact_view_sized
     spec = VIEWS[view_name]
-    paths = [os.path.join(runs_dir, f) for f in files]
-    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
-        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
-                               promote_options="default")
+
+    def small(tbl: pa.Table) -> "list[str]":
         return [_write_additive_base(
             spec.merge_table(tbl), runs_dir,
             f"derived-{view_name}-base-x{txn}.parquet")]
-    parts = _split_partitions(paths, _compact_partitions(paths),
-                              spec.key)
-    names = ray.get([
-        _merge_additive_part.remote(
+
+    return compact_view_sized(
+        runs_dir, files, spec.key, small,
+        lambda i, slices: _merge_additive_part.remote(
             runs_dir, view_name,
-            f"derived-{view_name}-base-x{txn}p{i}.parquet", *slices)
-        for i, slices in enumerate(parts)])
-    return [n for n in names if n is not None]
+            f"derived-{view_name}-base-x{txn}p{i}.parquet", *slices))
 
 
 @ray.remote

@@ -1370,6 +1370,10 @@ def replicate_delta(cfg_src: EngineConfig, cfg_dst: EngineConfig,
     metrics = ds.map_batches(applier, batch_format="pyarrow",
                              batch_size=cfg_dst.direct_batch_rows,
                              zero_copy_batch=True).to_pandas()
+    if "file" not in metrics.columns:
+        # a zero-block delta window (no new versions, or manifests that
+        # added no files) yields a columnless empty frame from Ray
+        return None
     metrics = metrics.dropna(subset=["file"])
     if metrics.empty:
         return None

@@ -361,7 +361,11 @@ def refresh_join_matview(cfg_a: EngineConfig, cfg_b: EngineConfig,
     derived = {k: list(v) for k, v in m_a.derived.items()}
     derived[view.derived_key] = files
     stats = {"mode": mode, "affected_keys": len(keys or ()),
-             "source_b": {"table_dir": cfg_b.table_dir,
+             # realpath at MINT time: a relative table_dir recorded
+             # verbatim would resolve against whatever cwd the CHECK
+             # later runs from, misreading a native stamp as foreign
+             # and silently degrading every refresh to mode="full"
+             "source_b": {"table_dir": os.path.realpath(cfg_b.table_dir),
                           "version": cur_b}}
     if mode == "full":
         stats["reason"] = reason
@@ -394,26 +398,19 @@ def compact_jmv_files(runs_dir: str, view_key: str, files: "list[str]",
             raise ValueError(f"unparseable join-view run file {f!r}")
         pairs.append((int(mm.group(1)), int(mm.group(2))))
     sa, sb = max(pairs)
-    paths = [os.path.join(runs_dir, f) for f in files]
-    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
-        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
-                               promote_options="default")
+    from .matview import compact_view_sized
+
+    def small(tbl: pa.Table) -> "list[str]":
         seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
         out = _fold_jmv_table(tbl, name, seq)
         return [_write_jmv(out, runs_dir,
                            f"jmv-{name}-sa{sa}-sb{sb}-x{txn}")]
-    # measured-large: key-routed hash exchange, one base per partition
-    # (same gate + shape as matview.compact_mv_files; a join view over
-    # 10^9 conversations must never concat in a single process)
-    from .matview import _compact_partitions, _split_partitions
-    parts = _split_partitions(paths, _compact_partitions(paths),
-                              "conv_id")
-    names = ray.get([
-        _merge_jmv_part.remote(runs_dir, name,
-                               f"jmv-{name}-sa{sa}-sb{sb}-x{txn}p{i}",
-                               *slices)
-        for i, slices in enumerate(parts)])
-    return [n for n in names if n is not None]
+
+    return compact_view_sized(
+        runs_dir, files, "conv_id", small,
+        lambda i, slices: _merge_jmv_part.remote(
+            runs_dir, name, f"jmv-{name}-sa{sa}-sb{sb}-x{txn}p{i}",
+            *slices))
 
 
 def _fold_jmv_table(tbl: pa.Table, name: str, seq: int) -> pa.Table:

@@ -939,11 +939,19 @@ def _filter_current(tbl: pa.Table, cur_seq: dict[int, int],
     b = tbl[MV_BUCKET_COL].to_numpy(zero_copy_only=False).astype(np.int64)
     s = tbl[MV_SEQ_COL].to_numpy(zero_copy_only=False)
     # dense epoch lookup (bucket ids are small ints): one gather
-    # instead of a per-row Python dict probe
+    # instead of a per-row Python dict probe. A bucket present in the
+    # rows but absent from cur_seq is an invariant violation (cur_seq
+    # is computed over the SAME file set) — fail loudly rather than
+    # silently matching against the -1 sentinel and dropping the rows.
     epoch = np.full(int(b.max()) + 1 if b.size else 1, -1, np.int64)
     for bk, sq in cur_seq.items():
         if bk < epoch.size:
             epoch[bk] = sq
+    if b.size and bool(np.any(epoch[b] < 0)):
+        missing = sorted(set(b[epoch[b] < 0].tolist()))[:5]
+        raise AssertionError(
+            f"_filter_current: buckets {missing} have rows but no "
+            f"epoch in cur_seq — epoch map and row set diverged")
     keep = s == epoch[b]
     if not keep_markers:
         keep &= ~tbl[MV_MARKER_COL].to_numpy(zero_copy_only=False)
@@ -1070,20 +1078,17 @@ def compact_gmv_files(runs_dir: str, view_key: str, files: list[str],
     partition, never one whole-view concat."""
     name = view_key[len(GMV_PREFIX):]
     view = GROUPED_MATVIEWS[name]
-    paths = [os.path.join(runs_dir, f) for f in files]
-    cur_seq = _bucket_epochs(paths)
-    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
-        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
-                               promote_options="default")
+    cur_seq = _bucket_epochs([os.path.join(runs_dir, f) for f in files])
+
+    def small(tbl: pa.Table) -> list[str]:
         out = _filter_current(tbl, cur_seq, keep_markers=True)
         seq = int(pc.max(out[MV_SEQ_COL]).as_py()) if out.num_rows else 0
         return [_write_mv_file(out, runs_dir, view, seq, txn)]
-    parts = _split_partitions(paths, _compact_partitions(paths), None)
-    names = ray.get([
-        _merge_gmv_part.remote(runs_dir, name, cur_seq, f"{txn}p{i}",
-                               *slices)
-        for i, slices in enumerate(parts)])
-    return [n for n in names if n is not None]
+
+    return compact_view_sized(
+        runs_dir, files, None, small,
+        lambda i, slices: _merge_gmv_part.remote(
+            runs_dir, name, cur_seq, f"{txn}p{i}", *slices))
 
 
 # -- inverted-index search ----------------------------------------------------
@@ -1351,6 +1356,32 @@ def search_ann(cfg: EngineConfig, query, k: int = 10, nprobe: int = 4,
     return top.drop_columns(["sim"])
 
 
+def compact_view_sized(runs_dir: str, files: list[str],
+                       key: "str | None", small_fn,
+                       part_fn) -> list[str]:
+    """Shared size-gated view-compaction driver — keyed, grouped, join
+    and additive-derived views all share the gate and exchange shape;
+    only the per-set merge kernels differ, so they plug in here instead
+    of re-implementing the scaffold (review finding, round 5).
+
+    ``small_fn(tbl) -> list[str]`` folds the measured-small whole-view
+    concat in-process and writes the base(s); ``part_fn(i, slices) ->
+    ObjectRef[str | None]`` launches the reduce task for routed
+    partition ``i``. Routing is hash(key) for keyed views or bucket id
+    for grouped views (``key=None``). Past ``SMALL_VIEW_BYTES`` the
+    fold is a key-routed hash exchange writing one base per partition —
+    a view over 10^9 keys must never concat in a single process."""
+    paths = [os.path.join(runs_dir, f) for f in files]
+    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
+        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
+                               promote_options="default")
+        return small_fn(tbl)
+    parts = _split_partitions(paths, _compact_partitions(paths), key)
+    names = ray.get([part_fn(i, slices)
+                     for i, slices in enumerate(parts)])
+    return [n for n in names if n is not None]
+
+
 def _compact_partitions(paths: list[str]) -> int:
     """Partition count for a distributed view-compaction fold: one
     key-routed reducer per SMALL_VIEW_BYTES of input, capped so the
@@ -1424,10 +1455,8 @@ def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
     process."""
     name = view_key[len(MV_PREFIX):]
     view = _view(name)
-    paths = [os.path.join(runs_dir, f) for f in files]
-    if _view_bytes(paths) <= SMALL_VIEW_BYTES:
-        tbl = pa.concat_tables([pq.read_table(p) for p in paths],
-                               promote_options="default")
+
+    def small(tbl: pa.Table) -> list[str]:
         merged = merge_mv_rows(tbl.to_pandas(), view.key)
         seq = int(pc.max(tbl[MV_SEQ_COL]).as_py()) if tbl.num_rows else 0
         out = _state_cols(
@@ -1436,9 +1465,8 @@ def compact_mv_files(runs_dir: str, view_key: str, files: list[str],
         want = _mv_file_schema(view)
         return [_write_mv_file(out.select(want.names).cast(want),
                                runs_dir, view, seq, txn)]
-    parts = _split_partitions(paths, _compact_partitions(paths),
-                              view.key)
-    names = ray.get([
-        _merge_mv_part.remote(runs_dir, name, f"{txn}p{i}", *slices)
-        for i, slices in enumerate(parts)])
-    return [n for n in names if n is not None]
+
+    return compact_view_sized(
+        runs_dir, files, view.key, small,
+        lambda i, slices: _merge_mv_part.remote(
+            runs_dir, name, f"{txn}p{i}", *slices))

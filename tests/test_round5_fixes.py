@@ -279,6 +279,78 @@ def test_filter_current_matches_dict_reference():
     assert empty.num_rows == 0
 
 
+# -- review fixes at the final round-5 pass ------------------------------------
+
+def test_replicate_delta_empty_window_returns_none(tmp_path):
+    """A poller replicating an empty window (no new versions / no new
+    files) gets None, not a KeyError from the columnless empty metrics
+    frame Ray yields for a zero-block Dataset."""
+    src = _mk_cfg(tmp_path, "src")
+    w = WalWriter(src.wal_dir, segment_rows=100, reorder_slack=4)
+    v = _tick(src, w, [_full(0, "k", 0, "a")])
+    w.close()
+    dst = _mk_cfg(tmp_path, "dst")
+    assert ingest.replicate_delta(src, dst, from_version=v,
+                                  to_version=v) is None
+    # destination untouched: no manifest was published
+    assert TableState(dst.table_dir).latest_version() is None
+
+
+def test_jmv_watermark_canonical_across_paths_and_cwd(tmp_path, monkeypatch):
+    """The join-view stamp must record cfg_b.table_dir CANONICALIZED at
+    mint time (realpath) — a stamp recorded verbatim from a symlinked
+    or cwd-relative spelling would later resolve against the checking
+    process's cwd/symlink state and misread a native stamp as foreign,
+    silently degrading every refresh to mode='full' forever."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines.joinview import (
+        refresh_join_matview)
+
+    a = _mk_cfg(tmp_path, "a")
+    b = _mk_cfg(tmp_path, "b")
+    wa = WalWriter(a.wal_dir, segment_rows=100, reorder_slack=4)
+    wb = WalWriter(b.wal_dir, segment_rows=100, reorder_slack=4)
+    _tick(a, wa, [_full(0, "c1", 0, "aa")])
+    _tick(b, wb, [_full(0, "c1", 0, "ba")])
+    # mint through a SYMLINKED spelling of B's table_dir
+    blink = tmp_path / "blink"
+    blink.symlink_to(tmp_path / "b")
+    b_link = EngineConfig(table_dir=str(blink), wal_dir=b.wal_dir,
+                          num_buckets=4, apply_mode="direct")
+    res0 = refresh_join_matview(a, b_link, "conv_drift")
+    assert res0 is not None
+    # contract: the stamp carries the canonical path, not the spelling
+    recorded = res0.metrics["matview_refresh"]["source_b"]["table_dir"]
+    assert recorded == os.path.realpath(b.table_dir)
+    assert os.path.isabs(recorded)
+
+    # a later refresh from a different cwd, naming B canonically, must
+    # window incrementally — the stamp is native whatever the cwd
+    _tick(a, wa, [_full(1, "c1", 1, "ab")])
+    wa.close()
+    wb.close()
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    monkeypatch.chdir(sub)
+    res = refresh_join_matview(a, b, "conv_drift")
+    assert res is not None
+    assert res.metrics["matview_refresh"]["mode"] == "incremental"
+
+
+def test_filter_current_raises_on_uncovered_bucket():
+    """A bucket with rows but no epoch in cur_seq is an invariant
+    violation — it must fail loudly, not silently drop the rows by
+    matching them against the -1 sentinel."""
+    import pytest
+
+    tbl = pa.table({
+        matview.MV_BUCKET_COL: pa.array([0, 5], pa.int64()),
+        matview.MV_SEQ_COL: pa.array([1, 1], pa.int64()),
+        matview.MV_MARKER_COL: pa.array([False, False]),
+    })
+    with pytest.raises(AssertionError, match="no .*epoch|epoch"):
+        matview._filter_current(tbl, {0: 1}, keep_markers=True)
+
+
 # -- empty bootstrap ------------------------------------------------------------
 
 def test_bootstrap_import_empty_source_then_cdc(tmp_path):
