@@ -632,6 +632,12 @@ class SimHasher:
     batches in the actor (__init__-once ST1 lifecycle), so per-token
     cost amortizes toward a dict lookup on natural-language corpora."""
 
+    #: memo cap: the worker process outlives tasks AND queries, so an
+    #: open-ended vocabulary (URLs, ids, typos) would otherwise grow
+    #: the dict forever — at the cap the memo resets (it is a pure
+    #: cache; correctness is untouched, the next batch re-hashes)
+    VOCAB_CAP = 1_000_000
+
     def __init__(self, token_hash: str = "xx64"):
         self.token_hash = token_hash
         self._vocab: dict[str, int] = {}
@@ -641,6 +647,14 @@ class SimHasher:
             return fingerprint_series(tok).astype(np.uint64)
         from .textstats import md5_hash64
         uniq, inv = np.unique(tok.to_numpy(), return_inverse=True)
+        if len(self._vocab) + len(uniq) > self.VOCAB_CAP:
+            self._vocab = {}
+        if len(uniq) > self.VOCAB_CAP:
+            # one batch's vocabulary alone exceeds the cap: hash
+            # without memoizing (never store more than the cap)
+            hashes = np.fromiter((md5_hash64(t) for t in uniq),
+                                 dtype=np.uint64, count=len(uniq))
+            return hashes[inv]
         vocab = self._vocab
         hashes = np.fromiter(
             (vocab[t] if t in vocab else vocab.setdefault(t, md5_hash64(t))

@@ -40,7 +40,11 @@ def pack_documents(sf_dir: str, budget: int = PACK_BUDGET_TOKENS,
     ds = read_table(sf_dir, "documents", ["doc_id", "text"])
 
     def count_route(t: pa.Table) -> pd.DataFrame:
-        n = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int64())
+        # null text counts as 0 tokens (same as chunk_documents'
+        # fillna); an Arrow null here becomes a NaN that poisons the
+        # partition's cumsum and crashes assign_bins' int cast
+        n = pc.cast(pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), TOKEN_RE), pa.int64())
         df = pd.DataFrame({
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
             "n_tokens": n.to_numpy(zero_copy_only=False)})

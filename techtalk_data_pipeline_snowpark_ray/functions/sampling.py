@@ -184,10 +184,21 @@ def mixture_weights(sf_dir: str) -> pd.DataFrame:
     then arithmetic on the tiny composition table. Text never leaves
     its batch; no shuffle."""
     g = _group_token_partials(sf_dir)
-    g["share_ppm"] = g["n_tokens"] * PPM // g["n_tokens"].sum()
+    # Python-int arithmetic on the tiny composition table: n_tokens *
+    # PPM overflows int64 at ~9.2e12 tokens per group (~40 TB of text
+    # — inside this engine's design envelope), and numpy would WRAP
+    # silently; arbitrary-precision ints keep the floor-divide exact
+    # (DuckDB's HUGEINT oracle arithmetic matches bit-for-bit)
+    tot = int(g["n_tokens"].sum())
+    g["share_ppm"] = np.fromiter(
+        ((int(t) * PPM) // tot for t in g["n_tokens"]),
+        dtype=np.int64, count=len(g))
     g["sqrt_tokens"] = np.floor(
         np.sqrt(g["n_tokens"].to_numpy(np.float64))).astype(np.int64)
-    g["w_t2_ppm"] = g["sqrt_tokens"] * PPM // g["sqrt_tokens"].sum()
+    stot = int(g["sqrt_tokens"].sum())
+    g["w_t2_ppm"] = np.fromiter(
+        ((int(s) * PPM) // stot for s in g["sqrt_tokens"]),
+        dtype=np.int64, count=len(g))
     return g.sort_values(["source", "lang"], ignore_index=True)
 
 

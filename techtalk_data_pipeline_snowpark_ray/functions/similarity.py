@@ -41,10 +41,31 @@ def _emb(sf_dir: str) -> ray.data.Dataset:
 
 def _stack(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        # callers early-return on len(ids) == 0 without touching X
+        return ids, np.empty((0, 0), dtype=np.float64)
     flat = batch["embedding"].combine_chunks()
-    X = np.asarray(flat.values, dtype=np.float64).reshape(len(ids), -1) \
-        if isinstance(flat, pa.ListArray) else \
-        np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    if isinstance(flat, pa.ListArray):
+        # `.values` would be WRONG here twice over: it ignores the
+        # array's slice offset (Ray blocks are often slices) and null
+        # slots contribute no values, so a blind reshape silently
+        # misaligns every row's vector. flatten() respects both; nulls
+        # and ragged rows fail loudly instead of producing garbage.
+        if flat.null_count:
+            raise ValueError(
+                f"{flat.null_count} null embedding rows; filter or "
+                f"impute them before the similarity stages")
+        lens = np.unique(pc.list_value_length(flat)
+                         .to_numpy(zero_copy_only=False))
+        if len(lens) > 1:
+            raise ValueError(
+                f"ragged embedding lists (lengths {lens[:5].tolist()}"
+                f"...); vectors must share one dimension")
+        X = flat.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False).reshape(len(ids), -1)
+    else:
+        X = np.stack(batch["embedding"].to_pandas().to_numpy()) \
+            .astype(np.float64)
     return ids, X
 
 
@@ -430,7 +451,13 @@ def embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9,
 
     sub = _emb(sf_dir).map_batches(subset, batch_format="pyarrow",
                                    zero_copy_batch=True).materialize()
-    dim = len(sub.take(1)[0]["embedding"])
+    first = sub.take(1)
+    if not first:
+        # empty subset (modulus filtered everything / empty table):
+        # typed empty pair frame, like every other empty path here
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    dim = len(first[0]["embedding"])
     H = rng.standard_normal((dim, n_bands * band_planes))
     h_ref = ray.put(H)
     nparts = 16

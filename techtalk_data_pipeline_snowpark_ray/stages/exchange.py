@@ -38,6 +38,12 @@ import ray.data
 
 @ray.remote
 def _split_block(tbl: pa.Table, col: str, n: int):
+    if isinstance(tbl, pd.DataFrame):
+        # Ray passes EMPTY source blocks through map stages without
+        # calling the UDF, so a pandas-sourced pipeline can deliver a
+        # (columnless) pandas block here even when every map stage is
+        # pyarrow-format; normalize at the boundary
+        tbl = pa.Table.from_pandas(tbl, preserve_index=False)
     # strip dict-valued (pandas) schema metadata so every emitted slice
     # keeps a hashable schema -- Ray's block-schema dedup depends on it
     tbl = tbl.replace_schema_metadata(None)

@@ -379,84 +379,152 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     (true members to drop + ~1% false positives to keep) transit the
     exchange, where the per-partition exact membership drops members.
     A Bloom alone could never implement anti (a false positive would
-    wrongly drop a row); the exact pass is what makes it correct."""
+    wrongly drop a row); the exact pass is what makes it correct.
+
+    Keys may be any integer width or (large_)string — string keys
+    probe the Bloom via the frozen sampled hash (collisions only add
+    false positives, which the exact pass removes); other families
+    raise TypeError (use broadcast_semi_join). Null keys follow SQL
+    IN semantics end-to-end: never a member (dropped for semi, kept
+    for anti), and the whole path is Arrow-native, so nullable /
+    full-range int64 payload columns survive bit-exact — no pandas
+    float64 round-trip."""
+    import pyarrow.compute as pc
+
     right_on = right_on or on
+    lt = dict(zip(left.schema().names, left.schema().types)).get(on)
+    rt = dict(zip(right.schema().names, right.schema().types)
+              ).get(right_on)
+    if lt is None or rt is None:
+        raise KeyError(f"bloom_semi_join: missing key column "
+                       f"{on!r}/{right_on!r}")
+    if _type_family(lt) != _type_family(rt):
+        raise TypeError(
+            f"bloom_semi_join: key columns {on!r} ({lt}) and "
+            f"{right_on!r} ({rt}) are different type families")
     right = right.materialize()     # consumed 3x below: count, bloom, route
     n_keys = right.count()
     proto = BloomFilter.sized_for(n_keys, bits_per_key)
 
-    def partial_bloom(b: pd.DataFrame) -> pd.DataFrame:
+    def partial_bloom(b: pa.Table) -> pa.Table:
         bf = BloomFilter(proto.m, proto.k)
-        bf.add(b[right_on].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"bits": [bf.bits.tobytes()]})
+        if b.num_rows and right_on in b.column_names:
+            k, valid = _bloom_key_i64(b[right_on])
+            bf.add(k[valid])
+        return pa.table({"bits": pa.array([bf.bits.tobytes()],
+                                          pa.binary())})
 
     # tree OR-merge: tasks fold up to 16 partial bit arrays each, so
     # driver ingress is ~batches/16 x filter size, not batches x size
     # (each partial is full filter width -- linear fan-in would swamp
     # the driver exactly when the filter is large enough to matter)
     part_refs = right.map_batches(partial_bloom,
-                                  batch_format="pandas").to_arrow_refs()
+                                  batch_format="pyarrow").to_arrow_refs()
     merged = BloomFilter(proto.m, proto.k)
     chunks = [part_refs[i:i + 16] for i in range(0, len(part_refs), 16)]
     for blob in ray.get([_or_bloom_parts.remote(*c) for c in chunks]):
         if blob is not None:
             merged.bits |= np.frombuffer(blob, dtype=np.uint64)
     bloom_ref = ray.put(merged)
-    ldtypes = dict(zip(left.schema().names,
-                       pa.schema(zip(left.schema().names,
-                                     left.schema().types))
-                       .empty_table().to_pandas().dtypes))
 
     nparts = num_partitions
 
-    def prefilter(b: pd.DataFrame) -> pd.DataFrame:
+    def prefilter(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.replace_schema_metadata(None)
         bf = fetch_broadcast(bloom_ref)
-        keep = bf.might_contain(b[on].to_numpy(dtype=np.int64))
-        out = b[keep].copy()
-        out["_part"] = (out[on].to_numpy().astype(np.uint64)
-                        % np.uint64(nparts)).astype(np.int32)
-        out["_side"] = np.int8(0)
-        return out
+        k, valid = _bloom_key_i64(b[on])
+        keep = valid & bf.might_contain(k)   # null key: never a member
+        out = b.filter(pa.array(keep)).replace_schema_metadata(None)
+        part = (k[keep].astype(np.uint64) % np.uint64(nparts)) \
+            .astype(np.int32)
+        return out.append_column("_part", pa.array(part)) \
+                  .append_column("_side", pa.array(
+                      np.zeros(out.num_rows, np.int8)))
 
-    def right_route(b: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({on: b[right_on].to_numpy(dtype=np.int64)})
-        out["_part"] = (out[on].to_numpy().astype(np.uint64)
-                        % np.uint64(nparts)).astype(np.int32)
-        out["_side"] = np.int8(1)
-        return out
+    def right_route(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or right_on not in b.column_names:
+            return pa.table({on: pa.array([], lt),
+                             "_part": pa.array([], pa.int32()),
+                             "_side": pa.array([], pa.int8())})
+        k, valid = _bloom_key_i64(b[right_on])
+        # ship the REAL key (cast to the left column's width) so the
+        # per-partition membership test compares true values, not
+        # hashes; null right keys can never match and drop here
+        keys = pc.cast(b[right_on], lt).filter(pa.array(valid)) \
+            .combine_chunks()
+        part = (k[valid].astype(np.uint64) % np.uint64(nparts)) \
+            .astype(np.int32)
+        return pa.table({on: keys, "_part": pa.array(part),
+                         "_side": pa.array(
+                             np.ones(len(keys), np.int8))})
 
-    lf = left.map_batches(prefilter, batch_format="pandas")
-    rk = right.map_batches(right_route, batch_format="pandas")
+    lf = left.map_batches(prefilter, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    rk = right.map_batches(right_route, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
-    def exact_part(g: pd.DataFrame) -> pd.DataFrame:
-        keys = g.loc[g["_side"] == 1, on].unique()
-        member = g[on].isin(keys)
-        out = g[(g["_side"] == 0) & (~member if anti else member)]
-        out = out.drop(columns=["_part", "_side"])
-        # the union null-filled left payload columns for right-side
-        # rows, upcasting e.g. int64 -> float64 for EVERY row (>2^53
-        # values silently lose precision); restore the left schema now
-        # that only left rows remain
-        cast = {c: dt for c, dt in ldtypes.items()
-                if c in out.columns and out[c].dtype != dt}
-        return out.astype(cast) if cast else out
+    def exact_part(g: pa.Table) -> pa.Table:
+        # Arrow concat null-fills the right-route rows' missing left
+        # columns WITHOUT touching left rows' types (unlike the pandas
+        # union it replaces, which upcast int64 payloads to float64 —
+        # crashing on nulls and corrupting values > 2^53)
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        keys = pc.unique(g.filter(pa.array(side == 1))[on]
+                         .combine_chunks())
+        lg = g.filter(pa.array(side == 0))
+        member = pc.fill_null(pc.is_in(lg[on], value_set=keys), False)
+        mask = pc.invert(member) if anti else member
+        return lg.filter(mask).drop_columns(["_part", "_side"])
 
-    # union of two differently-shaped frames: pandas aligns by column
-    # name and null-fills; exact_part restores the left dtypes after
-    # dropping the right-side rows
     from .exchange import exchange_map_groups
-    checked = exchange_map_groups(lf.union(rk), "_part", nparts, exact_part,
+    checked = exchange_map_groups(lf.union(rk), "_part", nparts,
+                                  exact_part, batch_format="pyarrow",
                                   keep_part_col=True)
     if not anti:
         return checked
     # anti: Bloom-negatives are definite keeps -- second streamed pass,
-    # no exchange hop for the (typically dominant) non-member mass
-    def passthrough(b: pd.DataFrame) -> pd.DataFrame:
+    # no exchange hop for the (typically dominant) non-member mass.
+    # Null keys match nothing, so anti KEEPS them (SQL IN semantics,
+    # same as broadcast_semi_join).
+    def passthrough(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.replace_schema_metadata(None)
         bf = fetch_broadcast(bloom_ref)
-        return b[~bf.might_contain(b[on].to_numpy(dtype=np.int64))]
+        k, valid = _bloom_key_i64(b[on])
+        keep = ~valid | ~bf.might_contain(k)
+        return b.filter(pa.array(keep)).replace_schema_metadata(None)
 
-    neg = left.map_batches(passthrough, batch_format="pandas")
+    neg = left.map_batches(passthrough, batch_format="pyarrow",
+                           zero_copy_batch=True)
     return neg.union(checked)
+
+
+def _bloom_key_i64(col: "pa.ChunkedArray | pa.Array"
+                   ) -> "tuple[np.ndarray, np.ndarray]":
+    """(int64 key codes, validity mask) for Bloom probing and partition
+    routing. Integer keys use their value (any width, null-filled with
+    0 under the mask); string keys use the frozen sampled hash
+    (`hash_strings_arrow` — interior-byte collisions are harmless
+    because every consumer re-checks real keys). Other families raise:
+    the Bloom path has no defined key code for them."""
+    import pyarrow.compute as pc
+
+    from .partition import hash_strings_arrow
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    if pa.types.is_integer(arr.type):
+        k = pc.fill_null(pc.cast(arr, pa.int64()), 0) \
+            .to_numpy(zero_copy_only=False)
+    elif pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        k = hash_strings_arrow(arr).view(np.int64)
+    else:
+        raise TypeError(
+            f"bloom_semi_join: unsupported key type {arr.type}; "
+            f"integer and string keys only (use broadcast_semi_join "
+            f"for small key sets of other types)")
+    return np.ascontiguousarray(k, dtype=np.int64), valid
 
 
 @ray.remote

@@ -72,7 +72,11 @@ def explode_json_array(batch: pa.Table, column: str, target: pa.Schema,
     slices: list[tuple[int, int, str]] = []   # per-payload [lo, hi) + raw
     bad: list[tuple[str, str]] = []
     for payload in batch[column].to_pylist():
-        if not payload:
+        if payload is None:
+            # SQL NULL: no payload, nothing to parse. An EMPTY STRING
+            # is different — a truncated upload is malformed JSON and
+            # must hit json.loads so the quarantine contract captures
+            # it instead of the row silently vanishing.
             continue
         try:
             parsed = json.loads(payload)

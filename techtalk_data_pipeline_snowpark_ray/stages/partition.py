@@ -31,14 +31,6 @@ SHARD_COL = "shard"
 KEY_HASH_COL = "_kh"
 
 
-def hash_conv(conv_id: np.ndarray) -> np.ndarray:
-    """Deterministic uint64 hash of a string array. STABILITY NOTE:
-    bucket assignments are persisted in run files, so this hash must
-    never change across engine versions (pandas' hash_array algorithm
-    is a stable, documented sip-like hash with a fixed default key)."""
-    return pd.util.hash_array(np.asarray(conv_id, dtype=object), categorize=True)
-
-
 _FNV = np.uint64(0x100000001B3)
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)

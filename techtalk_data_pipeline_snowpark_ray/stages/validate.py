@@ -109,8 +109,13 @@ class ChangeValidator:
         h.update(bad[schemas.LSN_COL].to_numpy(zero_copy_only=False)
                  .tobytes())
         # lsn bytes alone collide (every null lsn is the same NaN);
-        # fold in key content so distinct bad batches never share a name
-        for col in (schemas.KEY_COLS[0], schemas.OP_COL, "_rule"):
+        # fold in EVERY column's content so distinct bad batches never
+        # share a name (a partial column set — say key+op+rule — still
+        # collided on batches differing only in turn_idx or payload,
+        # and os.replace would silently discard one batch's dead
+        # letters). Bad rows are rare, so the Python stringify is cheap.
+        for col in bad.column_names:
+            h.update(col.encode())
             h.update("\x00".join(
                 "" if v is None else str(v)
                 for v in bad[col].to_pylist()).encode())

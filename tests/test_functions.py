@@ -425,6 +425,71 @@ def test_auto_semi_join_nullable_int_right_key():
     assert sorted(anti["v"].tolist()) == [20, 40]
 
 
+def test_bloom_semi_join_string_keys():
+    """The Bloom path must support string keys (auto_semi_join routes
+    ANY key set past the threshold to it — behavior used to flip from
+    correct to crashed purely on data volume). String keys probe via
+    the frozen sampled hash; the exact pass compares real values."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        bloom_semi_join)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", "b", "c", None, "d"], pa.string()),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"rk": pa.array(["a", "c", None], pa.string())}))
+    semi = bloom_semi_join(left, right, on="k", right_on="rk").to_pandas()
+    assert sorted(semi["v"].tolist()) == [1, 3]
+    anti = bloom_semi_join(left, right, on="k", right_on="rk",
+                           anti=True).to_pandas()
+    # null left key matches nothing -> kept by anti (SQL IN semantics)
+    assert sorted(anti["v"].tolist()) == [2, 4, 5]
+
+
+def test_bloom_semi_join_preserves_int64_payload_exactly():
+    """Left payload columns must survive the exchange bit-exact: a
+    nullable int64 payload (pandas float64 round-trips used to raise
+    IntCastingNaNError) and values > 2^53 (float64 silently rounds
+    them) both pass through the Arrow-native path unchanged."""
+    import ray.data
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        bloom_semi_join)
+    big = (1 << 60) + 1
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "pay": pa.array([big, None, 7, big - 2], pa.int64())}))
+    right = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2, 4], pa.int64())}))
+    out = bloom_semi_join(left, right, on="k").to_arrow_refs()
+    import ray as _ray
+    tbl = pa.concat_tables([t for t in _ray.get(out) if t.num_rows],
+                           promote_options="default")
+    got = dict(zip(tbl["k"].to_pylist(), tbl["pay"].to_pylist()))
+    assert got == {1: big, 2: None, 4: big - 2}
+    assert tbl.schema.field("pay").type == pa.int64()
+
+
+def test_bloom_semi_join_rejects_bad_key_types():
+    import pytest
+    import ray.data
+    import ray.exceptions
+    from techtalk_data_pipeline_snowpark_ray.stages.joins import (
+        bloom_semi_join)
+    ints = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "v": [1, 2]}))
+    strs = ray.data.from_arrow(pa.table(
+        {"k": pa.array(["a", "b"], pa.string())}))
+    with pytest.raises(TypeError, match="type famil"):
+        bloom_semi_join(ints, strs, on="k")
+    floats = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1.5, 2.5], pa.float64()), "v": [1, 2]}))
+    fright = ray.data.from_arrow(pa.table(
+        {"k": pa.array([1.5], pa.float64())}))
+    with pytest.raises((TypeError, ray.exceptions.RayTaskError),
+                       match="unsupported key type"):
+        bloom_semi_join(floats, fright, on="k").to_pandas()
+
+
 def test_exchange_all_empty_input_unions_cleanly():
     """An exchange whose every partition is input-empty returns a
     schema-less empty dataset — NOT one carrying the exchange INPUT
@@ -1294,6 +1359,103 @@ def test_exact_dedup_incremental_planted(tmp_path):
     assert by.loc[7, "is_dup"] == 0            # 'delta' novel
     assert by.loc[3, "is_dup"] == 0            # 'gamma' novel
     assert by.loc[5, "is_dup"] == 0 and pd.isna(by.loc[5, "dup_of"])  # null
+
+
+def test_pack_documents_null_text_counts_zero(tmp_path):
+    """A NULL text doc packs as 0 tokens — it must not poison the
+    partition's prefix-sum with NaN and crash the bin cast."""
+    from techtalk_data_pipeline_snowpark_ray.functions import packing
+    sf = make_doc_dir(tmp_path, ["one two three", None, "four five"])
+    got = packing.pack_documents(sf, budget=4).to_pandas() \
+        .set_index("doc_id")
+    assert int(got.loc[1, "n_tokens"]) == 0
+    assert got["bin"].notna().all()
+    assert int(got.loc[0, "n_tokens"]) == 3
+    assert int(got.loc[2, "n_tokens"]) == 2
+
+
+def test_stack_respects_slices_and_rejects_nulls_ragged():
+    """_stack must honor the batch's slice offset (Ray blocks are often
+    slices — `.values` reads the WHOLE buffer and misaligns every
+    vector) and fail loudly on null or ragged embedding rows instead of
+    silently producing garbage cosines."""
+    from techtalk_data_pipeline_snowpark_ray.functions.similarity import _stack
+    full = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[0., 1.], [2., 3.], [4., 5.], [6., 7.]],
+                              pa.list_(pa.float64()))})
+    ids, X = _stack(full.slice(1, 2))
+    assert ids.tolist() == [1, 2]
+    assert X.tolist() == [[2., 3.], [4., 5.]]
+
+    nulls = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0., 1.], None], pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="null embedding"):
+        _stack(nulls)
+
+    ragged = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array([[0., 1., 2.], [3.]],
+                              pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="ragged"):
+        _stack(ragged)
+
+    empty = full.slice(0, 0)
+    ids0, X0 = _stack(empty)
+    assert len(ids0) == 0 and X0.shape[0] == 0
+
+
+def test_simhash_vocab_cap_bounds_memory(monkeypatch):
+    """The md5 token-vocab memo must stay bounded in a long-lived
+    worker (it is a pure cache — resetting it never changes hashes)."""
+    from techtalk_data_pipeline_snowpark_ray.functions.dedup import SimHasher
+    monkeypatch.setattr(SimHasher, "VOCAB_CAP", 8)
+    h = SimHasher("md5")
+    b1 = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["a b c d e", "f g h i j"]})
+    out1 = h(b1)
+    assert len(h._vocab) <= 8
+    # a fresh hasher (empty memo) produces identical simhashes
+    assert out1.equals(SimHasher("md5")(b1))
+
+
+def test_quarantine_names_distinct_for_distinct_batches(tmp_path):
+    """Two bad batches differing ONLY in turn_idx must write two dead-
+    letter files — a name hash over a partial column set let one
+    os.replace the other, silently discarding dead letters."""
+    import glob
+    from techtalk_data_pipeline_snowpark_ray.stages.validate import (
+        ChangeValidator)
+    qdir = str(tmp_path / "q")
+    v = ChangeValidator("quarantine", qdir, txn_id="t1")
+
+    def bad_batch(turn):
+        return pa.table({
+            "conv_id": pa.array([""], pa.string()),     # empty key: bad
+            "turn_idx": pa.array([turn], pa.int64()),
+            "op": pa.array(["insert"], pa.string()),
+            "lsn": pa.array([5], pa.int64())})
+
+    v(bad_batch(1))
+    v(bad_batch(2))
+    files = glob.glob(os.path.join(qdir, "dead-*.parquet"))
+    assert len(files) == 2
+    # re-running the SAME batch stays exactly-once (same name rewrites)
+    v(bad_batch(2))
+    assert len(glob.glob(os.path.join(qdir, "dead-*.parquet"))) == 2
+
+
+def test_mixture_weights_uses_exact_int_arithmetic(tmp_path):
+    """Weights are exact integer floor-divides (Python ints — numpy
+    int64 would wrap silently past ~9.2e12 tokens per group)."""
+    from techtalk_data_pipeline_snowpark_ray.functions import sampling
+    sf = make_doc_dir(tmp_path, ["a b c", "d e", "f"])
+    got = sampling.mixture_weights(sf)
+    assert int(got["share_ppm"].sum()) <= 1_000_000
+    tot = int(got["n_tokens"].sum())
+    for _, r in got.iterrows():
+        assert int(r["share_ppm"]) == (int(r["n_tokens"]) * 1_000_000) // tot
 
 
 def test_audiocodec_roundtrip_and_loud_fail():

@@ -145,6 +145,30 @@ def test_explode_json_array_types_nulls_and_extras():
     assert out["ts"][0].as_py().microsecond == 1
 
 
+def test_explode_json_empty_string_is_malformed(tmp_path):
+    """'' is malformed JSON (truncated upload), NOT a skippable NULL:
+    strict mode raises and quarantine mode dead-letters it — it must
+    never silently vanish."""
+    import json as _json
+    from techtalk_data_pipeline_snowpark_ray.stages.jsonops import (
+        explode_json_array)
+    target = pa.schema([pa.field("a", pa.int64())])
+    batch = pa.table({"payload": pa.array(
+        ["", _json.dumps([{"a": 1}]), None], pa.string())})
+    with pytest.raises(Exception):
+        explode_json_array(batch, "payload", target)
+    qdir = str(tmp_path / "q")
+    out = explode_json_array(batch, "payload", target,
+                             quarantine_dir=qdir)
+    assert out["a"].to_pylist() == [1]           # good row still lands
+    import glob
+    import json as _j
+    dead_files = glob.glob(qdir + "/dead-*.json")
+    assert len(dead_files) == 1
+    recs = [_j.loads(ln) for ln in open(dead_files[0])]
+    assert [r["payload"] for r in recs] == [""]
+
+
 def test_staged_json_roundtrip_matches_source(tmp_path, ray_session):
     import os
     import pandas as pd
