@@ -106,10 +106,14 @@ def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(keys, sort=False, as_index=False)
+        # dropna=False: SQL GROUP BY keeps a NULL group; pandas'
+        # default silently drops those rows from every aggregate
+        g = b.groupby(keys, sort=False, as_index=False, dropna=False)
         cols = {}
         for out, (src, fn) in agg_spec.items():
             if fn == "count":
+                # COUNT(*) semantics — every oracle counts rows, so
+                # null measures are included by design
                 s = g.size().rename(columns={"size": out})
             else:
                 s = getattr(g[src], fn)().rename(columns={src: out})
@@ -122,7 +126,7 @@ def small_groupby(ds: ray.data.Dataset, keys, agg_spec: dict,
                 for out, (_src, fn) in agg_spec.items()}
 
     def merge_frame(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, sort=False, as_index=False)
+        g = df.groupby(keys, sort=False, as_index=False, dropna=False)
         return g.agg(**{out: (out, fn) for out, fn in merge_fn.items()})
 
     parts_ds = ds.map_batches(partial, batch_format="pandas",
@@ -265,11 +269,13 @@ def urgent_orders_by_nation(sf_dir: str) -> pd.DataFrame:
 
 def _col_max(ds: ray.data.Dataset, col: str):
     """Global max via per-batch partials (one row per batch to the
-    driver) -- avoids spinning a full shuffle-aggregate for a scalar."""
+    driver) -- avoids spinning a full shuffle-aggregate for a scalar.
+    None for an empty dataset or an all-null column (SQL MAX)."""
     parts = ds.map_batches(
         lambda t: pa.table({col: [pc.max(t[col]).as_py()]}),
         batch_format="pyarrow").take_all()
-    return max(r[col] for r in parts if r[col] is not None)
+    vals = [r[col] for r in parts if r[col] is not None]
+    return max(vals) if vals else None
 
 
 def _parquet_col_max(path: str, col: str):
@@ -294,6 +300,12 @@ def top_segments_last7d(sf_dir: str) -> pd.DataFrame:
     hi = _parquet_col_max(os.path.join(sf_dir, "events.parquet"), "ts")
     if hi is None:
         hi = _col_max(ev, "ts")
+    if hi is None:     # empty / all-null ts: no window, typed empty
+        return pd.DataFrame({
+            "c_mktsegment": pd.Series(dtype="object"),
+            "n_events": pd.Series(dtype="int64"),
+            "sum_value_c": pd.Series(dtype="int64"),
+            "avg_value": pd.Series(dtype="float64")})
     lo = hi - pd.Timedelta(days=7)
 
     def in_window(t: pa.Table) -> pa.Table:
@@ -1070,6 +1082,14 @@ def user_moving_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
                           ignore_index=True)
         val = g["value_c"].to_numpy()
         uid = g["user_id"].to_numpy()
+        # SQL window SUM ignores NULLs; a raw cumsum would instead
+        # NaN-poison every later row in the partition (other users
+        # included). Zero-fill nulls for the sum and track the valid
+        # count so an all-null window still yields NULL, not 0.
+        nullable = val.dtype.kind == "f" and bool(np.isnan(val).any())
+        if nullable:
+            valid = ~np.isnan(val)
+            val = np.where(valid, val, 0.0)
         cum = np.cumsum(val)
         # index of each row's user-segment start
         starts = np.zeros(len(g), dtype=np.int64)
@@ -1078,11 +1098,20 @@ def user_moving_sum(sf_dir: str, window: int = 3) -> ray.data.Dataset:
         starts = np.maximum.accumulate(starts)
         pos = np.arange(len(g)) - starts
         idx = np.arange(len(g)) - window
-        base = np.where(pos >= window,
-                        cum[np.maximum(idx, 0)],
-                        np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0))
-        base[(pos < window) & (starts == 0)] = 0
-        g["moving_c"] = cum - base
+
+        def trailing(c: np.ndarray) -> np.ndarray:
+            base = np.where(pos >= window,
+                            c[np.maximum(idx, 0)],
+                            np.where(starts > 0,
+                                     c[np.maximum(starts - 1, 0)], 0))
+            base[(pos < window) & (starts == 0)] = 0
+            return c - base
+
+        moving = trailing(cum)
+        if nullable:
+            n_valid = trailing(np.cumsum(valid.astype(np.int64)))
+            moving = np.where(n_valid > 0, moving, np.nan)
+        g["moving_c"] = moving
         return g[["user_id", "event_id", "moving_c"]]
 
     ev = _read(sf_dir, "events", ["user_id", "event_id", "value", "ts"])

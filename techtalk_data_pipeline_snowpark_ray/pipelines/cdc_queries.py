@@ -164,6 +164,20 @@ def _write_events_wal(sf_dir: str, cfg: EngineConfig,
     w.close()
 
 
+def _events_max_id(sf_dir: str) -> int:
+    """max(event_id) from parquet footer statistics — zero data bytes
+    read (the same helper the version-window harnesses use); falls back
+    to a column scan only when a row group lacks stats."""
+    from .analytics import _parquet_col_max
+
+    path = os.path.join(sf_dir, "events.parquet")
+    mx = _parquet_col_max(path, "event_id")
+    if mx is None:
+        mx = pc.max(pq.read_table(path,
+                                  columns=["event_id"])["event_id"]).as_py()
+    return int(mx)
+
+
 def _snapshot_sorted(cfg: EngineConfig) -> ray.data.Dataset:
     snap = ingest.read_snapshot(cfg)
     return snap.sort(list(schemas.KEY_COLS))
@@ -176,7 +190,14 @@ def cdc_apply_full(sf_dir: str, cleanup: bool = False) -> ray.data.Dataset:
     try:
         _write_events_wal(sf_dir, cfg)
         ingest.run_loop(cfg, stop_when_idle=True)
-        return _snapshot_sorted(cfg)
+        snap = _snapshot_sorted(cfg)
+        if cleanup:
+            # pin the result into the object store BEFORE the rmtree:
+            # the sort is lazy and the snapshot's split tasks open run
+            # files asynchronously — deleting the dirs under a still-
+            # lazy Dataset races the remote reads
+            snap = snap.materialize()
+        return snap
     finally:
         if cleanup:
             shutil.rmtree(os.path.dirname(cfg.table_dir), ignore_errors=True)
@@ -196,9 +217,14 @@ def cdc_export_roundtrip(sf_dir: str) -> ray.data.Dataset:
     out_dir = os.path.join(os.path.dirname(cfg.table_dir), "export")
     write_partitioned(ingest.read_snapshot(cfg), out_dir,
                       key="conv_id", num_buckets=16)
-    assert not write_partitioned(   # resumability: second run = no-op
+    rerun = write_partitioned(      # resumability: second run = no-op
         ingest.read_snapshot(cfg), out_dir, key="conv_id",
         num_buckets=16)
+    if rerun:                       # explicit: survives python -O
+        raise AssertionError(
+            f"export re-run rewrote {len(rerun)} finished bucket(s) "
+            f"({sorted(rerun)[:5]}); write_partitioned resumability "
+            f"is broken")
     return read_partitioned(out_dir).sort(list(schemas.KEY_COLS))
 
 
@@ -221,9 +247,7 @@ def cdc_schema_evolution(sf_dir: str) -> ray.data.Dataset:
     """Column-add evolution through the engine: v1 segments (no `model`)
     below the threshold lsn, v2 segments above; normalize null-fills old
     rows; the final snapshot carries the evolved schema."""
-    con_max = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                            columns=["event_id"])
-    thr = int(pc.max(con_max["event_id"]).as_py()) // 2
+    thr = _events_max_id(sf_dir) // 2
     # pins the SHUFFLE apply path (key-partitioned layout per tick) so
     # the driver value-gates both apply modes; everything else runs the
     # production direct path
@@ -275,9 +299,7 @@ def cdc_conditional_crud(sf_dir: str) -> ray.data.Dataset:
     producer-side rewrite cannot express."""
     from ..stages.controls import ControlOp
 
-    con_max = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                            columns=["event_id"])
-    mx = int(pc.max(con_max["event_id"]).as_py())
+    mx = _events_max_id(sf_dir)
     c1, c2 = mx // 3, 2 * mx // 3
     ops = [
         ControlOp(lsn=c1, kind="update",

@@ -48,18 +48,27 @@ class StagedFile:
         return os.path.basename(self.path)
 
 
-def stage_put(lines: list[str], stage_dir: str, key: str) -> str:
+def stage_put(lines: list[str], stage_dir: str, key: str,
+              publish: bool = True) -> str:
     """Atomically publish one NDJSON file into the stage (PUT+REFRESH
     parity: tmp write + rename; the discovery key is part of the name).
     The name suffix is a CONTENT digest, not a random id: a retried
     producer task (Ray re-executes side-effecting tasks after worker
     loss) republishes the identical file under the identical name --
-    os.replace makes that a no-op instead of a duplicate delivery."""
+    os.replace makes that a no-op instead of a duplicate delivery.
+
+    ``publish=False`` lands the file at a HIDDEN ``.pending-`` name
+    (invisible to list_staged_files) for two-phase producers: parallel
+    tasks write pending files in any order, then one coordinator
+    renames them to visible names in nondecreasing key order — the
+    marker contract made true for concurrent tailers."""
     import hashlib
     os.makedirs(stage_dir, exist_ok=True)
     digest = hashlib.blake2b("\n".join(lines).encode(),
                              digest_size=4).hexdigest()
-    final = os.path.join(stage_dir, f"staged-{key}-{digest}.json")
+    base = f"staged-{key}-{digest}.json"
+    final = os.path.join(
+        stage_dir, base if publish else f".pending-{base}")
     tmp = os.path.join(stage_dir, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -96,8 +105,13 @@ def list_staged_files(stage_dir: str, after: str = "") -> list[StagedFile]:
 def stage_events_as_json(sf_dir: str, stage_dir: str) -> int:
     """Deterministic distributed producer: serialize the events table
     into staged JSON files (PAYLOAD_RECORDS-record JSON-array payloads,
-    one NDJSON line each). Each map task stages its own batch -- the
-    write fans out with the read, nothing is collected to the driver.
+    one NDJSON line each). Each map task writes its own batch as a
+    HIDDEN pending file -- the write fans out with the read, nothing is
+    collected to the driver -- then the driver renames the pending set
+    to visible names in key order (two-phase publish: parallel tasks
+    land files in arbitrary TIME order, and the marker contract in
+    `list_staged_files` requires nondecreasing KEY order for any
+    concurrent tailer; the renames are O(files) metadata ops).
     Returns the number of staged files."""
 
     def stage_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -119,7 +133,7 @@ def stage_events_as_json(sf_dir: str, stage_dir: str) -> int:
             lines.append(json.dumps({"n": len(recs),
                                      "payload": json.dumps(recs)}))
         key = f"{int(batch['event_id'].iloc[0]):012d}"
-        path = stage_put(lines, stage_dir, key)
+        path = stage_put(lines, stage_dir, key, publish=False)
         return pd.DataFrame([{"file": os.path.basename(path),
                               "n": len(batch)}])
 
@@ -128,7 +142,15 @@ def stage_events_as_json(sf_dir: str, stage_dir: str) -> int:
                     ["event_id", "user_id", "event_type", "value", "ts"])
     metrics = ev.map_batches(stage_batch, batch_format="pandas",
                              batch_size=8192).to_pandas()
-    return len(metrics)
+    if "file" not in metrics.columns:            # zero-block source
+        return 0
+    pending = sorted(metrics["file"].dropna())   # name sort == key sort
+    for name in pending:
+        src = os.path.join(stage_dir, name)
+        if os.path.exists(src):                  # retried task: no-op
+            os.replace(src, os.path.join(
+                stage_dir, name[len(".pending-"):]))
+    return len(pending)
 
 
 #: the declared schema the raw JSON is projected onto (jsonToFields);

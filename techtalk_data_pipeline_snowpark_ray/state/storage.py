@@ -67,6 +67,19 @@ class LocalStorage:
     def makedirs(self, dir_path: str) -> None:
         os.makedirs(dir_path, exist_ok=True)
 
+    @staticmethod
+    def _fsync_dir(path: str) -> None:
+        """Persist the DIRECTORY ENTRY of a just-renamed/linked file.
+        Without it, power loss can durably keep a later write (LATEST)
+        while losing an earlier one (v{n}.json) — the kernel orders
+        data fsyncs, not directory updates — leaving LATEST pointing
+        forever at a manifest that does not exist."""
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
     def write_atomic(self, path: str, data: str) -> None:
         tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -74,6 +87,7 @@ class LocalStorage:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        self._fsync_dir(path)
 
     def create_exclusive(self, path: str, data: str) -> None:
         """Atomically create `path` with `data`; FileExistsError if it
@@ -87,6 +101,7 @@ class LocalStorage:
             os.link(tmp, path)      # atomic, fails if path exists
         finally:
             os.unlink(tmp)
+        self._fsync_dir(path)
 
     def replace_into(self, src_path: str, dst_path: str) -> None:
         os.replace(src_path, dst_path)

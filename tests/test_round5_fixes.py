@@ -351,6 +351,105 @@ def test_filter_current_raises_on_uncovered_bucket():
         matview._filter_current(tbl, {0: 1}, keep_markers=True)
 
 
+def _write_events(tmp_path, rows):
+    """events.parquet from [(event_id, user_id, event_type, value, ts)]."""
+    d = tmp_path / "sfa"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01") + pd.Timedelta(hours=r[4])
+                        for r in rows], pa.timestamp("us")),
+    }), d / "events.parquet")
+    return str(d)
+
+
+def test_user_moving_sum_null_value_contained(tmp_path):
+    """One NULL value must not NaN-poison later rows' moving sums (a
+    raw partition-wide cumsum propagated it across users); SQL window
+    SUM skips NULLs, and an all-null window stays NULL."""
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
+    rows = [(0, 1, "a", 1.0, 0), (1, 1, "a", None, 1), (2, 1, "a", 2.0, 2),
+            (3, 2, "a", 5.0, 0), (4, 2, "a", 6.0, 1)]
+    sf = _write_events(tmp_path, rows)
+    got = analytics.user_moving_sum(sf, window=2).to_pandas() \
+        .set_index("event_id")["moving_c"]
+    assert got.loc[0] == 100            # cents
+    assert got.loc[1] == 100            # window {1.0, NULL} -> 1.0
+    assert got.loc[2] == 200            # window {NULL, 2.0} -> 2.0
+    assert got.loc[3] == 500 and got.loc[4] == 1100   # other user intact
+
+
+def test_small_groupby_keeps_null_group(ray_session):
+    """SQL GROUP BY keeps a NULL group; pandas' dropna default was
+    silently deleting those rows from every aggregate."""
+    import ray
+    from techtalk_data_pipeline_snowpark_ray.pipelines.analytics import (
+        small_groupby)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(["a", None, "a", None], pa.string()),
+        "v": pa.array([1, 2, 3, 4], pa.int64())}))
+    out = small_groupby(ds, "k", {"n": ("v", "count"),
+                                  "s": ("v", "sum")})
+    by = {(None if pd.isna(k) else k): (n, s)
+          for k, n, s in zip(out["k"], out["n"], out["s"])}
+    assert by["a"] == (2, 4)
+    assert by[None] == (2, 6)
+
+
+def test_top_segments_empty_events_typed_empty(tmp_path):
+    from techtalk_data_pipeline_snowpark_ray.pipelines import analytics
+    d = tmp_path / "sfb"
+    d.mkdir()
+    pq.write_table(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "ts": pa.array([], pa.timestamp("us"))}), d / "events.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_mktsegment": pa.array(["X"], pa.string())}),
+        d / "customer.parquet")
+    out = analytics.top_segments_last7d(str(d))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_mktsegment", "n_events",
+                                 "sum_value_c", "avg_value"]
+
+
+def test_stage_two_phase_publish_in_key_order(tmp_path):
+    """stage_events_as_json publishes via hidden .pending files renamed
+    in key order — a concurrent tailer can never see key K+1 before K
+    (the list_staged_files marker contract). Pending files are
+    invisible to discovery."""
+    from techtalk_data_pipeline_snowpark_ray.sources import staged_json as sj
+    d = str(tmp_path / "stage")
+    # a pending-only PUT is invisible
+    p = sj.stage_put(["{}"], d, "000000000001", publish=False)
+    assert os.path.basename(p).startswith(".pending-")
+    assert sj.list_staged_files(d) == []
+    n = sj.stage_events_as_json("/root/testdata/sf0.001", d)
+    assert n >= 1
+    files = sj.list_staged_files(d)
+    assert len(files) >= n                  # all visible post-publish
+    assert [f.key for f in files] == sorted(f.key for f in files)
+    # no pending file from the producer run remains (the synthetic
+    # pending PUT above keeps its hidden name, by design)
+    leftover = [f for f in os.listdir(d)
+                if f.startswith(".pending-") and "000000000001" not in f]
+    assert leftover == []
+
+
+def test_cdc_apply_full_cleanup_safe(ray_session):
+    from techtalk_data_pipeline_snowpark_ray.pipelines.cdc_queries import (
+        cdc_apply_full)
+    snap = cdc_apply_full("/root/testdata/sf0.001", cleanup=True)
+    rows = snap.take_all()        # must not race the deleted run files
+    assert len(rows) > 0
+
+
 # -- empty bootstrap ------------------------------------------------------------
 
 def test_bootstrap_import_empty_source_then_cdc(tmp_path):
