@@ -157,6 +157,10 @@ def sketch_column(ds: ray.data.Dataset, col: str,
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     out = QuantileDigest(np.array([]), np.array([]), compression)
+    if "mean" not in parts.columns:
+        # all-empty input blocks pass through the map without invoking
+        # partial(), yielding a columnless frame -> empty digest
+        return out
     # merge in one shot: a concat of partials is itself a valid digest
     # input (merge() re-sorts and re-compresses)
     return out.merge(QuantileDigest(parts["mean"].to_numpy(),

@@ -257,6 +257,9 @@ def vocab_top_terms(sf_dir: str, k: int = 50,
     routed = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
     cand = exchange_map_groups(routed, "part", num_partitions,
                                topk_part).to_pandas()
+    if "tok" not in cand.columns:     # no tokens at all (empty/null corpus)
+        return pd.DataFrame({"tok": pd.Series(dtype="object"),
+                             "df": pd.Series(dtype="int64")})
     return cand.sort_values(["df", "tok"], ascending=[False, True],
                             kind="stable", ignore_index=True).head(k)
 
@@ -470,12 +473,11 @@ def bigram_counts(sf_dir: str, k: int = 50,
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = pd.DataFrame({"i": batch.index,
-                             "tok": batch["text"].fillna("").str.split()}) \
-                 .explode("tok", ignore_index=True).dropna()
-        nxt = toks["tok"].shift(-1)
-        same_doc = toks["i"].eq(toks["i"].shift(-1))
-        grams = (toks["tok"] + " " + nxt)[same_doc]
+        # canonical strict-bigram kernel (dedup._strict_ngrams) — one
+        # shift-compare implementation shared with lm_novelty, not a
+        # third hand-rolled copy
+        from .dedup import _strict_ngrams
+        grams = _strict_ngrams(batch, 2)["gram"]
         out = grams.to_frame("bigram").groupby(
             "bigram", sort=False, as_index=False).size() \
             .rename(columns={"size": "n"})
@@ -492,6 +494,9 @@ def bigram_counts(sf_dir: str, k: int = 50,
     routed = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
     cand = exchange_map_groups(routed, "part", num_partitions,
                                topk_part).to_pandas()
+    if "bigram" not in cand.columns:  # no bigrams (empty/null corpus)
+        return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     cand["n"] = cand["n"].astype("int64")
     return cand.sort_values(["n", "bigram"], ascending=[False, True],
                             kind="stable", ignore_index=True).head(k)

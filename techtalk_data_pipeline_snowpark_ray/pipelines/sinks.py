@@ -115,9 +115,23 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
     # raw hash exchange: one split task per input block, per-bucket
     # object returns, one writer task per missing bucket
     blocks = ds.to_arrow_refs()
+    if not blocks:
+        # a ZERO-BLOCK dataset (everything filtered upstream) is still
+        # a successful export: mark every remaining bucket complete
+        # (zero files) so the export reaches completion and resumes
+        # are no-ops, instead of never writing a single _SUCCESS
+        written = ray.get([_write_bucket.remote(out_dir, b)
+                           for b in todo])
+        return dict(zip(todo, written))
 
     @ray.remote
     def split(tbl: pa.Table):
+        if key not in tbl.column_names:
+            # SCHEMALESS empty block (e.g. a filter that matched
+            # nothing): every bucket gets an empty slice, which
+            # _write_bucket's num_rows filter drops
+            empties = tuple(pa.table({}) for _ in todo)
+            return empties if len(todo) > 1 else empties[0]
         # arrow-native split (argsort + searchsorted + zero-copy
         # slices): only the key column materializes for hashing, the
         # payload never round-trips through pandas
@@ -147,14 +161,19 @@ def write_partitioned(ds: ray.data.Dataset, out_dir: str, key: str,
 
 def read_partitioned(out_dir: str) -> ray.data.Dataset:
     """Read back every COMPLETE bucket (incomplete ones are invisible,
-    which is the resume contract)."""
+    which is the resume contract). A finished export whose buckets are
+    all EMPTY (0-row table exported) reads back as an empty dataset;
+    only an export with no finished buckets at all raises."""
+    done = finished_buckets(out_dir)
+    if not done:
+        raise FileNotFoundError(f"no complete buckets under {out_dir}")
     paths = []
-    for b in sorted(finished_buckets(out_dir)):
+    for b in sorted(done):
         d = _bucket_dir(out_dir, b)
         paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
                      if f.endswith(".parquet"))
     if not paths:
-        raise FileNotFoundError(f"no complete buckets under {out_dir}")
+        return ray.data.from_arrow_refs([])
     # partitioning=None: the bucket id is layout, not data -- don't
     # hive-infer it back as a column
     return ray.data.read_parquet(paths, partitioning=None)

@@ -41,16 +41,23 @@ def _cmp(fn):
     """Comparison kernel tolerant of object columns holding None (a
     payload column wiped by a control delete, or never set by partial
     updates): on TypeError the column is coerced to the value's family
-    (numeric or string) and nulls compare False, matching SQL."""
+    (numeric or string) and nulls compare False, matching SQL.
+
+    The explicit notna() AND is what enforces the SQL rule for ``ne``:
+    pandas evaluates ``NULL != v`` to True (so fillna never fires),
+    while SQL's three-valued logic excludes NULL rows from EVERY
+    comparison — without the mask a ``ne`` control would wrongly
+    update/delete all null-valued rows."""
     def kernel(s, v):
+        cmp_s = s
         try:
-            out = fn(s, v)
+            out = fn(cmp_s, v)
         except TypeError:
-            s2 = pd.to_numeric(s, errors="coerce") \
+            cmp_s = pd.to_numeric(s, errors="coerce") \
                 if isinstance(v, (int, float, np.number)) \
                 else s.astype("string")
-            out = fn(s2, v)
-        return pd.Series(out).fillna(False)
+            out = fn(cmp_s, v)
+        return pd.Series(out).fillna(False) & cmp_s.notna()
     return kernel
 
 
@@ -150,11 +157,16 @@ def apply_control(state: pd.DataFrame, op: ControlOp,
     else:
         # every RHS evaluates against the PRE-update row (SQL UPDATE
         # semantics): compute all values first, then assign -- a later
-        # assignment must not see an earlier one's result
-        vals = {col: _ASSIGNMENTS[spec["fn"]](state, spec)
+        # assignment must not see an earlier one's result. RHS kernels
+        # run over the MATCHED rows only (the RHS never reads an
+        # unmatched row), so a narrow predicate over a wide bucket
+        # costs O(matches), not O(rows), per assignment.
+        sub = state.loc[mask]
+        vals = {col: _ASSIGNMENTS[spec["fn"]](sub, spec)
                 for col, spec in op.assignments.items()}
         for col, val in vals.items():
-            state.loc[mask, col] = val[mask] if isinstance(val, pd.Series) else val
+            # Series values carry sub's index, so .loc aligns exactly
+            state.loc[mask, col] = val
     state.loc[mask, schemas.LSN_COL] = np.int64(op.lsn - 1)
     return state
 

@@ -450,6 +450,84 @@ def test_cdc_apply_full_cleanup_safe(ray_session):
     assert len(rows) > 0
 
 
+def test_control_ne_predicate_skips_nulls():
+    """SQL three-valued logic: `col != v` is NULL (no match) for NULL
+    rows; pandas' != instead evaluates True there, so a 'ne' delete
+    used to tombstone every null-valued row."""
+    from techtalk_data_pipeline_snowpark_ray.stages.controls import (
+        ControlOp, apply_control)
+    state = pd.DataFrame({
+        "conv_id": ["a", "b", "c"], "turn_idx": [0, 0, 0],
+        "lsn": np.array([1, 2, 3], np.int64),
+        "op": ["full", "full", "full"],
+        "role": ["user", "user", "user"],
+        "text": ["x", "y", "z"],
+        "tool": ["search", None, "calc"],
+    })
+    op = ControlOp(lsn=10, kind="delete",
+                   predicate={"col": "tool", "fn": "ne", "value": "search"})
+    out = apply_control(state, op, ["role", "text", "tool"])
+    by = out.set_index("conv_id")["op"]
+    assert by["a"] == "full"      # tool == 'search': not matched
+    assert by["b"] == "full"      # tool NULL: SQL says no match
+    assert by["c"] == "delete"    # tool == 'calc': matched
+
+
+def test_text_stats_empty_corpus_typed_empty(tmp_path, ray_session):
+    """All-null corpus: top-terms/bigrams return typed empty frames and
+    the quantile sketch returns an empty digest — not KeyError from the
+    columnless all-empty-exchange frame."""
+    import math
+    import ray
+    from techtalk_data_pipeline_snowpark_ray.functions import (
+        sketches, textstats)
+    sf = make_doc_dir(tmp_path, [None, None])
+    vt = textstats.vocab_top_terms(sf)
+    assert len(vt) == 0 and list(vt.columns) == ["tok", "df"]
+    bc = textstats.bigram_counts(sf)
+    assert len(bc) == 0 and list(bc.columns) == ["bigram", "n"]
+    empty = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    d = sketches.sketch_column(empty, "v")
+    assert math.isnan(d.quantile(0.5))
+
+
+def test_export_empty_dataset_completes(tmp_path, ray_session):
+    """Exporting a zero-block dataset still marks every bucket complete
+    (resume = no-op) and reads back as an empty dataset — not a
+    never-finishing export plus FileNotFoundError on readback."""
+    import ray
+    from techtalk_data_pipeline_snowpark_ray.pipelines import sinks
+    out_dir = str(tmp_path / "exp")
+    empty = ray.data.from_arrow_refs([])
+    first = sinks.write_partitioned(empty, out_dir, key="k", num_buckets=4)
+    assert set(first) == {0, 1, 2, 3}
+    assert sinks.finished_buckets(out_dir) == {0, 1, 2, 3}
+    assert sinks.write_partitioned(empty, out_dir, key="k",
+                                   num_buckets=4) == {}   # resume no-op
+    assert sinks.read_partitioned(out_dir).count() == 0
+    # filter-produced SCHEMALESS empty blocks (blocks exist, key
+    # column doesn't) must also complete
+    out2 = str(tmp_path / "exp2")
+    filtered = ray.data.from_items([{"k": "a", "v": 1}]) \
+        .filter(lambda r: False)
+    w2 = sinks.write_partitioned(filtered, out2, key="k", num_buckets=2)
+    assert set(w2) == {0, 1}
+    assert sinks.read_partitioned(out2).count() == 0
+
+
+def make_doc_dir(tmp_path, texts):
+    d = tmp_path / "sfdocs"
+    d.mkdir(exist_ok=True)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["xx"] * len(texts)),
+        "source": pa.array(["t"] * len(texts)),
+        "n_chars": pa.array([0] * len(texts), pa.int64()),
+    }), d / "documents.parquet")
+    return str(d)
+
+
 # -- empty bootstrap ------------------------------------------------------------
 
 def test_bootstrap_import_empty_source_then_cdc(tmp_path):
