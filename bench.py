@@ -84,19 +84,24 @@ def bench_spec(n_events: int):
 
 
 def ensure_wal(n_events: int) -> str:
-    """Generate-or-reuse the bench WAL (Ray-parallel generation; the
-    cache is complete only if every chunk's segment is present)."""
+    """Generate-or-reuse the bench WAL (Ray-parallel generation). The
+    cache is valid ONLY when the `_complete` marker (written after the
+    whole generation finishes) is present — a per-chunk presence probe
+    cannot detect an interruption between a version-split chunk's 2-3
+    non-atomic segment publishes, which would silently replay a WAL
+    missing events and corrupt the headline metric."""
     from techtalk_data_pipeline_snowpark_ray.sources.generate import (
-        GEN_CHUNK, write_wal_parallel)
-    from techtalk_data_pipeline_snowpark_ray.sources import wal as walmod
+        write_wal_parallel)
     wal_dir = os.path.join(BENCH_ROOT, f"wal-{WAL_CACHE_TAG}-{n_events}")
-    n_chunks = (n_events + GEN_CHUNK - 1) // GEN_CHUNK
-    chunks_present = {s.seq // 4 for s in walmod.list_segments(wal_dir)}
-    if chunks_present != set(range(n_chunks)):
+    marker = os.path.join(wal_dir, "_complete")
+    if not os.path.exists(marker):
         shutil.rmtree(wal_dir, ignore_errors=True)
         os.makedirs(wal_dir, exist_ok=True)
         t0 = time.time()
         write_wal_parallel(bench_spec(n_events), wal_dir)
+        with open(marker + ".tmp", "w") as f:
+            f.write(f"{n_events}\n")
+        os.replace(marker + ".tmp", marker)
         print(f"# generated {n_events} events in {time.time()-t0:.0f}s",
               file=sys.stderr)
     return wal_dir

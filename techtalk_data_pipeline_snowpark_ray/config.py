@@ -194,6 +194,11 @@ class EngineConfig:
                 d[k] = (v,)
             elif isinstance(v, list):
                 d[k] = tuple(v)
+            elif k in d and v is None:
+                # explicit empty YAML value ("derived_views:") means
+                # no views — leaving None would crash run_loop later
+                # with a bare TypeError instead of loading cleanly
+                d[k] = ()
             elif v is not None and not isinstance(v, tuple):
                 raise ValueError(
                     f"{path}: {k} must be a list of view names, "

@@ -70,6 +70,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)        # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        # struct.error is outside the module's ValueError contract
+        raise ValueError(f"WAV fmt chunk truncated ({len(fmt)} bytes)")
     audio_format, n_channels, sample_rate, _br, _ba, bits = \
         struct.unpack_from("<HHIIHH", fmt)
     if audio_format != 1 or bits != 16:

@@ -76,6 +76,12 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bool((pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all()
             and (pal[:, 0] == np.arange(len(pal))).all()):
         return np.ascontiguousarray(pix)           # identity gray palette
+    if int(pix.max(initial=0)) >= len(pal):
+        # malformed: pixel indexes past the declared palette — fail
+        # with the module's ValueError contract, not a raw IndexError
+        raise ValueError(
+            f"BMP pixel index {int(pix.max(initial=0))} >= palette "
+            f"size {len(pal)}")
     luma = (pal.astype(np.uint32).sum(axis=1) // 3).astype(np.uint8)
     return luma[pix]
 

@@ -21,8 +21,17 @@ import pyarrow.compute as pc
 
 
 def cents(x) -> np.ndarray:
-    """floor(x*100 + 0.5) -> int64 (numpy array in/out)."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+    """floor(x*100 + 0.5) -> int64 (numpy array in/out). NaN/None
+    raises: int64 has no null, and numpy's astype would otherwise turn
+    NaN into INT64_MIN silently — ±9.2e18 garbage in every integer SUM
+    where the SQL oracle yields NULL. Null-tolerant callers use
+    :func:`cents_arrow`, which propagates Arrow nulls."""
+    out = np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5)
+    if np.isnan(out).any():
+        raise ValueError(
+            "cents(): NaN/null amount in a non-nullable int64 kernel; "
+            "use cents_arrow (null-propagating) or fill nulls first")
+    return out.astype(np.int64)
 
 
 def cents_arrow(col: pa.ChunkedArray | pa.Array) -> pa.Array:

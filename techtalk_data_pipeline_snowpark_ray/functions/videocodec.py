@@ -70,7 +70,11 @@ def decode_y4m(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("Y4M header missing W/H")
     if cs == b"mono":
         frame_bytes = w * h
-    elif cs.startswith(b"420"):
+    elif cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+        # exact 8-bit 4:2:0 variants only: a loose startswith(b"420")
+        # would accept C420p10/C420p16 (2 bytes/sample), compute the
+        # wrong frame size and die mid-stream with a misleading
+        # corruption error instead of this format rejection
         frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
     else:
         raise ValueError(

@@ -82,11 +82,23 @@ def _chunk_arrays(spec: GenSpec, chunk_idx: int, lo: int, hi: int) -> dict[str, 
     )
     role = rng.choice(np.array(["user", "assistant", "system", "tool"], dtype=object), size=n)
 
-    conv_id = np.char.add("conv-", np.char.zfill(conv.astype("U7"), 7)).astype(object)
+    # fixed-width unicode dtypes TRUNCATE silently (astype('U7') maps
+    # conv 12345678 -> '1234567', colliding distinct conversations);
+    # size the widths from the configured domains. zfill pads but never
+    # truncates, so the conv-XXXXXXX format is unchanged for the
+    # <= 10M-conversation configs every oracle uses.
+    cw = max(7, len(str(max(spec.n_conversations - 1, 1))))
+    tw = max(3, len(str(max(spec.max_turns - 1, 1))))
+    # zfill width must be cw too: np.char.zfill ALSO truncates to its
+    # width argument (width 7 chops 8-digit ids). cw == 7 for every
+    # <= 10M-conversation config, so the frozen conv-XXXXXXX format is
+    # unchanged there.
+    conv_id = np.char.add("conv-", np.char.zfill(conv.astype(f"U{cw}"), cw)).astype(object)
     # unique, deterministic text padded to text_len (transcript bytes dominated by text)
     prefix = np.char.add(
         np.char.add("t", lsn.astype("U20")),
-        np.char.add("-", np.char.add(conv.astype("U7"), np.char.add(".", turn.astype("U3")))),
+        np.char.add("-", np.char.add(conv.astype(f"U{cw}"),
+                                     np.char.add(".", turn.astype(f"U{tw}")))),
     )
     # np.char.ljust TRUNCATES to the width (unlike str.ljust); pad to
     # max(text_len, longest prefix) so uniqueness is never destroyed by

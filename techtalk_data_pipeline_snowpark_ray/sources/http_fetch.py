@@ -36,7 +36,10 @@ _PARAM = re.compile(r"\{\{(\w+)\}\}")
 
 def render_url(template: str, params: dict | None = None) -> str:
     """`{{param}}` substitution; unknown placeholders raise (a typo'd
-    param silently fetching the literal braces is a data bug)."""
+    param silently fetching the literal braces is a data bug). Values
+    are percent-encoded: a raw space makes an invalid request line and
+    a raw '&'/'#' silently injects extra query parameters."""
+    from urllib.parse import quote
     params = params or {}
 
     def sub(m: re.Match) -> str:
@@ -44,7 +47,7 @@ def render_url(template: str, params: dict | None = None) -> str:
         if k not in params:
             raise KeyError(f"URL template parameter {{{{{k}}}}} not "
                            f"provided (have {sorted(params)})")
-        return str(params[k])
+        return quote(str(params[k]), safe="")
 
     return _PARAM.sub(sub, template)
 
@@ -86,17 +89,36 @@ def fetch_json(url_template: str, params: dict | None = None,
 def fetch_to_stage(url_template: str, stage_dir: str, key: str,
                    params: dict | None = None, **kw) -> str:
     """GET the rendered URL and land the payload in the stage as one
-    atomically-published NDJSON file (one line per record when the body
-    is a JSON array, else the body verbatim). Returns the staged path;
-    downstream the normal stage-stream tail picks it up exactly once."""
-    from .staged_json import stage_put
+    atomically-published NDJSON file in the STAGED ENVELOPE layout
+    (every line ``{"n", "payload"}`` — the shape `read_staged_json`
+    parses). Accepted bodies: a JSON array of envelope records (the
+    reference's PipelineServlet shape, passed through), a JSON array
+    of raw record objects or a single object (wrapped into envelope
+    lines), anything else raises ValueError — a body the stage tail
+    cannot parse must fail at the fetch, not crash the downstream
+    reader. Returns the staged path; the normal stage-stream tail
+    picks it up exactly once."""
+    from .staged_json import PAYLOAD_RECORDS, stage_put
     body = fetch_text(url_template, params, **kw)
     try:
         parsed = json.loads(body)
-    except json.JSONDecodeError:
-        parsed = None
-    if isinstance(parsed, list):
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"fetch_to_stage: response body is not JSON ({e}); the "
+            f"stage stream only carries JSON record payloads") from e
+    if isinstance(parsed, dict):
+        parsed = [parsed]
+    if not isinstance(parsed, list):
+        raise ValueError(
+            f"fetch_to_stage: response body is JSON "
+            f"{type(parsed).__name__}, not an array of records")
+    if parsed and all(isinstance(r, dict) and set(r) == {"n", "payload"}
+                      for r in parsed):
+        # already enveloped: pass through line-per-record
         lines = [json.dumps(rec, separators=(",", ":")) for rec in parsed]
     else:
-        lines = [ln for ln in body.splitlines() if ln.strip()]
+        lines = [json.dumps({"n": len(chunk),
+                             "payload": json.dumps(chunk)})
+                 for lo in range(0, len(parsed), PAYLOAD_RECORDS)
+                 for chunk in [parsed[lo:lo + PAYLOAD_RECORDS]]]
     return stage_put(lines, stage_dir, key)

@@ -528,6 +528,70 @@ def make_doc_dir(tmp_path, texts):
     return str(d)
 
 
+def test_cents_rejects_nan_loudly():
+    """cents() must not let numpy turn NaN into INT64_MIN silently
+    (±9.2e18 garbage in integer SUMs where SQL yields NULL)."""
+    import pytest
+    from techtalk_data_pipeline_snowpark_ray.functions.numeric import (
+        cents, cents_arrow)
+    assert cents(pd.Series([1.005, 2.0])).tolist() == [100, 200]
+    with pytest.raises(ValueError, match="NaN/null"):
+        cents(pd.Series([1.0, None]))
+    # the arrow kernel is the null-tolerant path: null propagates
+    out = cents_arrow(pa.chunked_array([pa.array([1.0, None])]))
+    assert out.to_pylist() == [100, None]
+
+
+def test_codec_malformed_inputs_raise_valueerror():
+    """Every malformed-media path honors the loud ValueError contract
+    (not IndexError / struct.error / a misleading mid-stream error)."""
+    import struct
+    import pytest
+    from techtalk_data_pipeline_snowpark_ray.functions import (
+        audiocodec, videocodec)
+    # WAV with a truncated fmt chunk (declared size 8)
+    fmt_body = b"\x01\x00\x01\x00\x44\xac\x00\x00"
+    wav = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8) +
+           b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) +
+           fmt_body + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="fmt chunk truncated"):
+        audiocodec.decode_wav(wav)
+    # Y4M with a 10-bit 4:2:0 colorspace: format rejection, not a
+    # mid-stream 'bad FRAME marker'
+    y4m = b"YUV4MPEG2 W4 H4 F25:1 C420p10\nFRAME\n" + bytes(48)
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        videocodec.decode_y4m(y4m)
+
+
+def test_config_yaml_explicit_null_views(tmp_path):
+    """'derived_views:' with an empty YAML value means no views — it
+    must load as (), not construct a config that crashes run_loop
+    later with a bare TypeError."""
+    from techtalk_data_pipeline_snowpark_ray.config import EngineConfig
+    p = tmp_path / "c.yml"
+    p.write_text("table-dir: /tmp/x\nwal-dir: /tmp/y\nderived-views:\n")
+    cfg = EngineConfig.from_yaml(str(p))
+    assert cfg.derived_views == ()
+
+
+def test_generator_wide_domains_no_truncation():
+    """Fixed-width unicode dtypes must never silently truncate conv or
+    turn ids for wide domains (U7 collided conversations past 10M)."""
+    from techtalk_data_pipeline_snowpark_ray.sources.generate import (
+        GenSpec, _chunk_arrays)
+    spec = GenSpec(n_events=256, n_conversations=20_000_000,
+                   max_turns=5_000, seed=1, zipf_s=0.0)   # uniform ids
+    a = _chunk_arrays(spec, 0, 0, 256)
+    ids = [c for c in a["conv_id"]]
+    # every conv id names its integer exactly (no 7-char truncation)
+    nums = [int(c.split("-")[1]) for c in ids]
+    assert all(0 <= x < 20_000_000 for x in nums)
+    assert any(x >= 10_000_000 for x in nums)  # wide domain exercised
+    # ids are zero-padded to the domain width (8 here), never truncated
+    assert all(len(c.split("-")[1]) == 8 for c in ids)
+    assert len(set(ids)) == len(set(nums))
+
+
 # -- empty bootstrap ------------------------------------------------------------
 
 def test_bootstrap_import_empty_source_then_cdc(tmp_path):

@@ -242,8 +242,11 @@ def test_http_fetch_templating_and_stage_landing(tmp_path):
     from techtalk_data_pipeline_snowpark_ray.sources.staged_json import (
         list_staged_files)
 
+    # values are percent-encoded: a raw space/&/# would make an invalid
+    # or parameter-injecting request
     assert http_fetch.render_url("http://h/x/{{n}}/y?q={{q}}",
-                                 {"n": 5, "q": "a b"}) == "http://h/x/5/y?q=a b"
+                                 {"n": 5, "q": "a b&x=1"}) \
+        == "http://h/x/5/y?q=a%20b%26x%3D1"
     with pytest.raises(KeyError, match="missing"):
         http_fetch.render_url("http://h/{{missing}}", {})
 
@@ -257,8 +260,11 @@ def test_http_fetch_templating_and_stage_landing(tmp_path):
                                        params={"n": 3})
     files = list_staged_files(stage)
     assert [f.path for f in files] == [staged]
+    # RAW record arrays land WRAPPED in the staged envelope — the only
+    # layout read_staged_json parses
     lines = [json.loads(ln) for ln in open(staged) if ln.strip()]
-    assert lines == payload
+    assert all(set(ln) == {"n", "payload"} for ln in lines)
+    assert [r for ln in lines for r in json.loads(ln["payload"])] == payload
     # retried fetch of the same body republishes the SAME name (content
     # digest): no duplicate delivery
     again = http_fetch.fetch_to_stage(url, stage, key="000001",
